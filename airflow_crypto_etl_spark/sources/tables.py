@@ -1,0 +1,95 @@
+"""Table sources.
+
+Scan operators S2-S4 from SURVEY.md §2.1: the reference reads CSV with
+`pd.read_csv` (`/root/reference/dags/coin_data_pipeline_optimized.py:221`),
+JSON with `pd.read_json` (`:398`) and parquet partitions with
+`pq.read_table` (`:791-792`). Spark-first equivalents: declarative
+`spark.read.*` scans that Catalyst can push filters/projections into.
+
+At 100 TB, the scan is the operator that matters most: always pass an
+explicit schema (no inference job), read the partitioned *root* and let
+partition pruning pick `dt=` directories, and never materialize
+driver-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The driver's star-schema testdata (TESTDATA.md): one parquet per table.
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet scan (S4). Column pruning is expressed with .select so the
+    scan's ReadSchema carries only what downstream needs."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, header: bool = True
+) -> DataFrame:
+    """CSV scan (S2). Schema is explicit by default — `inferSchema` runs a
+    full extra pass over the data, unacceptable at scale."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # convenience only
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """JSON scan (S3, the Bronze layer read). Schema-on-read when schema is
+    None, matching Bronze's no-enforcement regime (SURVEY.md §1.2)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def _restore_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see
+    session.RUNTIME_CONFS); convert to microsecond timestamp_ntz with the
+    same floor-truncation DuckDB applies, so both engines see identical
+    wall-clock values. `div` is exact integer division — no float detour."""
+    fixes = {
+        c: F.expr(f"cast(timestamp_micros({c} div 1000) as timestamp_ntz)")
+        for c in cols
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType)
+    }
+    return df.withColumns(fixes) if fixes else df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One star-schema table from a scale-factor directory."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _restore_nanos_timestamps(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES) -> None:
+    """Register temp views so operators can also be driven via spark.sql."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
