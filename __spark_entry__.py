@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from airflow_crypto_etl_spark import queries as q
+from airflow_crypto_etl_spark import queries_ext as qx
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -27,10 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, plus the
+    training-data extension set (dedup/similarity/text/windows)."""
+    return dict(q.QUERIES) | dict(qx.QUERIES_EXT)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
-    return dict(q.ORACLE)
+    return dict(q.ORACLE) | dict(qx.ORACLE_EXT)

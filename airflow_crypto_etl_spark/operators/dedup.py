@@ -1,0 +1,188 @@
+"""Deduplication operators — exact and near-duplicate.
+
+The training-data-pipeline extension set (BASELINE.json north star):
+exact (hash-groupBy), MinHash+LSH (shingle→minhash→band→bucket-join),
+SimHash, and n-gram Jaccard. Embedding-cosine near-dup lives in
+``similarity``.
+
+Scale design (100 TB corpus):
+- Exact dedup shuffles 8-byte fingerprints, not document bodies
+  (``fingerprint`` from operators.text).
+- N-gram Jaccard is only run on *candidate pairs*; the all-pairs form
+  here is the verification kernel. At scale, candidates come from the
+  MinHash band join, which is the classic LSH reduction: the self-join
+  is on (band, band_signature) buckets, so shuffle volume is
+  O(docs × bands), never O(docs²).
+- All hashing is integer arithmetic inside whole-stage codegen
+  (functions.hashing) — no UDFs — and deterministic, so re-runs and the
+  DuckDB oracle reproduce identical signatures.
+
+MinHash construction follows Broder (1997); banding analysis per
+Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch.3. SimHash
+per Charikar (2002) / Manku et al. (2007).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import affine_hash, char_hash
+from .text import tokens_col
+
+# MinHash parameters: K signatures in B bands of R rows (K = B*R).
+MINHASH_K = 16
+MINHASH_R = 4
+MINHASH_B = MINHASH_K // MINHASH_R
+BAND_WEIGHTS = [31**j for j in range(MINHASH_R)]  # order-free integer band sig
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical text, keep the smallest id. Shuffles
+    (hash, id) pairs only — the text column is dropped before the
+    shuffle and recovered by the survivors' ids if needed."""
+    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Distinct word n-gram shingles as a codegen'd array expression."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # guard: sequence(0, size-n) is descending (not empty!) when size < n
+    ok = docs.filter(F.size(tokens_col(text_col)) >= n)
+    return ok.select(F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shingle inverted index:
+    explode shingles, self-equi-join on shingle (never a cross join),
+    count common, |A∪B| = |A|+|B|−common. Jaccard is a ratio of exact
+    integers → engine-portable."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("ns").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("ns").alias("nb"))
+    jac = (
+        common.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signatures as K rows (doc_id, i, mh): distinct
+    word-n-gram shingle hashes × K affine hash functions, min per
+    (doc, i). Shingles (not unigrams) are essential for discrimination:
+    on a small shared vocabulary every doc's unigram set overlaps
+    heavily, while n-gram shingles are order-sensitive. Long/narrow
+    beats wide structs for the band step — the groupBy is a partial agg."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    tokh = sh.select(id_col, char_hash("shingle").alias("th")).distinct()
+    ks = docs.sparkSession.range(MINHASH_K).select(F.col("id").alias("i"))
+    return (
+        tokh.crossJoin(F.broadcast(ks))
+        .groupBy(id_col, "i")
+        .agg(F.min(affine_hash(F.col("th"), F.col("i"))).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs.
+
+    1. signatures (K per doc); 2. band signatures: integer-weighted sum
+    of the R minhashes per band; 3. candidate pairs = docs sharing any
+    (band, signature) bucket — an equi-join, shuffle O(docs×B);
+    4. estimate Jaccard as the fraction of equal minhash components;
+    filter ≥ threshold.
+    """
+    sig = minhash_signatures(docs, id_col, text_col).cache()
+    weight = F.element_at(F.array(*[F.lit(w) for w in BAND_WEIGHTS]), (F.col("i") % MINHASH_R + 1).cast("int"))
+    bands = (
+        sig.withColumn("band", (F.col("i") / MINHASH_R).cast("bigint"))
+        .groupBy(id_col, "band")
+        .agg(F.sum(F.col("mh") * weight).alias("band_sig"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("i"), F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("i"), F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / MINHASH_K).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est.select("doc_a", "doc_b", "est_jaccard")
+
+
+def simhash_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-doc SimHash (32-bit) over distinct word-n-gram shingles:
+    sum ±1 per bit over shingle hashes, bit set iff the sum is positive.
+    Shingle features, not unigrams, for the same discrimination reason
+    as :func:`minhash_signatures`."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    tokh = sh.select(id_col, char_hash("shingle").alias("th"))
+    bits = docs.sparkSession.range(SIMHASH_BITS).select(F.col("id").alias("bit"))
+    # shiftright/shiftleft need F.expr: the PySpark wrappers only accept a
+    # literal int shift amount, but `bit` is a column here
+    contrib = tokh.crossJoin(F.broadcast(bits)).groupBy(id_col, "bit").agg(
+        F.sum(F.expr("(shiftright(th, cast(bit as int)) & 1) * 2 - 1")).alias("s")
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    All-pairs XOR here (verification kernel at test scale); the scale
+    path partitions signatures into (max_hamming+1) chunks and
+    equi-joins on any exact chunk match (Manku et al. 2007) — same
+    bucket-join shape as MinHash banding.
+    """
+    sh = simhash_docs(docs, id_col, text_col)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).withColumn(
+        "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond reference parity (the reference has no text ops — SURVEY.md §2.9
+"no regex/string manipulation"), these are the document-corpus operators
+a 100 TB pretraining pipeline needs: token statistics, quality scoring,
+language ID, and content fingerprinting over the ``documents`` table.
+
+All operators are pure column expressions (split / filter / aggregate
+lambdas run JVM-side inside whole-stage codegen) — no Python UDFs in any
+hot path, so throughput is bounded by scan speed, not serde. Each is
+deterministic and engine-portable so the DuckDB oracle can replay it
+exactly (see functions.hashing for the portability rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import char_hash
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language-ID heuristic. Real corpora would ship larger lists; the
+# operator shape (portable set-membership ratio per language, argmax)
+# is what matters.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "sur"),
+}
+
+
+def tokens_col(text: str | Column) -> Column:
+    """Whitespace tokenization as a codegen'd expression (no UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: n_tokens, distinct tokens, mean token length."""
+    toks = tokens_col(text_col)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)),
+            "n_token_chars": tok_chars,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring (length / stopword / repetition ratios).
+
+    Emits exact rational ingredients (counts) plus a double score whose
+    arithmetic is a fixed op sequence — portable across engines. The
+    score mirrors common pretraining filters (Gopher/C4-style rules):
+    penalize very short docs and low lexical diversity, reward stopword
+    presence.
+    """
+    df = token_stats(df, text_col)
+    en_stop = STOPWORDS["en"]
+    n_stop = F.size(F.filter(tokens_col(text_col), lambda t: t.isin(*en_stop)))
+    n_tok = F.col("n_tokens").cast("double")
+    score = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + (F.col("n_distinct_tokens") / F.col("n_tokens")) * 0.4
+        + F.least(F.col("n_stopwords") * 5.0 / F.col("n_tokens"), F.lit(1.0)) * 0.2
+    )
+    return df.withColumn("n_stopwords", n_stop).withColumn(
+        "quality_score", F.when(F.col("n_tokens") > 0, score).otherwise(F.lit(0.0))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID: per language, the fraction of tokens in
+    that language's stopword list; predict the argmax (ties broken by
+    language code order), 'und' when no list matches any token."""
+    toks = tokens_col(text_col)
+    ratios = {
+        lang: (F.size(F.filter(toks, lambda t: t.isin(*words))).cast("double") / F.size(toks))
+        for lang, words in STOPWORDS.items()
+    }
+    df = df.withColumns({f"ratio_{lang}": r for lang, r in ratios.items()})
+    best = F.greatest(*[F.col(f"ratio_{lang}") for lang in STOPWORDS])
+    pred = F.lit("und")
+    # reversed so earlier language codes win ties via later overwrite
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((F.col(f"ratio_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return df.withColumn("pred_lang", pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: polynomial rolling hash over the full text
+    (functions.hashing.char_hash) — the exact-dedup key that doesn't
+    require shuffling full document bodies, only 8-byte hashes."""
+    return df.withColumn("fingerprint", char_hash(text_col))

@@ -1,0 +1,438 @@
+"""Extension-query registry: dedup / similarity / text / sessionization /
+streaming — the training-data-pipeline operators (BASELINE.json north
+star), each with a DuckDB oracle built from the same deterministic
+integer/IEEE arithmetic as the Spark implementation (functions.hashing
+docstring explains why built-in hashes can't be used).
+
+Oracle-generation note: several oracles are programmatically assembled
+(minhash banding, hyperplane LSH) — the SQL mirrors the Spark plan
+construct-for-construct, so every intermediate value is bit-identical
+and no rounding is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import affine_hash_sql, char_hash_sql
+from .operators import dedup as dd
+from .operators import similarity as sim
+from .operators import text as tx
+from .operators.dedup import BAND_WEIGHTS, MINHASH_K, MINHASH_R, SIMHASH_BITS
+from .queries import _DEC, _t
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+EMB_DIM = 64
+
+# DuckDB token list: identical to operators.text.tokens_col
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+# DuckDB distinct word-3-gram shingles: identical to operators.dedup.shingles_col
+_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
+    f"i -> ({_TOKS})[i] || ' ' || ({_TOKS})[i+1] || ' ' || ({_TOKS})[i+2]))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings")
+
+
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """DuckDB sequential-fold dot product — same op order as
+    operators.similarity.dot (zip_with + aggregate)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.token_stats(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", "n_distinct_tokens", "n_token_chars")
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+       CAST(list_sum(list_transform({_TOKS}, t -> length(t)::BIGINT)) AS BIGINT) AS n_token_chars
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.quality_score(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", "n_distinct_tokens", "n_stopwords", "quality_score")
+
+
+_EN = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+ORACLE_QUALITY_SCORE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_distinct_tokens,
+         CAST(len(list_filter({_TOKS}, t -> t IN ({_EN}))) AS INTEGER) AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_tokens, n_distinct_tokens, n_stopwords,
+       CASE WHEN n_tokens > 0 THEN
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         + (n_distinct_tokens / n_tokens) * 0.4
+         + least((n_stopwords * 5.0) / n_tokens, 1.0) * 0.2
+       ELSE 0.0 END AS quality_score
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.language_id(_docs(spark, sf_dir))
+    cols = ["doc_id", "lang", "pred_lang"] + [f"ratio_{lang}" for lang in sorted(tx.STOPWORDS)]
+    return out.select(*cols)
+
+
+def _lang_oracle() -> str:
+    ratio = {
+        lang: f"len(list_filter({_TOKS}, t -> t IN ({', '.join(repr(w) for w in ws)}))) / len({_TOKS})"
+        for lang, ws in tx.STOPWORDS.items()
+    }
+    ratio_cols = ",\n       ".join(f"{expr} AS ratio_{lang}" for lang, expr in sorted(ratio.items()))
+    best = "greatest(" + ", ".join(f"ratio_{lang}" for lang in sorted(ratio)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN ratio_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in sorted(ratio)
+    ) + " ELSE 'und' END"
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+       {ratio_cols}
+  FROM documents)
+SELECT doc_id, lang, {case} AS pred_lang,
+       ratio_de, ratio_en, ratio_es, ratio_fr
+FROM r
+"""
+
+
+ORACLE_LANG_ID = _lang_oracle()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+ORACLE_FINGERPRINT = f"SELECT doc_id, {char_hash_sql('text')} AS fingerprint FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted-id copy — a corpus with known exact duplicates
+    (the raw corpus has near-dups but no exact ones)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+
+
+_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents"
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_dup_corpus(spark, sf_dir)).select("doc_id", "text", "n_copies")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS n_copies
+FROM ({_DUP_CORPUS_SQL}) GROUP BY text
+"""
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+    i -> ({_TOKS})[i] || ' ' || ({_TOKS})[i+1] || ' ' || ({_TOKS})[i+2]))) AS shingle
+  FROM documents),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, c / (na.ns + nb.ns - c) AS jaccard
+FROM common JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+WHERE c / (na.ns + nb.ns - c) >= 0.6
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _minhash_oracle() -> str:
+    weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS tok FROM documents),
+tokh AS (SELECT DISTINCT doc_id, {char_hash_sql('tok')} AS th FROM toks),
+sig AS (
+  SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
+  FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {MINHASH_R} AS band,
+         CAST(sum(mh * ({weights})[(i % {MINHASH_R}) + 1]) AS BIGINT) AS band_sig
+  FROM sig GROUP BY doc_id, i // {MINHASH_R}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / {MINHASH_K} AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_DEDUP_MINHASH = _minhash_oracle()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM documents),
+tokh AS (SELECT doc_id, {char_hash_sql('tok')} AS th FROM toks),
+contrib AS (
+  SELECT doc_id, bit, CAST(sum(((th >> bit) & 1) * 2 - 1) AS BIGINT) AS s
+  FROM tokh CROSS JOIN range(0, {SIMHASH_BITS}) r(bit) GROUP BY doc_id, bit),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM contrib GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+ORACLE_EMBED_NEARDUP = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_dot_sql('a.ve', 'b.ve')} / (sqrt({_dot_sql('a.ve', 'a.ve')}) * sqrt({_dot_sql('b.ve', 'b.ve')})) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.ve', 'b.ve')} / (sqrt({_dot_sql('a.ve', 'a.ve')}) * sqrt({_dot_sql('b.ve', 'b.ve')})) >= 0.4
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+ORACLE_ANN_TOPK = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_dot_sql('qv', 've')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('ve', 've')})) AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
+
+
+def _lsh_oracle() -> str:
+    terms = []
+    for j in range(sim.LSH_PLANES):
+        plane = "[" + ", ".join(f"{w:.1f}" for w in sim.hyperplane(j, EMB_DIM)) + "]::DOUBLE[]"
+        d = _dot_sql("ve", f"({plane})")
+        terms.append(f"CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END")
+    bucket = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+vb AS (SELECT vec_id, ve, {bucket} AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM vb WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT query_id, vb.vec_id AS neighbor_id, vb.bucket,
+         {_dot_sql('qv', 've')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('ve', 've')})) AS cos
+  FROM vb JOIN q USING (bucket) WHERE vb.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, bucket, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+ORACLE_ANN_LSH = _lsh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Sessionization / streaming windows (SURVEY §2.10 extensions)
+# ---------------------------------------------------------------------------
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (30-min gap) via Spark's session_window —
+    the same operator Structured Streaming uses."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast(_DEC)).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts < lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events),
+s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling window (1 hour) — F.window, the streaming operator
+    run over bounded input."""
+    from .operators.windows import tumbling_window_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn("value", F.col("value"))
+    out = tumbling_window_agg(ev, "ts", "1 hour", ["event_type"])
+    return out
+
+
+ORACLE_WINDOW_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-min slide): each event lands in 2
+    windows; emitted as (window_start, n, sum)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast(_DEC)).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+ORACLE_WINDOW_SLIDING = """
+WITH o AS (SELECT ts, value, unnest([0, 1]) AS k FROM events)
+SELECT make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - k * 1800) * 1000000)
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM o GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns; decode itself is stubbed — see
+# operators.multimodal for the mapInPandas pipeline)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload column: byte length,
+    char length, ascii check, header fingerprint. The binary column is
+    created from text here (the container has no media libs); schema and
+    expression shapes are what a real image/audio column would use."""
+    d = _docs(spark, sf_dir)
+    bin_col = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.length("text").alias("n_chars_text"),
+        (F.octet_length("text") == F.length("text")).alias("is_ascii"),
+        F.length(bin_col).alias("payload_bytes"),
+    )
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       CAST(length(text) AS INTEGER) AS n_chars_text,
+       strlen(text) = length(text) AS is_ascii,
+       CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes
+FROM documents
+"""
+
+
+QUERIES_EXT = {
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_embed_neardup": q_embed_neardup,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_session_window": q_session_window,
+    "q_window_tumbling": q_window_tumbling,
+    "q_window_sliding": q_window_sliding,
+    "q_multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE_EXT = {
+    "q_token_count": ORACLE_TOKEN_COUNT,
+    "q_quality_score": ORACLE_QUALITY_SCORE,
+    "q_lang_id": ORACLE_LANG_ID,
+    "q_fingerprint": ORACLE_FINGERPRINT,
+    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_dedup_ngram": ORACLE_DEDUP_NGRAM,
+    "q_dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "q_dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "q_embed_neardup": ORACLE_EMBED_NEARDUP,
+    "q_ann_topk": ORACLE_ANN_TOPK,
+    "q_ann_lsh": ORACLE_ANN_LSH,
+    "q_session_window": ORACLE_SESSION_WINDOW,
+    "q_window_tumbling": ORACLE_WINDOW_TUMBLING,
+    "q_window_sliding": ORACLE_WINDOW_SLIDING,
+    "q_multimodal_meta": ORACLE_MULTIMODAL_META,
+}
