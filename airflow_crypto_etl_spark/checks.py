@@ -1,0 +1,124 @@
+"""Declarative data-quality checks (the reference's four validation
+mechanisms as first-class operators — SURVEY.md §5).
+
+Great-Expectations-shaped column expectations
+(`/root/reference/great_expectations/expectations/coin_data_suite.json:4-39`),
+the hard schema contract (`dags/coin_data_pipeline_optimized.py:419-429`),
+the SQL quality gates (`:955-989,1055-1123`), and cross-system
+reconciliation (`:996-1046`) all become library functions over
+DataFrames.
+
+Design: a suite compiles to ONE conditional-count aggregation — a
+single pass / single partial+final agg regardless of how many
+expectations it contains, versus the reference's one-SELECT-per-check
+round-trips. ``run_suite`` returns a tidy report DataFrame; ``enforce``
+raises on the first failure (the task-abort behavior).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named predicate; rows where ``cond`` is False (or null) fail."""
+
+    name: str
+    cond: Column
+
+
+def expect_not_null(col: str) -> Expectation:
+    return Expectation(f"{col}_not_null", F.col(col).isNotNull())
+
+
+def expect_positive(col: str) -> Expectation:
+    return Expectation(f"{col}_positive", F.col(col) > 0)
+
+
+def expect_non_negative(col: str) -> Expectation:
+    return Expectation(f"{col}_non_negative", F.col(col) >= 0)
+
+
+def expect_between(col: str, lo, hi) -> Expectation:
+    return Expectation(f"{col}_between", F.col(col).between(lo, hi))
+
+
+def expect_in_set(col: str, values: list) -> Expectation:
+    return Expectation(f"{col}_in_set", F.col(col).isin(values))
+
+
+def expect_unique(cols: list[str]) -> "UniqueExpectation":
+    return UniqueExpectation("unique_" + "_".join(cols), cols)
+
+
+@dataclass(frozen=True)
+class UniqueExpectation:
+    name: str
+    cols: list[str]
+
+
+class CheckFailure(AssertionError):
+    pass
+
+
+def expect_schema(df: DataFrame, expected: dict[str, str]) -> None:
+    """Hard schema contract: exact name→type map (the pyarrow
+    ``safe=True`` analog). Raises CheckFailure on drift."""
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = {k: v for k, v in expected.items() if actual.get(k) != v}
+    if missing:
+        raise CheckFailure(f"schema contract violated: expected {missing}, got "
+                           f"{ {k: actual.get(k) for k in missing} }")
+
+
+def run_suite(df: DataFrame, expectations: list) -> DataFrame:
+    """Evaluate all row-level expectations in one aggregation pass;
+    uniqueness expectations add one distinct-count each (unavoidable
+    extra shuffle, still one job). Returns (check, n_failed, passed)."""
+    row_exps = [e for e in expectations if isinstance(e, Expectation)]
+    uniq_exps = [e for e in expectations if isinstance(e, UniqueExpectation)]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for e in row_exps:
+        fail = F.when(e.cond, 0).otherwise(1)  # null cond counts as failure
+        aggs.append(F.sum(fail).alias(e.name))
+    for e in uniq_exps:
+        aggs.append(
+            (F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in e.cols])).alias(e.name)
+        )
+    wide = df.agg(*aggs)
+    names = [e.name for e in row_exps + uniq_exps]
+    stacked = wide.selectExpr(
+        "stack({n}, {pairs}) as (check, n_failed)".format(
+            n=len(names), pairs=", ".join(f"'{n}', {n}" for n in names)
+        )
+    )
+    return stacked.withColumn("passed", F.col("n_failed") == 0)
+
+
+def enforce(df: DataFrame, expectations: list) -> None:
+    """Task-abort behavior: raise CheckFailure listing every failed check."""
+    report = run_suite(df, expectations).filter(~F.col("passed")).collect()
+    if report:
+        raise CheckFailure(
+            "; ".join(f"{r['check']}: {r['n_failed']} failing rows" for r in report)
+        )
+
+
+def reconcile(src: DataFrame, dst: DataFrame, raise_on_mismatch: bool = True) -> tuple[int, int]:
+    """Cross-system row-count reconciliation (`…optimized.py:996-1046`)."""
+    a, b = src.count(), dst.count()
+    if raise_on_mismatch and a != b:
+        raise CheckFailure(f"count reconciliation failed: src={a} dst={b}")
+    return a, b
+
+
+def freshness(df: DataFrame, partition_col: str, expected_value) -> None:
+    """Partition-presence gate (`…optimized.py:1132-1151`): the expected
+    partition must exist and be non-empty. Partition pruning makes this
+    a metadata-cheap probe on partitioned layouts."""
+    if df.filter(F.col(partition_col) == expected_value).isEmpty():
+        raise CheckFailure(f"freshness: no rows with {partition_col}={expected_value!r}")

@@ -55,14 +55,24 @@ def enforce_contract(
     fails the job at execution time, executor-side, with no extra pass
     over the data (the check rides along inside codegen).
     """
-    conds = []
-    conds += [(F.col(c).isNotNull(), f"contract: {c} must not be null") for c in not_null]
-    conds += [(F.col(c) > 0, f"contract: {c} must be > 0") for c in positive]
-    conds += [(F.col(c) >= 0, f"contract: {c} must be >= 0") for c in non_negative]
-    out = df
-    for i, (cond, msg) in enumerate(conds):
-        out = out.withColumn(f"__chk{i}", F.assert_true(cond, F.lit(msg)))
-    return out.drop(*[f"__chk{i}" for i in range(len(conds))]) if conds else df
+    # The guard is woven INTO each checked column (when(assert_true(c)
+    # IS NULL, col)) rather than emitted as a separate dropped column —
+    # a dropped check column would be pruned by Catalyst and the
+    # contract would silently not run.
+    conds: dict[str, list] = {}
+    for c in not_null:
+        conds.setdefault(c, []).append((F.col(c).isNotNull(), f"contract: {c} must not be null"))
+    for c in positive:
+        conds.setdefault(c, []).append((F.col(c) > 0, f"contract: {c} must be > 0"))
+    for c in non_negative:
+        conds.setdefault(c, []).append((F.col(c) >= 0, f"contract: {c} must be >= 0"))
+    guarded = {}
+    for c, cks in conds.items():
+        col = F.col(c)
+        for cond, msg in cks:
+            col = F.when(F.assert_true(cond, F.lit(msg)).isNull(), col)
+        guarded[c] = col
+    return df.withColumns(guarded) if guarded else df
 
 
 def contract_violations(

@@ -370,6 +370,33 @@ FROM o GROUP BY 1
 """
 
 
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows computed by the STREAMING engine (availableNow
+    replay, complete mode) — same oracle as the batch variant because the
+    bounded replay is deterministic."""
+    from .streaming.windows import streaming_tumbling
+
+    return streaming_tumbling(spark, sf_dir)
+
+
+# streaming twin of ORACLE_WINDOW_TUMBLING, sum as exact decimal
+ORACLE_STREAM_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows in append mode — rows-only check
+    (append emission withholds sessions still open at the final
+    watermark; see streaming.windows.streaming_session)."""
+    from .streaming.windows import streaming_session
+
+    return streaming_session(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns; decode itself is stubbed — see
 # operators.multimodal for the mapInPandas pipeline)
@@ -416,6 +443,8 @@ QUERIES_EXT = {
     "q_session_window": q_session_window,
     "q_window_tumbling": q_window_tumbling,
     "q_window_sliding": q_window_sliding,
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_session": q_stream_session,
     "q_multimodal_meta": q_multimodal_meta,
 }
 
@@ -434,5 +463,7 @@ ORACLE_EXT = {
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_window_tumbling": ORACLE_WINDOW_TUMBLING,
     "q_window_sliding": ORACLE_WINDOW_SLIDING,
+    "q_stream_tumbling": ORACLE_STREAM_TUMBLING,
+    # q_stream_session: rows-only by design (append-mode emission)
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
 }

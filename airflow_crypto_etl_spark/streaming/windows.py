@@ -1,0 +1,108 @@
+"""Structured Streaming operators.
+
+The reference is pure batch — its `@daily` partition-per-run cadence
+(`/root/reference/dags/coin_data_pipeline_optimized.py:53-60`) is exactly
+Spark's ``trigger(availableNow=True)`` micro-batch pattern (SURVEY.md
+§2.10): checkpointing replaces Airflow task state, and the same windowed
+aggregations run unchanged over unbounded input.
+
+These helpers drive the driver's ``events`` table as a *stream*: the
+parquet file is read via the file stream source with an explicit schema
+(required by readStream; also the nanos→ntz conversion from
+sources.tables applies), aggregated with the identical F.window /
+session_window operators the batch queries use, and collected through a
+memory sink after the availableNow run terminates.
+
+Scale: in production the memory sink becomes ``foreachBatch`` writing
+partitioned parquet/Delta; state store size is bounded by (windows ×
+keys), and watermarks bound it for session windows.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import apply_runtime_confs
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) arrives as epoch-nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source, explicit schema)."""
+    apply_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion over the currently
+    available input (the reference's one-partition-per-run batch cadence)
+    and return the materialized result."""
+    spark = stream_df.sparkSession
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out
+
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums computed BY THE STREAMING ENGINE
+    (complete mode — no watermark, so the bounded replay emits every
+    window exactly as batch would)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+    )
+
+
+def streaming_session(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with watermark in append mode (the only mode
+    session-window streaming aggregations support) — the stateful
+    operator surface (applyInPandasWithState generalizes this for custom
+    state). Append emission means sessions still open at the final
+    watermark are withheld, so this is a rows-only check (not
+    SQL-oracle-comparable)."""
+    # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so the
+    # ntz→ltz cast preserves wall-clock
+    ev = (
+        stream_events(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_available_now(agg, "append")
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events"
+    )

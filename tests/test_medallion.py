@@ -1,0 +1,74 @@
+"""Golden replay (SURVEY.md §5c): Bronze→Silver→Gold on the reference's
+captured 2026-01-13 snapshot must value-match the captured Silver/Gold
+parquet, plus an end-to-end pipeline run on a temp lake."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from airflow_crypto_etl_spark.plans import medallion
+
+from reference_lake import bronze_records, gold_table, silver_table
+
+DS = "2026-01-13"
+
+
+@pytest.fixture(scope="module")
+def bronze(spark):
+    return medallion.bronze_ingest(spark, bronze_records(DS))
+
+
+def test_silver_golden_replay(spark, bronze):
+    silver = medallion.silver_transform(bronze)
+    got = {
+        r["coin_id"]: r for r in silver.collect()
+    }
+    expected = silver_table(DS).to_pylist()
+    assert len(got) == len(expected) == 100
+    for e in expected:
+        g = got[e["coin_id"]]
+        assert g["symbol"] == e["symbol"] and g["name"] == e["name"]
+        assert math.isclose(g["price_usd"], e["price_usd"], rel_tol=1e-12)
+        assert math.isclose(g["market_cap"], e["market_cap"], rel_tol=1e-12)
+        # captured is tz-aware ns; ours is session-UTC micros
+        assert g["timestamp"].replace(tzinfo=None) == e["timestamp"].replace(tzinfo=None)
+
+
+def test_gold_golden_replay(spark, bronze):
+    gold = medallion.gold_build(medallion.silver_transform(bronze), DS)
+    got = {r["coin_id"]: r for r in gold.collect()}
+    expected = gold_table(DS).to_pylist()
+    assert len(got) == len(expected) == 100
+    for e in expected:
+        g = got[e["coin_id"]]
+        for c in ["avg_price_usd", "min_price_usd", "max_price_usd", "avg_market_cap"]:
+            assert math.isclose(g[c], e[c], rel_tol=1e-12), (c, g[c], e[c])
+        assert g["dt"] == e["dt"] == DS
+
+
+def test_pipeline_end_to_end(spark, bronze, tmp_path):
+    lake = str(tmp_path / "lake")
+    gold = medallion.run_pipeline(spark, bronze_records(DS), lake, DS)
+    assert gold.count() == 100
+    # idempotent re-run (dynamic partition overwrite): same result
+    gold2 = medallion.run_pipeline(spark, bronze_records(DS), lake, DS)
+    assert gold2.count() == 100
+    from airflow_crypto_etl_spark.sinks.writers import read_sidecar
+
+    meta = read_sidecar(f"{lake}/silver/coins")
+    assert meta["row_count"] == 100 and meta["schema_version"] == "v1"
+
+
+def test_contract_enforcement_aborts_on_bad_rows(spark, bronze):
+    import pyspark.sql.functions as F
+    from py4j.protocol import Py4JJavaError
+
+    bad = bronze.withColumn(
+        "current_price", F.when(F.col("id") == "bitcoin", None).otherwise(F.col("current_price"))
+    )
+    silver = medallion.silver_transform(bad)
+    with pytest.raises(Exception) as exc:
+        silver.collect()
+    assert "must not be null" in str(exc.value)
