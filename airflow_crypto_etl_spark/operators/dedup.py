@@ -47,14 +47,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_col(text_col: str, n: int = 3):
-    """Distinct word n-gram shingles as a codegen'd array expression."""
+    """Distinct word n-gram shingles as a codegen'd array expression.
+
+    Built by zipping n shifted slices of the token array rather than an
+    index-sequence transform: in the transform form the token-array
+    subexpression gets inlined into the lambda and re-evaluated per
+    element (~shingle-count× per row); slices evaluate their input once
+    per row."""
     toks = tokens_col(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-        )
-    )
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))  # number of shingles
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(toks, 1 + j, m), lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(out)
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -99,12 +104,14 @@ def minhash_signatures(
     beats wide structs for the band step — the groupBy is a partial agg."""
     sh = _doc_shingles(docs, id_col, text_col, n)
     tokh = sh.select(id_col, char_hash("shingle").alias("th")).distinct()
-    ks = docs.sparkSession.range(MINHASH_K).select(F.col("id").alias("i"))
-    return (
-        tokh.crossJoin(F.broadcast(ks))
-        .groupBy(id_col, "i")
-        .agg(F.min(affine_hash(F.col("th"), F.col("i"))).alias("mh"))
+    # All K minima in ONE partial-aggregating groupBy — no K-way row
+    # explosion, the shuffle carries one row per doc. (A crossJoin with
+    # range(K) would push K×|shingles| rows through the exchange.)
+    wide = tokh.groupBy(id_col).agg(
+        *[F.min(affine_hash(F.col("th"), F.lit(i))).alias(f"mh{i}") for i in range(MINHASH_K)]
     )
+    stack = ", ".join(f"{i}L, mh{i}" for i in range(MINHASH_K))
+    return wide.selectExpr(id_col, f"stack({MINHASH_K}, {stack}) as (i, mh)")
 
 
 def minhash_lsh_pairs(
@@ -156,17 +163,19 @@ def simhash_docs(
     as :func:`minhash_signatures`."""
     sh = _doc_shingles(docs, id_col, text_col, n)
     tokh = sh.select(id_col, char_hash("shingle").alias("th"))
-    bits = docs.sparkSession.range(SIMHASH_BITS).select(F.col("id").alias("bit"))
-    # shiftright/shiftleft need F.expr: the PySpark wrappers only accept a
-    # literal int shift amount, but `bit` is a column here
-    contrib = tokh.crossJoin(F.broadcast(bits)).groupBy(id_col, "bit").agg(
-        F.sum(F.expr("(shiftright(th, cast(bit as int)) & 1) * 2 - 1")).alias("s")
+    # One groupBy with 32 per-bit ±1 sums (partial-agg, no bit×row
+    # explosion), then assemble the signature from the 32 sums.
+    contrib = tokh.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"(shiftright(th, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    return contrib.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")).otherwise(0)
-        ).alias("simhash")
-    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return contrib.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(

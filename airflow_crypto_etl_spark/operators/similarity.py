@@ -45,13 +45,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
-def with_unit_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize once so downstream cosine is a plain dot product —
-    at scale this halves the per-pair flops and is done in the scan
-    projection, before any shuffle."""
+def _normed_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, double vector, pre-computed norm), spread across cores.
+
+    The norm is hoisted to a per-ROW projection column below the join,
+    so each pairwise cosine costs ONE dot fold plus a divide — versus
+    three folds with per-pair norm recomputation. (Do NOT express this
+    as unit-normalization with `transform(v, x -> x/norm(v))`: the norm
+    subtree lands inside the per-element lambda and is re-evaluated
+    dim× per row — higher-order lambdas are interpreted with no
+    common-subexpression elimination.) The repartition only widens a
+    narrow local scan; on an already well-partitioned corpus it's a
+    no-op."""
+    spark = emb.sparkSession
     v = _to_double(F.col(vec_col))
-    n = norm2(v)
-    return df.withColumn("unit", F.transform(v, lambda x: x / n))
+    base = emb.select(F.col(id_col), v.alias("v"), norm2(v).alias("nrm"))
+    nparts = emb.rdd.getNumPartitions()
+    want = spark.sparkContext.defaultParallelism
+    return base.repartition(want) if nparts < want else base
 
 
 def cosine_pairs(
@@ -59,10 +70,11 @@ def cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ threshold. Cross-join
     verification kernel (LSH buckets are the scale path)."""
-    a = emb.select(F.col(id_col).alias("vec_a"), _to_double(F.col(vec_col)).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), _to_double(F.col(vec_col)).alias("vb"))
+    base = _normed_base(emb, id_col, vec_col)
+    a = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "cos", cosine(F.col("va"), F.col("vb"))
+        "cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     )
     return pairs.filter(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
 
@@ -75,14 +87,14 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k for the given query vectors: broadcast the Q
-    queries against the corpus (map-side — the corpus never shuffles),
-    then per-query top-k via window."""
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    queries against the unit-normalized corpus (map-side — the corpus
+    never shuffles), then per-query top-k via window."""
+    base = _normed_base(emb, id_col, vec_col)
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     scored = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id")).withColumn(
-        "cos", cosine(F.col("qv"), F.col("v"))
+        "cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -92,17 +104,21 @@ def brute_force_topk(
     )
 
 
+LSH_TABLES = 8  # L hash tables; candidate = same bucket in ANY table
+LSH_PLANES = 4  # P sign bits per table → 2^P buckets per table
+
+
 def hyperplane(j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: integer-derived weights in
     {-3..3} (no transcendental functions → engine-portable)."""
     return [float((i * 31 + j * 17) % 7 - 3) for i in range(dim)]
 
 
-def lsh_bucket(vec: Column, dim: int, planes: int = LSH_PLANES) -> Column:
-    """Sign-pattern bucket id: bit j set iff dot(v, h_j) > 0."""
+def lsh_bucket(vec: Column, dim: int, planes: int = 4, offset: int = 0) -> Column:
+    """Sign-pattern bucket id from planes [offset, offset+planes)."""
     bucket = F.lit(0).cast("bigint")
     for j in range(planes):
-        h = F.array(*[F.lit(w) for w in hyperplane(j, dim)])
+        h = F.array(*[F.lit(w) for w in hyperplane(offset + j, dim)])
         bucket = bucket + F.when(dot(vec, h) > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
     return bucket
 
@@ -114,23 +130,112 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket: the corpus is
-    bucketed once (a scan-side projection), queries join on bucket —
-    an equi-join whose per-bucket fan-out is ~N/2^P. Recall is traded
-    for the 2^P search-space reduction (multi-probe would widen it)."""
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v")).withColumn(
-        "bucket", lsh_bucket(F.col("v"), dim)
+    """ANN top-k via multi-table random-hyperplane LSH: L independent
+    sign-hash tables of P bits each; a corpus vector is a candidate for
+    a query if they share a bucket in ANY table (union widens recall:
+    1-(1-p^P)^L vs the p^P of a single table — single-table sign-LSH
+    recall is impractically low for moderate angles).
+
+    Scale shape: bucketing is a scan-side projection; the candidate
+    step is an equi-join on (table, bucket) with expected fan-out
+    L·N/2^P per query, versus N for brute force. The vectors are NOT
+    carried through the candidate join — ids only, with vectors joined
+    back for scoring — so shuffle volume is O(candidates), not
+    O(candidates·dim)."""
+    base = _normed_base(emb, id_col, vec_col)
+    raw = F.col("v")
+    wide = base.select(
+        F.col(id_col),
+        *[lsh_bucket(raw, dim, planes, t * planes).alias(f"b{t}") for t in range(tables)],
+    )
+    stack = ", ".join(f"{t}, b{t}" for t in range(tables))
+    long = wide.selectExpr(id_col, f"stack({tables}, {stack}) as (t, bucket)")
+    q_long = long.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "t", "bucket"
+    )
+    cand = (
+        long.join(F.broadcast(q_long), ["t", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
     )
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("bucket")
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    scored = base.join(F.broadcast(queries), "bucket").filter(
-        F.col(id_col) != F.col("query_id")
-    ).withColumn("cos", cosine(F.col("qv"), F.col("v")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    nb = base.select(F.col(id_col).alias("neighbor_id"), "v", "nrm")
+    scored = (
+        cand.join(nb, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "bucket", "cos", "rank")
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via a deterministic IVF (inverted-file) index: the first
+    ``n_centroids`` corpus vectors act as centroids (deterministic seed —
+    a trained k-means would slot in identically), every vector is
+    assigned to its nearest centroid by cosine, and each query searches
+    only the lists of its ``n_probe`` nearest centroids — an
+    (n_probe/n_centroids) fraction of the corpus.
+
+    On clustered data (the realistic embedding case) IVF recall beats
+    sign-LSH at the same search fraction; both are offered because LSH
+    needs no training pass."""
+    base = _normed_base(emb, id_col, vec_col)
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim_c = F.col("__cos_c")
+    assign_scored = base.join(F.broadcast(cents), F.lit(True)).withColumn(
+        "__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(sim_c.desc(), F.col("cid").asc())
+    assign = (
+        assign_scored.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), "cid")
+    )
+    probes = (
+        assign_scored.filter(F.col(id_col).isin(query_ids))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+        .distinct()
+    )
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nb = base.select(F.col(id_col).alias("neighbor_id"), "v", "nrm")
+    scored = (
+        cand.join(nb, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
     )

@@ -51,6 +51,12 @@ def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     )
 
 
+def _norm_sql(v: str, dim: int = EMB_DIM) -> str:
+    """DuckDB twin of operators.similarity.norm2 (sqrt of the
+    square-product fold) — hoisted per-row like the Spark plan."""
+    return f"sqrt({_dot_sql(v, v, dim)})"
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -241,11 +247,12 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBED_NEARDUP = f"""
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings)
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+u AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_dot_sql('a.ve', 'b.ve')} / (sqrt({_dot_sql('a.ve', 'a.ve')}) * sqrt({_dot_sql('b.ve', 'b.ve')})) AS cos
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_dot_sql('a.ve', 'b.ve')} / (sqrt({_dot_sql('a.ve', 'a.ve')}) * sqrt({_dot_sql('b.ve', 'b.ve')})) >= 0.4
+       {_dot_sql('a.ve', 'b.ve')} / (a.nrm * b.nrm) AS cos
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.ve', 'b.ve')} / (a.nrm * b.nrm) >= 0.4
 """
 
 
@@ -255,11 +262,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
 ORACLE_ANN_TOPK = f"""
-WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
-q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id IN ({_IDS})),
+WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM v WHERE vec_id IN ({_IDS})),
 scored AS (
   SELECT query_id, v.vec_id AS neighbor_id,
-         {_dot_sql('qv', 've')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('ve', 've')})) AS cos
+         {_dot_sql('qv', 've')} / (qn * nrm) AS cos
   FROM v CROSS JOIN q WHERE v.vec_id <> query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
       FROM scored)
@@ -271,29 +279,75 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
 
 
-def _lsh_oracle() -> str:
+def _bucket_sql(table: int) -> str:
     terms = []
     for j in range(sim.LSH_PLANES):
-        plane = "[" + ", ".join(f"{w:.1f}" for w in sim.hyperplane(j, EMB_DIM)) + "]::DOUBLE[]"
+        plane = (
+            "[" + ", ".join(f"{w:.1f}" for w in sim.hyperplane(table * sim.LSH_PLANES + j, EMB_DIM)) + "]::DOUBLE[]"
+        )
         d = _dot_sql("ve", f"({plane})")
         terms.append(f"CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END")
-    bucket = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _lsh_oracle() -> str:
+    long_union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {_bucket_sql(t)} AS bucket FROM v" for t in range(sim.LSH_TABLES)
+    )
     return f"""
-WITH v AS (
+WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
-vb AS (SELECT vec_id, ve, {bucket} AS bucket FROM v),
-q AS (SELECT vec_id AS query_id, ve AS qv, bucket FROM vb WHERE vec_id IN ({_IDS})),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+long AS (
+  {long_union}),
+ql AS (SELECT vec_id AS query_id, t, bucket FROM long WHERE vec_id IN ({_IDS})),
+cand AS (
+  SELECT DISTINCT query_id, l.vec_id AS neighbor_id
+  FROM long l JOIN ql USING (t, bucket) WHERE l.vec_id <> query_id),
+q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM v WHERE vec_id IN ({_IDS})),
 scored AS (
-  SELECT query_id, vb.vec_id AS neighbor_id, vb.bucket,
-         {_dot_sql('qv', 've')} / (sqrt({_dot_sql('qv', 'qv')}) * sqrt({_dot_sql('ve', 've')})) AS cos
-  FROM vb JOIN q USING (bucket) WHERE vb.vec_id <> query_id),
+  SELECT cand.query_id, neighbor_id, {_dot_sql('qv', 'nv.ve')} / (qn * nv.nrm) AS cos
+  FROM cand JOIN v nv ON nv.vec_id = neighbor_id JOIN q ON q.query_id = cand.query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
       FROM scored)
-SELECT query_id, neighbor_id, bucket, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
 """
 
 
 ORACLE_ANN_LSH = _lsh_oracle()
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+ORACLE_ANN_IVF = f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v WHERE vec_id < 16),
+ascored AS (
+  SELECT v.vec_id, cid, {_dot_sql('ve', 'cv')} / (nrm * cn) AS cosc FROM v CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM ascored)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn
+    FROM ascored WHERE vec_id IN ({_IDS}))
+  WHERE rn <= 4),
+cand AS (
+  SELECT DISTINCT query_id, assign.vec_id AS neighbor_id
+  FROM assign JOIN probes USING (cid) WHERE assign.vec_id <> query_id),
+q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM v WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT cand.query_id, neighbor_id, {_dot_sql('qv', 'nv.ve')} / (qn * nv.nrm) AS cos
+  FROM cand JOIN v nv ON nv.vec_id = neighbor_id JOIN q ON q.query_id = cand.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +494,7 @@ QUERIES_EXT = {
     "q_embed_neardup": q_embed_neardup,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_session_window": q_session_window,
     "q_window_tumbling": q_window_tumbling,
     "q_window_sliding": q_window_sliding,
@@ -460,6 +515,7 @@ ORACLE_EXT = {
     "q_embed_neardup": ORACLE_EMBED_NEARDUP,
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_lsh": ORACLE_ANN_LSH,
+    "q_ann_ivf": ORACLE_ANN_IVF,
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_window_tumbling": ORACLE_WINDOW_TUMBLING,
     "q_window_sliding": ORACLE_WINDOW_SLIDING,

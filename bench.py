@@ -17,9 +17,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_crypto_etl_spark import queries as q
+from airflow_crypto_etl_spark import queries_ext as qx
 from airflow_crypto_etl_spark.session import get_spark
 
+ALL_QUERIES = dict(q.QUERIES) | dict(qx.QUERIES_EXT)
+
 HEADLINE = [
+    # reference-parity core
     "q_gold_daily",
     "q_daily_by_date",
     "q_star_join",
@@ -29,6 +33,13 @@ HEADLINE = [
     "q_filter_range",
     "q_json_extract",
     "q_upsert_update",
+    # training-data extensions
+    "q_token_count",
+    "q_dedup_minhash",
+    "q_ann_topk",
+    "q_ann_ivf",
+    "q_session_window",
+    "q_stream_tumbling",
 ]
 
 
@@ -37,12 +48,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="aces-bench")
 
-    # Warm the JVM/session so the first measured query doesn't pay startup.
+    # Warm the JVM/session (JIT, codegen compiler, parquet footer cache)
+    # with generic scans/aggregates so measured queries reflect
+    # steady-state throughput rather than first-query startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").groupBy("l_linestatus").count().collect()
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.join(c, o.o_custkey == c.c_custkey).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = q.QUERIES.get(name)
+        fn = ALL_QUERIES.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()
