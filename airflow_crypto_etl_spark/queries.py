@@ -664,6 +664,115 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (engine extension): stddev/variance (rounded
+    — accumulation order differs across engines) and exact-interpolation
+    percentiles (rounded at 6dp for last-ulp interpolation differences)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+ORACLE_STATS = """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS median_price,
+       round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F4 extended — the calendar-function surface."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow"),  # 1=Sunday
+        F.weekofyear("o_orderdate").alias("woy"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+    )
+
+
+ORACLE_DATE_PARTS = """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+       CAST(EXTRACT(week FROM o_orderdate) AS INTEGER) AS woy,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(o_orderdate AS DATE) + 30 AS plus30,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch0
+FROM orders
+"""
+
+
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (extension; reference has none — SURVEY §2.9):
+    extract/replace/match over names and JSON-ish props."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("name_digits"),
+        F.regexp_replace("c_name", r"\d", "#").alias("masked"),
+        F.col("c_name").rlike(r"\d{3}").alias("has_3_digits"),
+        F.regexp_extract("c_mktsegment", r"^([A-Z]+)", 1).alias("seg_word"),
+    )
+
+
+ORACLE_REGEX = r"""
+SELECT c_custkey,
+       regexp_extract(c_name, '(\d+)', 1) AS name_digits,
+       regexp_replace(c_name, '\d', '#', 'g') AS masked,
+       regexp_matches(c_name, '\d{3}') AS has_3_digits,
+       regexp_extract(c_mktsegment, '^([A-Z]+)', 1) AS seg_word
+FROM customer
+"""
+
+
+def q_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 extended — math function surface. ln/exp/pow/sqrt are
+    correctly-rounded in both engines (bit-identical, no rounding
+    needed); ceil/floor go through explicit BIGINT casts."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ln("l_extendedprice").alias("ln_price"),
+        F.exp("l_discount").alias("exp_disc"),
+        F.pow("l_quantity", F.lit(1.5)).alias("qty_pow"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.abs(F.col("l_extendedprice") * -1.0).alias("abs_price"),
+    )
+
+
+ORACLE_MATH = """
+SELECT l_orderkey, l_linenumber,
+       ln(l_extendedprice) AS ln_price,
+       exp(l_discount) AS exp_disc,
+       pow(l_quantity, 1.5) AS qty_pow,
+       sqrt(l_extendedprice) AS sqrt_price,
+       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+       abs(l_extendedprice * -1.0) AS abs_price
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Upsert semantics (SURVEY §2.2 K7/K8)
 # ---------------------------------------------------------------------------
@@ -754,6 +863,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_csv": q_scan_csv,
     "q_string_fmt": q_string_fmt,
+    "q_stats": q_stats,
+    "q_date_parts": q_date_parts,
+    "q_regex": q_regex,
+    "q_math": q_math,
     "q_json_extract": q_json_extract,
     "q_upsert_ignore": q_upsert_ignore,
     "q_upsert_update": q_upsert_update,
@@ -788,6 +901,10 @@ ORACLE: dict[str, str] = {
     "q_scan_parquet": ORACLE_SCAN_PARQUET,
     "q_scan_csv": ORACLE_SCAN_CSV,
     "q_string_fmt": ORACLE_STRING_FMT,
+    "q_stats": ORACLE_STATS,
+    "q_date_parts": ORACLE_DATE_PARTS,
+    "q_regex": ORACLE_REGEX,
+    "q_math": ORACLE_MATH,
     "q_json_extract": ORACLE_JSON_EXTRACT,
     "q_upsert_ignore": ORACLE_UPSERT_IGNORE,
     "q_upsert_update": ORACLE_UPSERT_UPDATE,
