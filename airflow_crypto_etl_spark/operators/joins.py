@@ -71,6 +71,51 @@ def asof_join(
     return out.select(*keep)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: the (large, skewed) left side gets a
+    deterministic salt in [0, salt); the right side is replicated ×salt;
+    the join key becomes (key, salt), splitting each hot key's rows
+    across ``salt`` reducers.
+
+    The salt must be uncorrelated with the key but deterministic for
+    re-run stability — derived by hashing the left row's key together
+    with a per-row discriminator via xxhash64. AQE's skew-join handles
+    moderate skew automatically; explicit salting is for the pathological
+    key whose single value exceeds a task's memory.
+    """
+    disc = F.spark_partition_id() * F.lit(1_000_003) + F.monotonically_increasing_id() % 1_000_003
+    l = left.withColumn("__salt", F.pmod(F.xxhash64(F.col(key), disc), F.lit(salt)))
+    r = right.crossJoin(
+        F.broadcast(right.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt")))
+    )
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def bucketed_tables(
+    dfs: dict[str, DataFrame], key: str, n_buckets: int = 16, overwrite: bool = True
+) -> None:
+    """Persist DataFrames as bucketed+sorted tables on the join key so
+    later equi-joins on that key are exchange-free (co-located):
+    `SortMergeJoin` over pre-bucketed scans with zero shuffle. This is
+    the 100 TB answer for repeated fact⋈fact joins — pay the shuffle
+    once at write time, never at query time."""
+    for name, df in dfs.items():
+        writer = (
+            df.write.mode("overwrite" if overwrite else "error")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .format("parquet")
+        )
+        writer.saveAsTable(name)
+
+
 def range_join(facts: DataFrame, buckets: DataFrame, value_col: str, lo_col: str, hi_col: str) -> DataFrame:
     """Range (band) join: assign each fact row to the bucket whose
     [lo, hi) interval contains ``value_col``. The bucket table is small by

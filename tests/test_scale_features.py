@@ -1,0 +1,83 @@
+"""Scale-path features: salted skew joins (correctness vs plain join),
+bucketed co-located joins (exchange-free plan), stateful streaming
+(running totals vs batch ground truth)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_etl_spark.operators import joins as join_ops
+from airflow_crypto_etl_spark.sources.tables import load_table
+from airflow_crypto_etl_spark.streaming.stateful import running_totals_per_user
+from airflow_crypto_etl_spark.streaming.windows import run_available_now, stream_events
+
+from test_plans import n_exchanges, plan_of
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    plain = li.join(o, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s")
+    ).collect()[0]
+    salted = join_ops.salted_join(li, o, "k", salt=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s")
+    ).collect()[0]
+    assert plain["n"] == salted["n"] and plain["s"] == salted["s"]
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    half = load_table(spark, sf_dir, "orders").filter("o_orderkey % 2 = 0").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    plain = li.join(half, "k", "left").filter("o_totalprice IS NULL").count()
+    salted = join_ops.salted_join(li, half, "k", salt=4, how="left").filter(
+        "o_totalprice IS NULL"
+    ).count()
+    assert plain == salted
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    join_ops.bucketed_tables({"b_lineitem": li, "b_orders": o}, "l_orderkey", n_buckets=8)
+    try:
+        a = spark.table("b_lineitem")
+        b = spark.table("b_orders")
+        joined = a.join(b, "l_orderkey")
+        p = plan_of(spark, joined)
+        assert n_exchanges(p) == 0, p  # co-located: no shuffle at query time
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    stream = stream_events(spark, sf_dir)
+    out = run_available_now(running_totals_per_user(stream), "update")
+    got = {r["user_id"]: r for r in out.collect()}
+    truth = {
+        r["user_id"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(truth)
+    for uid, t in truth.items():
+        g = got[uid]
+        assert g["n_events"] == t["n_events"]
+        assert abs(g["total_value"] - t["total_value"]) < 1e-6
+        assert g["max_value"] == t["max_value"]
