@@ -116,6 +116,55 @@ def reconcile(src: DataFrame, dst: DataFrame, raise_on_mismatch: bool = True) ->
     return a, b
 
 
+_GE_TYPE_MAP = {
+    "float": {"float", "double", "decimal"},
+    "int": {"int", "bigint", "smallint", "tinyint"},
+    "str": {"string"},
+    "bool": {"boolean"},
+    "datetime": {"timestamp", "timestamp_ntz", "date"},
+}
+
+
+def from_great_expectations(df: DataFrame, suite: dict) -> list:
+    """Compile a Great-Expectations suite dict (the reference's
+    declarative validation format,
+    `/root/reference/great_expectations/expectations/coin_data_suite.json`)
+    into this library's expectations.
+
+    Structural expectations (column existence, dtype) are checked
+    immediately against the schema (raising CheckFailure, the GE
+    fail-fast behavior); value expectations are returned for one-pass
+    evaluation via :func:`run_suite` / :func:`enforce`."""
+    actual_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out: list = []
+    for exp in suite.get("expectations", []):
+        kind = exp["expectation_type"]
+        kw = exp.get("kwargs", {})
+        col = kw.get("column")
+        if kind == "expect_column_to_exist":
+            if col not in actual_types:
+                raise CheckFailure(f"column does not exist: {col}")
+        elif kind == "expect_column_values_to_be_of_type":
+            want = kw["type_"].lower()
+            families = _GE_TYPE_MAP.get(want, {want})
+            got = actual_types.get(col, "<missing>")
+            if not any(got.startswith(f) for f in families):
+                raise CheckFailure(f"{col}: expected type {want}, got {got}")
+        elif kind == "expect_column_values_to_not_be_null":
+            out.append(expect_not_null(col))
+        elif kind == "expect_column_values_to_be_greater_than":
+            out.append(Expectation(f"{col}_gt_{kw['value']}", F.col(col) > kw["value"]))
+        elif kind == "expect_column_values_to_be_between":
+            out.append(expect_between(col, kw["min_value"], kw["max_value"]))
+        elif kind == "expect_column_values_to_be_in_set":
+            out.append(expect_in_set(col, kw["value_set"]))
+        elif kind == "expect_column_values_to_be_unique":
+            out.append(expect_unique([col]))
+        else:
+            raise CheckFailure(f"unsupported expectation type: {kind}")
+    return out
+
+
 def freshness(df: DataFrame, partition_col: str, expected_value) -> None:
     """Partition-presence gate (`…optimized.py:1132-1151`): the expected
     partition must exist and be non-empty. Partition pruning makes this

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): algebraic laws the merge/dedup/
+window operators must satisfy on arbitrary inputs — idempotence,
+commutation with filtering, agreement between independent
+implementations. (The reference has no tests at all — SURVEY.md §5 —
+so these laws ARE the operator specifications.)"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from airflow_crypto_etl_spark.operators import upsert as upsert_ops
+from airflow_crypto_etl_spark.operators import windows as win_ops
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=5),  # key
+    st.integers(min_value=0, max_value=1000),  # ts
+    st.integers(min_value=-100, max_value=100),  # value
+)
+ROWS = st.lists(ROW, min_size=0, max_size=30)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows] or [], schema=SCHEMA)
+
+
+def _unique_ts(rows):
+    # make (k, ts) unique so winner selection is well-defined
+    return [(k, 1000 * i + ts, v) for i, (k, ts, v) in enumerate(rows)]
+
+
+@given(target=ROWS, updates=ROWS)
+@_SETTINGS
+def test_upsert_ignore_preserves_target_rows(spark, target, updates):
+    target, updates = _unique_ts(target), _unique_ts(updates)
+    t, u = _df(spark, target), _df(spark, updates)
+    merged = {r["k"]: r for r in upsert_ops.upsert_ignore(
+        win_ops.earliest_per_key(t, "k", "ts", "v"),
+        win_ops.earliest_per_key(u, "k", "ts", "v"),
+        keys=["k"], tiebreak="ts").collect()}
+    t_keys = {r[0] for r in target}
+    for k, row in merged.items():
+        if k in t_keys:
+            # first-writer-wins: a target key's row must come from target
+            assert (row["k"], row["ts"], row["v"]) in {tuple(r) for r in target}
+
+
+@given(target=ROWS, updates=ROWS)
+@_SETTINGS
+def test_upsert_update_is_idempotent(spark, target, updates):
+    target, updates = _unique_ts(target), _unique_ts(updates)
+    t = win_ops.earliest_per_key(_df(spark, target), "k", "ts", "v")
+    u = win_ops.earliest_per_key(_df(spark, updates), "k", "ts", "v")
+    once = upsert_ops.upsert_update(t, u, keys=["k"], tiebreak="ts")
+    twice = upsert_ops.upsert_update(once, u, keys=["k"], tiebreak="ts")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_latest_per_key_agrees_with_max_by(spark, rows):
+    rows = _unique_ts(rows)
+    df = _df(spark, rows)
+    a = {
+        (r["k"], r["ts"], r["v"])
+        for r in win_ops.latest_per_key(df, "k", "ts", "v").collect()
+    }
+    b = {
+        (r["k"], r["ts"], r["v"])
+        for r in win_ops.latest_per_key_agg(df, "k", "ts", ["v"]).collect()
+    }
+    assert a == b
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_dedup_exact_keeps_one_per_key_deterministically(spark, rows):
+    rows = _unique_ts(rows)
+    df = _df(spark, rows)
+    out = upsert_ops.dedup_exact(df, ["k"], order_col="ts").collect()
+    assert len(out) == len({r[0] for r in rows})
+    by_key = {}
+    for k, ts, v in rows:
+        if k not in by_key or ts < by_key[k][1]:
+            by_key[k] = (k, ts, v)
+    assert {tuple(r) for r in out} == set(by_key.values())
