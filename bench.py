@@ -69,6 +69,37 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+
+    # Write-path slots (BASELINE.md): silver-shaped transform throughput
+    # and a dynamically-overwritten partitioned write.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.operators import transform as tf
+    from airflow_crypto_etl_spark.sinks import writers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t0 = time.perf_counter()
+    silver_shaped = tf.cast_columns(
+        tf.rename(
+            tf.project(li, ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"]),
+            {"l_orderkey": "key", "l_extendedprice": "price", "l_shipdate": "ts"},
+        ),
+        {"l_quantity": "double"},
+    )
+    n_rows = tf.enforce_contract(silver_shaped, not_null=["key", "ts"], positive=["price"]).count()
+    timings["silver_transform"] = round(time.perf_counter() - t0, 4)
+
+    out_dir = tempfile.mkdtemp(prefix="aces_bench_write_")
+    t0 = time.perf_counter()
+    writers.write_partitioned(
+        silver_shaped.withColumn("yr", F.year("ts")), out_dir, ["yr"]
+    )
+    timings["partitioned_write"] = round(time.perf_counter() - t0, 4)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    assert n_rows > 0
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_total",
