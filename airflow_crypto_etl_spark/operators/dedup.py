@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import affine_hash, char_hash
+from ..functions.hashing import CHAR_MOD, affine_hash, char_hash
 from .text import tokens_col
 
 # MinHash parameters: K signatures in B bands of R rows (K = B*R).
@@ -64,8 +64,40 @@ def shingles_col(text_col: str, n: int = 3):
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # guard: sequence(0, size-n) is descending (not empty!) when size < n
-    ok = docs.filter(F.size(tokens_col(text_col)) >= n)
+    ok = _spread(docs).filter(F.size(tokens_col(text_col)) >= n)
     return ok.select(F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle"))
+
+
+def shingle_hashes_col(text_col: str, n: int = 3):
+    """Distinct integer shingle hashes, skipping shingle-string
+    materialization: each token is char-hashed ONCE, then the n token
+    hashes combine arithmetically (acc*31 + h, mod 2^30 — the same
+    polynomial char_hash uses, lifted to token granularity). Versus
+    hashing the concatenated shingle string this does ~1/n the
+    character folding and zero string allocation, and the downstream
+    distinct/shuffle carries BIGINTs, not strings."""
+    th = F.transform(tokens_col(text_col), char_hash)
+    m = F.greatest(F.size(th) - (n - 1), F.lit(0))
+    out = F.slice(th, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(th, 1 + j, m), lambda x, y: (x * 31 + y) % CHAR_MOD)
+    return F.array_distinct(out)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-doc projections.
+
+    Small/few parquet files arrive as 1-2 input splits; tokenise+hash
+    would then run on as many cores. On an already well-partitioned
+    corpus this is a no-op (no shuffle is added)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(want) if df.rdd.getNumPartitions() < want else df
+
+
+def _doc_shingle_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, th) — one row per distinct token-n-gram hash per doc."""
+    ok = _spread(docs).filter(F.size(tokens_col(text_col)) >= n)
+    return ok.select(F.col(id_col), F.explode(shingle_hashes_col(text_col, n)).alias("th"))
 
 
 def ngram_jaccard_pairs(
@@ -101,9 +133,13 @@ def minhash_signatures(
     (doc, i). Shingles (not unigrams) are essential for discrimination:
     on a small shared vocabulary every doc's unigram set overlaps
     heavily, while n-gram shingles are order-sensitive. Long/narrow
-    beats wide structs for the band step — the groupBy is a partial agg."""
-    sh = _doc_shingles(docs, id_col, text_col, n)
-    tokh = sh.select(id_col, char_hash("shingle").alias("th")).distinct()
+    beats wide structs for the band step — the groupBy is a partial agg.
+
+    No distinct before the groupBy: shingle hashes are already distinct
+    per doc (array_distinct inside shingle_hashes_col), and min() is
+    duplicate-insensitive regardless — a pre-aggregation distinct would
+    be a pure extra shuffle of the exploded rows."""
+    tokh = _doc_shingle_hashes(docs, id_col, text_col, n)
     # All K minima in ONE partial-aggregating groupBy — no K-way row
     # explosion, the shuffle carries one row per doc. (A crossJoin with
     # range(K) would push K×|shingles| rows through the exchange.)
@@ -161,8 +197,7 @@ def simhash_docs(
     sum ±1 per bit over shingle hashes, bit set iff the sum is positive.
     Shingle features, not unigrams, for the same discrimination reason
     as :func:`minhash_signatures`."""
-    sh = _doc_shingles(docs, id_col, text_col, n)
-    tokh = sh.select(id_col, char_hash("shingle").alias("th"))
+    tokh = _doc_shingle_hashes(docs, id_col, text_col, n)
     # One groupBy with 32 per-bit ±1 sums (partial-agg, no bit×row
     # explosion), then assemble the signature from the 32 sums.
     contrib = tokh.groupBy(id_col).agg(

@@ -32,6 +32,15 @@ _SHINGLES = (
     f"list_distinct(list_transform(range(1, len({_TOKS}) - 1), "
     f"i -> ({_TOKS})[i] || ' ' || ({_TOKS})[i+1] || ' ' || ({_TOKS})[i+2]))"
 )
+# DuckDB distinct integer shingle hashes: identical to
+# operators.dedup.shingle_hashes_col (per-token char hash, then
+# polynomial combination of the 3 token hashes — no shingle strings)
+_TOK_HASHES = f"list_transform({_TOKS}, t -> {char_hash_sql('t')})"
+_SHINGLE_HASHES = (
+    f"list_distinct(list_transform(range(1, len({_TOK_HASHES}) - 1), "
+    f"i -> ((((({_TOK_HASHES})[i] * 31 + ({_TOK_HASHES})[i+1]) % {dd.CHAR_MOD}) * 31 "
+    f"+ ({_TOK_HASHES})[i+2]) % {dd.CHAR_MOD})))"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,9 +197,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle() -> str:
     weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
     return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS tok FROM documents),
-tokh AS (SELECT DISTINCT doc_id, {char_hash_sql('tok')} AS th FROM toks),
+WITH tokh AS (
+  SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
 sig AS (
   SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
   FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
@@ -221,8 +229,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_SIMHASH = f"""
-WITH toks AS (SELECT doc_id, unnest({_SHINGLES}) AS tok FROM documents),
-tokh AS (SELECT doc_id, {char_hash_sql('tok')} AS th FROM toks),
+WITH tokh AS (SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
 contrib AS (
   SELECT doc_id, bit, CAST(sum(((th >> bit) & 1) * 2 - 1) AS BIGINT) AS s
   FROM tokh CROSS JOIN range(0, {SIMHASH_BITS}) r(bit) GROUP BY doc_id, bit),
