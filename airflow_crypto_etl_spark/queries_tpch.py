@@ -1,0 +1,504 @@
+"""TPC-H-adapted analytic battery over the driver's star schema.
+
+The reference's analytical intent is the star-schema serving layer
+(SURVEY.md §2.4 J1: `coin_prices_fact ⋈ coin_dimension`, DDL at
+`/root/reference/dags/coin_data_pipeline_optimized.py:87-104`). This
+module exercises that intent at engine strength: the classic TPC-H
+query shapes (pricing summary, shipping priority, local-supplier
+volume, revenue forecast, returned items, promo ratio, small-quantity,
+large-volume customers, top supplier), adapted to the driver's
+TPC-H-ish columns (TESTDATA.md; no partsupp/shipmode/commitdate).
+
+Scale/determinism policy (same as queries.py):
+- Revenue terms are IEEE double products cast to DECIMAL(18,4) *per
+  element*, then summed — exact, association-order-free arithmetic, so
+  the value hash is stable across partitionings and engines, and
+  revenue-equality predicates (Q15) are exact.
+- Small dims (region, nation, filtered brand subsets) get explicit
+  ``F.broadcast`` hints; the big fact-fact joins (orders ⋈ lineitem)
+  stay shuffle joins on their natural keys where AQE can re-plan them.
+- Every top-k ends in a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _DEC, _t
+
+# disc_price = extendedprice * (1 - discount), the TPC-H revenue term.
+# Built lazily (classic-mode Column construction needs a live context).
+def _rev():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+
+
+_REV_SQL = f"CAST(l_extendedprice * (1 - l_discount) AS {_DEC})"
+
+
+def _ship_date(df: DataFrame) -> DataFrame:
+    return df.withColumn("ship_date", F.to_date("l_shipdate"))
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary report (scan-heavy single agg)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one wide partial+final hash aggregate over the
+    filtered fact — the canonical map-side-combine stress test."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("sum_base_price"),
+            F.sum(_rev()).alias("sum_disc_price"),
+            # Three-factor product: all-decimal arithmetic from the raw
+            # columns. Casting the DOUBLE product would tie Spark's
+            # shortest-string double→decimal rounding against DuckDB's
+            # binary rounding — they disagree at 5th-decimal '5's.
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+                * (F.lit(1) + F.col("l_tax").cast("decimal(6,4)"))
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS {_DEC}))      AS sum_qty,
+       sum(CAST(l_extendedprice AS {_DEC})) AS sum_base_price,
+       sum({_REV_SQL})                      AS sum_disc_price,
+       sum(CAST(l_extendedprice AS DECIMAL(12,4))
+           * (1 - CAST(l_discount AS DECIMAL(6,4)))
+           * (1 + CAST(l_tax AS DECIMAL(6,4))))       AS sum_charge,
+       round(avg(l_quantity), 4)      AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4)      AS avg_disc,
+       CAST(count(*) AS BIGINT)       AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (3-way join + top-k)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: segment-filtered customer ⋈ orders ⋈ lineitem, revenue
+    per undelivered order, top 10. The customer side shrinks ~5× before
+    the join (filter below join → AQE can broadcast it); orders ⋈
+    lineitem is the shuffle join on the natural key."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") > F.lit("1998-01-01").cast("date"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("o_orderdate"), "o_orderpriority")
+        .agg(F.sum(_rev()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = f"""
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       sum({_REV_SQL}) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way join)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where customer and supplier share the
+    nation, one region, one year. region/nation are broadcast
+    (hinted — they are guaranteed tiny); the three fact joins shuffle
+    on their keys."""
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q5 = f"""
+SELECT n_name, sum({_REV_SQL}) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — revenue-change forecast (pure filter-sum, pushdown showcase)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: tight filter + single sum. All three predicates reach
+    the parquet scan (min/max row-group pruning); the agg is a one-row
+    partial+final."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC)).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q6 = f"""
+SELECT sum(CAST(l_extendedprice * l_discount AS {_DEC})) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (4-way join + top 20)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned items in a quarter, ranked by
+    lost revenue. nation broadcast; grouping carries the customer
+    attributes (functional deps of c_custkey) so no re-join after agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"), "n_name")
+        .agg(F.sum(_rev()).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10 = f"""
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal, n_name,
+       sum({_REV_SQL}) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+GROUP BY c_custkey, c_name, round(c_acctbal, 4), n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted) — priority classes by ship year (no shipmode column)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the driver schema: per ship-year,
+    orders split into high/low priority classes — join + conditional
+    counts in one pass (no per-class scans)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1999-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_TPCH_Q12 = """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+GROUP BY year(l_shipdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion effect (join + conditional-sum ratio)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: share of revenue from PROMO parts in one month. Exact
+    decimal sums make the ratio reproducible to the rounded 4dp."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(_DEC))
+    return joined.agg(
+        F.sum(promo).alias("promo_revenue"),
+        F.sum(_rev()).alias("total_revenue"),
+        F.round(F.sum(promo).cast("double") * 100 / F.sum(_rev()).cast("double"), 4).alias("promo_pct"),
+    )
+
+
+ORACLE_TPCH_Q14 = f"""
+SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS promo_revenue,
+       sum({_REV_SQL}) AS total_revenue,
+       round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS DOUBLE) * 100
+             / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (agg + exact max-equality)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    decimal revenue makes the max-equality predicate exact (a double
+    sum would make 'equal to max' partitioning-dependent). The max is
+    a broadcast scalar join, not a driver collect."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue"))
+    )
+
+
+ORACLE_TPCH_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey, sum({_REV_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg subquery)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from lineitems below 20% of their part's mean
+    quantity, one brand. The correlated subquery decorrelates into a
+    per-part aggregate joined back — the brand filter shrinks part
+    first, and that small key set semi-filters lineitem via the
+    broadcast join before the per-part aggregate."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    brand_li = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_avg = brand_li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        brand_li.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).alias("total_price"),
+            F.round(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / 7.0, 4).alias("avg_yearly"),
+        )
+    )
+
+
+ORACLE_TPCH_Q17 = f"""
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'),
+part_avg AS (
+  SELECT l_partkey AS avg_partkey, avg(l_quantity) AS avg_qty
+  FROM brand_li GROUP BY l_partkey)
+SELECT sum(CAST(l_extendedprice AS {_DEC})) AS total_price,
+       round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM brand_li JOIN part_avg ON l_partkey = avg_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (agg-filter join, a.k.a. HAVING + IN)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customers. The HAVING subquery is a per-order aggregate that
+    stays on the lineitem shuffle key; only qualifying orderkeys (a
+    tiny set) flow into the customer join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 170)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS {_DEC})) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS {_DEC})) > 170)
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(o_totalprice, 4) AS o_totalprice, sum_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted) — inactive high-balance customers (anti-join + scalar avg)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the positive-balance average
+    with no orders in the last 18 months — a scalar subquery (broadcast
+    one-row join, not a driver collect) plus a left anti join, grouped
+    by nation key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal")).drop("avg_bal")
+    inactive = rich.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
+    )
+
+
+ORACLE_TPCH_Q22 = f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       sum(CAST(c_acctbal AS {_DEC})) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+QUERIES_TPCH = {
+    "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q5": q_tpch_q5,
+    "q_tpch_q6": q_tpch_q6,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q12": q_tpch_q12,
+    "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q22": q_tpch_q22,
+}
+
+ORACLE_TPCH = {
+    "q_tpch_q1": ORACLE_TPCH_Q1,
+    "q_tpch_q3": ORACLE_TPCH_Q3,
+    "q_tpch_q5": ORACLE_TPCH_Q5,
+    "q_tpch_q6": ORACLE_TPCH_Q6,
+    "q_tpch_q10": ORACLE_TPCH_Q10,
+    "q_tpch_q12": ORACLE_TPCH_Q12,
+    "q_tpch_q14": ORACLE_TPCH_Q14,
+    "q_tpch_q15": ORACLE_TPCH_Q15,
+    "q_tpch_q17": ORACLE_TPCH_Q17,
+    "q_tpch_q18": ORACLE_TPCH_Q18,
+    "q_tpch_q22": ORACLE_TPCH_Q22,
+}

@@ -18,9 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_ext as qx
+from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark.session import get_spark
 
-ALL_QUERIES = dict(q.QUERIES) | dict(qx.QUERIES_EXT)
+ALL_QUERIES = dict(q.QUERIES) | dict(qx.QUERIES_EXT) | dict(qt.QUERIES_TPCH)
 
 HEADLINE = [
     # reference-parity core
@@ -40,6 +41,11 @@ HEADLINE = [
     "q_ann_ivf",
     "q_session_window",
     "q_stream_tumbling",
+    # TPC-H analytic battery (join/agg heavy hitters)
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q18",
 ]
 
 
