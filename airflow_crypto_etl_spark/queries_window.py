@@ -1,0 +1,505 @@
+"""Analytic-window / scalar-function breadth battery.
+
+The reference has no window functions (SURVEY.md §2.6) and a minimal
+scalar surface (§2.9) — these queries are the engine-extension coverage
+a Spark-first engine gets from Catalyst for free, each oracle-checked:
+full frame-spec windows (rows/range), ranking family, grouping sets,
+exact percentiles, array/map/higher-order functions, calendar
+generation, lateral explode, deterministic sampling, and the ORC
+format round-trip.
+
+Determinism policy matches queries.py: decimal sums, unique window
+tiebreakers, no rounding of derived doubles except at declared 4dp
+output precision, engine-portable integer hashing for sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.hashing import MERSENNE_P, affine_hash, affine_hash_sql
+from .queries import _DEC, _t
+
+# ---------------------------------------------------------------------------
+# Window family
+# ---------------------------------------------------------------------------
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each customer's order history: previous order price
+    and days until the next order. One shuffle on the partition key
+    serves all four window expressions (same window spec)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy(F.to_date("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.round(F.lag("o_totalprice", 1).over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 4).alias("next_price"),
+        F.datediff(F.lead(F.to_date("o_orderdate"), 1).over(w), F.to_date("o_orderdate")).alias(
+            "days_to_next"
+        ),
+    )
+
+
+ORACLE_LAG_LEAD = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       round(lag(o_totalprice, 1) OVER w, 4)  AS prev_price,
+       round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      lead(CAST(o_orderdate AS DATE), 1) OVER w) AS INTEGER) AS days_to_next
+FROM orders
+WHERE o_custkey < 500
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC)
+"""
+
+
+def q_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family — rank, dense_rank, percent_rank, cume_dist,
+    ntile — over customers by balance within nation. The ORDER BY ends
+    in the unique custkey so every rank is deterministic."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 5)
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 4).alias("prnk"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_NTILE_CUME = """
+SELECT c_nationkey, c_custkey,
+       CAST(rank() OVER w AS INTEGER)        AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER)  AS drnk,
+       round(percent_rank() OVER w, 4)       AS prnk,
+       round(cume_dist() OVER w, 4)          AS cume,
+       CAST(ntile(4) OVER w AS INTEGER)      AS quartile
+FROM customer
+WHERE c_nationkey < 5
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: trailing-90-day spend per customer. The ordering
+    column is an integer day number so the range frame is engine-exact;
+    the summed measure is decimal."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-90, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("day_no"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).alias("spend_90d"),
+    )
+
+
+ORACLE_RANGE_FRAME = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,
+       sum(CAST(o_totalprice AS {_DEC})) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS spend_90d
+FROM orders
+WHERE o_custkey < 300
+"""
+
+
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicit full-
+    partition frame (the default frame would make last_value the
+    running last — the classic window pitfall)."""
+    s = _t(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.first("s_suppkey").over(w).alias("richest"),
+        F.last("s_suppkey").over(w).alias("poorest"),
+        F.nth_value("s_suppkey", 2).over(w).alias("runner_up"),
+    )
+
+
+ORACLE_FIRST_LAST = """
+SELECT s_nationkey, s_suppkey,
+       first_value(s_suppkey) OVER w  AS richest,
+       last_value(s_suppkey) OVER w   AS poorest,
+       nth_value(s_suppkey, 2) OVER w AS runner_up
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extensions
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — per-status, per-priority, and grand-total rows in
+    one pass (Catalyst plans a single Expand + aggregate, not three
+    scans). SQL surface via a temp view."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               count(*)                          AS n,
+               sum(CAST(o_totalprice AS {_DEC})) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = f"""
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT)          AS n,
+       sum(CAST(o_totalprice AS {_DEC})) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (the sort-based exact
+    form, not the approximate sketch) per group. Computed on the
+    integral-valued quantity column where the interpolation arithmetic
+    is IEEE-exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("p"))
+        .select(
+            "l_returnflag",
+            F.element_at("p", 1).alias("p25"),
+            F.element_at("p", 2).alias("p50"),
+            F.element_at("p", 3).alias("p75"),
+            F.element_at("p", 4).alias("p95"),
+        )
+    )
+
+
+ORACLE_PERCENTILE_EXACT = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-order sorted line lists. collect_list is
+    partition-order-dependent, so it is always array_sort-ed before
+    leaving the operator; serialized to CSV for the cross-engine hash."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias("lines_csv"),
+        F.array_join(F.array_sort(F.collect_list("l_partkey")), ",").alias("parts_csv"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_sum"),
+    )
+
+
+ORACLE_ARRAY_AGG = f"""
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS lines_csv,
+       array_to_string(list_sort(list(l_partkey)), ',')    AS parts_csv,
+       sum(CAST(l_quantity AS {_DEC})) AS qty_sum
+FROM lineitem
+WHERE l_orderkey < 2000
+GROUP BY l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function batteries
+# ---------------------------------------------------------------------------
+
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: filter /
+    transform / exists / sequential-fold aggregate — all codegen'd
+    JVM-side, no UDF. The fold mirrors operators.similarity.dot."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sum_sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0).cast("double"), lambda a, x: a + x
+    )
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(sum_sq, 4).alias("sum_sq"),
+        F.round(F.array_max(F.transform(v, F.abs)), 4).alias("max_abs"),
+        F.exists(v, lambda x: x > 2.5).alias("has_large"),
+    )
+
+
+ORACLE_HIGHER_ORDER = """
+WITH u AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)),
+                         (a, x) -> a + x), 4) AS sum_sq,
+       round(list_max(list_transform(v, x -> abs(x))), 4) AS max_abs,
+       len(list_filter(v, x -> x > 2.5)) > 0 AS has_large
+FROM u
+"""
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: parse a kv-string into a map (str_to_map), extract
+    by key, enumerate sorted keys — the oracle computes the same values
+    straight from the source columns, proving the map round-trip."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    kv = F.concat(
+        F.lit("seg="), F.col("c_mktsegment"), F.lit(";nat="), F.col("c_nationkey").cast("string")
+    )
+    m = F.str_to_map(kv, F.lit(";"), F.lit("="))
+    return c.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg"),
+        F.element_at(m, "nat").cast("int").alias("nat"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+    )
+
+
+ORACLE_MAP_FUNCS = """
+SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+       2 AS n_keys, 'nat,seg' AS keys_csv
+FROM customer WHERE c_custkey < 1000
+"""
+
+
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: AND / OR / XOR / shifts — exact int64 in any
+    engine."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.col("l_partkey")).alias("k_and"),
+        F.col("l_orderkey").bitwiseOR(F.col("l_partkey")).alias("k_or"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("k_xor"),
+        F.shiftleft(F.col("l_linenumber"), 3).alias("ln_shl"),
+        F.shiftright(F.col("l_partkey"), 2).alias("pk_shr"),
+    )
+
+
+ORACLE_BITWISE = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & l_partkey  AS k_and,
+       l_orderkey | l_partkey  AS k_or,
+       xor(l_orderkey, l_partkey) AS k_xor,
+       CAST(l_linenumber << 3 AS INTEGER) AS ln_shl,
+       l_partkey >> 2 AS pk_shr
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling battery: nullif / coalesce / least / greatest /
+    null-safe equality over a column with genuine zeros."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    nz_tax = F.nullif(F.round("l_tax", 4), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        nz_tax.alias("nz_tax"),
+        F.coalesce(nz_tax, F.lit(-1.0)).alias("tax_or_neg1"),
+        F.round(F.least("l_tax", "l_discount"), 4).alias("lo"),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("hi"),
+        F.col("l_tax").eqNullSafe(F.col("l_discount")).alias("tax_eq_disc"),
+    )
+
+
+ORACLE_NULL_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       nullif(round(l_tax, 4), 0.0) AS nz_tax,
+       coalesce(nullif(round(l_tax, 4), 0.0), -1.0) AS tax_or_neg1,
+       round(least(l_tax, l_discount), 4)    AS lo,
+       round(greatest(l_tax, l_discount), 4) AS hi,
+       l_tax IS NOT DISTINCT FROM l_discount AS tax_eq_disc
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+
+def q_sequence_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar generation: sequence() builds the month spine, orders
+    left-join onto it so empty months survive with zero counts — the
+    standard gap-filling shape for time series."""
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-01-01").cast("date"),
+                F.lit("1997-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("m"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.col("o_totalprice").cast(_DEC)).alias("total"))
+    )
+    return months.join(o, months.month_start == o.m, "left").select(
+        "month_start",
+        F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total"), F.lit(0).cast(_DEC)).alias("month_total"),
+    )
+
+
+ORACLE_SEQUENCE_MONTHS = f"""
+WITH months AS (
+  SELECT CAST(unnest(generate_series(DATE '1997-01-01', DATE '1997-12-01', INTERVAL 1 MONTH)) AS DATE) AS month_start),
+agg AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(count(*) AS BIGINT) AS cnt,
+         sum(CAST(o_totalprice AS {_DEC})) AS total
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+SELECT month_start,
+       COALESCE(cnt, 0) AS n_orders,
+       COALESCE(total, CAST(0 AS {_DEC})) AS month_total
+FROM months LEFT JOIN agg ON month_start = m
+"""
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral positional explode: token stream with positions — the
+    generator-node (UDTF-shaped) surface."""
+    from .operators.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "token"))
+
+
+ORACLE_POSEXPLODE_TOKENS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 20),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                               i -> {'pos': i - 1, 'token': toks[i]})) AS e
+  FROM t)
+SELECT doc_id, CAST(e.pos AS INTEGER) AS pos, e.token AS token FROM ex
+"""
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via the portable affine hash on the key
+    (not rand() — reproducible across engines, partitionings, and
+    re-runs), aggregated per group. The scale pattern for sampled
+    profiling of a 100 TB fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    keep = (affine_hash(F.col("l_orderkey") * 10 + F.col("l_linenumber"), F.lit(3)) % 100) < 10
+    return (
+        li.filter(keep)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"))
+    )
+
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
+       sum(CAST(l_quantity AS {_DEC})) AS qty
+FROM lineitem
+WHERE ({affine_hash_sql('(l_orderkey * 10 + l_linenumber)', '3')}) % 100 < 10
+GROUP BY l_returnflag
+"""
+
+
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format round-trip (columnar alternative to parquet, built
+    into Spark): write the part dim to ORC, read it back with explicit
+    schema, aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    p = _t(spark, sf_dir, "part")
+    tmp = os.path.join(tempfile.gettempdir(), "aces_orc_roundtrip")
+    shutil.rmtree(tmp, ignore_errors=True)
+    p.write.mode("overwrite").orc(tmp)
+    back = spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("p_partkey", T.LongType()),
+                T.StructField("p_name", T.StringType()),
+                T.StructField("p_brand", T.StringType()),
+                T.StructField("p_type", T.StringType()),
+                T.StructField("p_size", T.IntegerType()),
+                T.StructField("p_retailprice", T.DoubleType()),
+            ]
+        )
+    ).orc(tmp)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast(_DEC)).alias("retail_total"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+ORACLE_SCAN_ORC = f"""
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       sum(CAST(p_retailprice AS {_DEC})) AS retail_total,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+QUERIES_WINDOW = {
+    "q_lag_lead": q_lag_lead,
+    "q_ntile_cume": q_ntile_cume,
+    "q_range_frame": q_range_frame,
+    "q_first_last": q_first_last,
+    "q_grouping_sets": q_grouping_sets,
+    "q_percentile_exact": q_percentile_exact,
+    "q_array_agg": q_array_agg,
+    "q_higher_order": q_higher_order,
+    "q_map_funcs": q_map_funcs,
+    "q_bitwise": q_bitwise,
+    "q_null_funcs": q_null_funcs,
+    "q_sequence_months": q_sequence_months,
+    "q_posexplode_tokens": q_posexplode_tokens,
+    "q_sample_hash": q_sample_hash,
+    "q_scan_orc": q_scan_orc,
+}
+
+ORACLE_WINDOW = {
+    "q_lag_lead": ORACLE_LAG_LEAD,
+    "q_ntile_cume": ORACLE_NTILE_CUME,
+    "q_range_frame": ORACLE_RANGE_FRAME,
+    "q_first_last": ORACLE_FIRST_LAST,
+    "q_grouping_sets": ORACLE_GROUPING_SETS,
+    "q_percentile_exact": ORACLE_PERCENTILE_EXACT,
+    "q_array_agg": ORACLE_ARRAY_AGG,
+    "q_higher_order": ORACLE_HIGHER_ORDER,
+    "q_map_funcs": ORACLE_MAP_FUNCS,
+    "q_bitwise": ORACLE_BITWISE,
+    "q_null_funcs": ORACLE_NULL_FUNCS,
+    "q_sequence_months": ORACLE_SEQUENCE_MONTHS,
+    "q_posexplode_tokens": ORACLE_POSEXPLODE_TOKENS,
+    "q_sample_hash": ORACLE_SAMPLE_HASH,
+    "q_scan_orc": ORACLE_SCAN_ORC,
+}
