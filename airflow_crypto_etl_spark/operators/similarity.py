@@ -206,12 +206,20 @@ def ivf_topk(
     assign_scored = base.join(F.broadcast(cents), F.lit(True)).withColumn(
         "__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     )
-    w_assign = Window.partitionBy(id_col).orderBy(sim_c.desc(), F.col("cid").asc())
+    # Nearest-centroid assignment is an argmax, not a ranking: max_by
+    # under a hash aggregate gets map-side partial aggregation and never
+    # sorts or shuffles the vectors (the row_number() form shuffles the
+    # whole corpus×centroid product through a sort). Tiebreak (cos desc,
+    # cid asc) is encoded as max of the struct (cos, -cid).
     assign = (
-        assign_scored.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), "cid")
+        assign_scored.select(F.col(id_col), "cid", sim_c)
+        .groupBy(id_col)
+        .agg(F.max_by("cid", F.struct(sim_c, (-F.col("cid")).cast("long"))).alias("cid"))
     )
+    w_assign = Window.partitionBy(id_col).orderBy(sim_c.desc(), F.col("cid").asc())
+    # probes: top-n_probe centroids for the (few) query vectors — the
+    # isin filter prunes below the centroid cross join, so this branch
+    # costs |Q|×n_centroids, and the tiny window is fine.
     probes = (
         assign_scored.filter(F.col(id_col).isin(query_ids))
         .withColumn("__rn", F.row_number().over(w_assign))

@@ -84,6 +84,17 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
+    if master.startswith("local"):
+        # Scan-split sizing is scale-relative: the default 128 MiB split /
+        # 4 MiB open-cost floor is right for a 100 TB lake (keeps task
+        # count sane, amortizes opens), but leaves MB-sized local test
+        # files as 1-3 splits — idling all but a few cores. Locally,
+        # split small and cheap so #splits ≈ cores; cluster deployments
+        # keep the defaults.
+        b = (
+            b.config("spark.sql.files.maxPartitionBytes", "1m")
+            .config("spark.sql.files.openCostInBytes", "64k")
+        )
     for k, v in RUNTIME_CONFS.items():
         b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
