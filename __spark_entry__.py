@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_ext as qx
 from airflow_crypto_etl_spark import queries_tpch as qt
+from airflow_crypto_etl_spark import queries_udf as qu
 from airflow_crypto_etl_spark import queries_window as qw
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -32,9 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, plus the
     training-data extension set (dedup/similarity/text/windows)."""
-    return dict(q.QUERIES) | dict(qx.QUERIES_EXT) | dict(qt.QUERIES_TPCH) | dict(qw.QUERIES_WINDOW)
+    return (
+        dict(q.QUERIES)
+        | dict(qx.QUERIES_EXT)
+        | dict(qt.QUERIES_TPCH)
+        | dict(qw.QUERIES_WINDOW)
+        | dict(qu.QUERIES_UDF)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
-    return dict(q.ORACLE) | dict(qx.ORACLE_EXT) | dict(qt.ORACLE_TPCH) | dict(qw.ORACLE_WINDOW)
+    return (
+        dict(q.ORACLE)
+        | dict(qx.ORACLE_EXT)
+        | dict(qt.ORACLE_TPCH)
+        | dict(qw.ORACLE_WINDOW)
+        | dict(qu.ORACLE_UDF)
+    )
