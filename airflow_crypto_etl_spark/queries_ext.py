@@ -449,6 +449,17 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates over the replayed stream) —
+    emitted key set equals batch DISTINCT, so it is oracle-comparable."""
+    from .streaming.windows import streaming_dedup
+
+    return streaming_dedup(spark, sf_dir)
+
+
+ORACLE_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session windows in append mode — rows-only check
     (append emission withholds sessions still open at the final
@@ -507,6 +518,7 @@ QUERIES_EXT = {
     "q_window_sliding": q_window_sliding,
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_session": q_stream_session,
+    "q_stream_dedup": q_stream_dedup,
     "q_multimodal_meta": q_multimodal_meta,
 }
 
@@ -527,6 +539,7 @@ ORACLE_EXT = {
     "q_window_tumbling": ORACLE_WINDOW_TUMBLING,
     "q_window_sliding": ORACLE_WINDOW_SLIDING,
     "q_stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "q_stream_dedup": ORACLE_STREAM_DEDUP,
     # q_stream_session: rows-only by design (append-mode emission)
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
 }

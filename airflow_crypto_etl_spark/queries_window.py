@@ -468,6 +468,42 @@ FROM part GROUP BY p_brand
 """
 
 
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning end-to-end: write the fact
+    partitioned by ship year (dynamic overwrite — the reference's
+    dt={ds} layout, SURVEY §2.1 S4/K3), read it back filtering ONE
+    partition value, aggregate. The filter must prune at directory
+    listing (PartitionFilters — asserted in test_tpch_plans), so a
+    100 TB lake scans one year, not all."""
+    import os
+    import shutil
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem")
+    tmp = os.path.join(tempfile.gettempdir(), "aces_part_prune")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        li.select(
+            "l_orderkey", "l_returnflag", "l_quantity", F.year("l_shipdate").alias("ship_year")
+        )
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(tmp)
+    )
+    back = spark.read.parquet(tmp).filter(F.col("ship_year") == 1997)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("l_quantity").cast(_DEC)).alias("qty")
+    )
+
+
+ORACLE_PARTITION_PRUNE = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       sum(CAST(l_quantity AS {_DEC})) AS qty
+FROM lineitem WHERE year(l_shipdate) = 1997
+GROUP BY l_returnflag
+"""
+
+
 QUERIES_WINDOW = {
     "q_lag_lead": q_lag_lead,
     "q_ntile_cume": q_ntile_cume,
@@ -484,6 +520,7 @@ QUERIES_WINDOW = {
     "q_posexplode_tokens": q_posexplode_tokens,
     "q_sample_hash": q_sample_hash,
     "q_scan_orc": q_scan_orc,
+    "q_partition_prune": q_partition_prune,
 }
 
 ORACLE_WINDOW = {
@@ -502,4 +539,5 @@ ORACLE_WINDOW = {
     "q_posexplode_tokens": ORACLE_POSEXPLODE_TOKENS,
     "q_sample_hash": ORACLE_SAMPLE_HASH,
     "q_scan_orc": ORACLE_SCAN_ORC,
+    "q_partition_prune": ORACLE_PARTITION_PRUNE,
 }

@@ -106,3 +106,19 @@ def streaming_session(spark: SparkSession, sf_dir: str, gap: str = "30 minutes")
     return out.select(
         "user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events"
     )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: distinct (user_id, event_type) pairs via
+    dropDuplicates over the replayed stream — the dedup family's
+    streaming member (exact-key dedup at ingest time).
+
+    State note: keyed dedup state is unbounded on a true unbounded
+    stream; production uses ``dropDuplicatesWithinWatermark`` so keys
+    expire with the watermark. The bounded availableNow replay here is
+    the deterministic, oracle-comparable form (the emitted SET of keys
+    is order-independent even though first-arrival rows are not — only
+    the key columns are kept)."""
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type")
+    out = run_available_now(ev.dropDuplicates(["user_id", "event_type"]), "append")
+    return out

@@ -65,3 +65,12 @@ def test_q18_having_aggregates_before_joins(spark, sf_dir):
 def test_q22_anti_join_planned(spark, sf_dir):
     p = plan_of(spark, qt.q_tpch_q22(spark, sf_dir))
     assert "LeftAnti" in p, p
+
+
+def test_partition_prune_reaches_listing(spark, sf_dir):
+    from airflow_crypto_etl_spark import queries_window as qw
+
+    p = plan_of(spark, qw.q_partition_prune(spark, sf_dir))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    # the year filter prunes at directory listing, not post-scan
+    assert pf and "ship_year" in pf[0] and "1997" in pf[0], p
