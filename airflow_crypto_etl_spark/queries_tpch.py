@@ -3,11 +3,13 @@
 The reference's analytical intent is the star-schema serving layer
 (SURVEY.md §2.4 J1: `coin_prices_fact ⋈ coin_dimension`, DDL at
 `/root/reference/dags/coin_data_pipeline_optimized.py:87-104`). This
-module exercises that intent at engine strength: the classic TPC-H
-query shapes (pricing summary, shipping priority, local-supplier
-volume, revenue forecast, returned items, promo ratio, small-quantity,
-large-volume customers, top supplier), adapted to the driver's
-TPC-H-ish columns (TESTDATA.md; no partsupp/shipmode/commitdate).
+module exercises that intent at engine strength: 19 of the 22 classic
+TPC-H query shapes (Q1 pricing summary through Q22 inactive customers),
+adapted to the driver's TPC-H-ish columns (TESTDATA.md). Q2/Q11/Q20 are
+skipped — they are partsupp-centric and the schema has no partsupp;
+Q16's supplier-part pairs are observed through lineitem instead, and
+"late" (Q4/Q21) is modeled as shipped >60 days after order date since
+there are no commit/receipt dates.
 
 Scale/determinism policy (same as queries.py):
 - Revenue terms are IEEE double products cast to DECIMAL(18,4) *per
@@ -475,6 +477,355 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS → semi join)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (no commit/receipt dates): orders in a quarter
+    with at least one line shipped >60 days after ordering. The EXISTS
+    decorrelates to a left-semi join — the lineitem side never
+    duplicates orders."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sel = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations per year —
+    the nation dim joins TWICE (supplier side and customer side), both
+    broadcast."""
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6") | (
+        F.col("supp_nation") == "NATION_6"
+    ) & (F.col("cust_nation") == "NATION_9")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       sum({_REV_SQL}) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+   OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share
+# ---------------------------------------------------------------------------
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's supplier share of a region's market for
+    one part type, per order year — conditional-decimal-sum ratio."""
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n_cust = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+        )
+    )
+    n_supp = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    vol = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(r, F.col("cn_rkey") == F.col("r_regionkey"))
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_9", _rev()).otherwise(F.lit(0).cast(_DEC))
+    return (
+        vol.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).alias("nation_volume"),
+            F.sum(_rev()).alias("total_volume"),
+            F.round(F.sum(target).cast("double") / F.sum(_rev()).cast("double"), 4).alias("mkt_share"),
+        )
+    )
+
+
+ORACLE_TPCH_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       sum(CASE WHEN n2.n_name = 'NATION_9' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS nation_volume,
+       sum({_REV_SQL}) AS total_volume,
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_9' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+GROUP BY year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (decimal-exact derived measure)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (no partsupp.supplycost — cost modeled as 60% of
+    part retail price × quantity): profit by supplier nation and year.
+    All arithmetic in decimal from raw columns so the derived measure
+    hashes identically across engines."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    profit = (
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+        - F.col("p_retailprice").cast("decimal(12,4)")
+        * F.lit(0.6).cast("decimal(2,1)")
+        * F.col("l_quantity").cast("decimal(12,4)")
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).alias("sum_profit"))
+    )
+
+
+ORACLE_TPCH_Q9 = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
+           - CAST(p_retailprice AS DECIMAL(12,4)) * CAST(0.6 AS DECIMAL(2,1))
+             * CAST(l_quantity AS DECIMAL(12,4))) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double agg)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count, including
+    zero-order customers — LEFT OUTER join with the priority filter in
+    the JOIN CONDITION (a WHERE would silently drop the zero-order
+    rows), then aggregate twice."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier count by part descriptor (distinct agg after join)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (supplier-part pairs observed through lineitem
+    instead of partsupp): distinct supplier count per (brand, type,
+    size) for selected sizes. Pair-distinct happens BEFORE the groupBy
+    so the distinct-agg expansion stays small."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11") & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+ORACLE_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive predicate revenue (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: three OR'd brand/size/quantity branches — the
+    disjunction sits above an equi-join, so it must NOT degrade the
+    join to a cartesian product (asserted in plans test)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        ((F.col("p_brand") == "Brand#11") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#22") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#25") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return joined.filter(branch).agg(F.sum(_rev()).alias("revenue"))
+
+
+ORACLE_TPCH_Q19 = f"""
+SELECT sum({_REV_SQL}) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (multi-EXISTS via window aggs)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (late = shipped >60 days after order date):
+    suppliers who were the SOLE late supplier on a multi-supplier order.
+    The correlated EXISTS / NOT EXISTS pair decorrelates to per-order
+    distinct counts computed in ONE aggregate pass — no self-joins of
+    lineitem against itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    late_pairs = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
+    culprit = (
+        late_pairs.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        culprit.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q21 = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         CAST(count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS BIGINT) AS n_late_supp
+  FROM lo GROUP BY l_orderkey),
+late_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE is_late)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late_pairs
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES_TPCH = {
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
@@ -486,6 +837,14 @@ QUERIES_TPCH = {
     "q_tpch_q15": q_tpch_q15,
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q4": q_tpch_q4,
+    "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q21": q_tpch_q21,
     "q_tpch_q22": q_tpch_q22,
 }
 
@@ -500,5 +859,13 @@ ORACLE_TPCH = {
     "q_tpch_q15": ORACLE_TPCH_Q15,
     "q_tpch_q17": ORACLE_TPCH_Q17,
     "q_tpch_q18": ORACLE_TPCH_Q18,
+    "q_tpch_q4": ORACLE_TPCH_Q4,
+    "q_tpch_q7": ORACLE_TPCH_Q7,
+    "q_tpch_q8": ORACLE_TPCH_Q8,
+    "q_tpch_q9": ORACLE_TPCH_Q9,
+    "q_tpch_q13": ORACLE_TPCH_Q13,
+    "q_tpch_q16": ORACLE_TPCH_Q16,
+    "q_tpch_q19": ORACLE_TPCH_Q19,
+    "q_tpch_q21": ORACLE_TPCH_Q21,
     "q_tpch_q22": ORACLE_TPCH_Q22,
 }
