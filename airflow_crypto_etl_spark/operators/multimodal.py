@@ -107,3 +107,68 @@ def extract_features(df: DataFrame, head: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def resize_payload(df: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Resize verb (STUB math, real plumbing): treat the payload bytes
+    as a row-major grayscale image and nearest-neighbor-sample it to
+    (out_w × out_h). A real implementation swaps the inner sampling for
+    a decoder+resampler (Pillow/libvips) — the Arrow batch shape,
+    output schema, and per-partition streaming are exactly what that
+    version uses, so only the kernel changes at deploy time."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(b)
+                side = max(int(n ** 0.5), 1)  # fake square geometry
+                px = [
+                    b[min((y * side // out_h) * side + (x * side // out_w), n - 1)] / 255.0
+                    if n
+                    else 0.0
+                    for y in range(out_h)
+                    for x in range(out_w)
+                ]
+                rows.append((doc_id, out_w, out_h, px))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "pixels"])
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 16, every: int = 4) -> DataFrame:
+    """Frame-sample verb (video → every k-th frame): the payload is
+    treated as a sequence of fixed-size ``frame_bytes`` chunks and every
+    ``every``-th chunk is emitted as its own row (one row per sampled
+    frame — the fan-out shape a real keyframe extractor produces).
+    Deterministic fake chunking; a real codec replaces the splitter."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(b) // frame_bytes
+                for i, f in enumerate(range(0, n_frames, every)):
+                    rows.append((doc_id, i, bytes(b[f * frame_bytes : (f + 1) * frame_bytes])))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame"])
+
+    return df.mapInPandas(batches, FRAMES_SCHEMA)

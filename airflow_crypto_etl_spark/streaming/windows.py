@@ -122,3 +122,31 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).select("user_id", "event_type")
     out = run_available_now(ev.dropDuplicates(["user_id", "event_type"]), "append")
     return out
+
+
+def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str) -> None:
+    """foreachBatch production sink: replay the event stream and land
+    each micro-batch as partitioned parquet (partition column = event
+    date). foreachBatch is the bridge to sinks the streaming writer
+    does not natively target (JDBC upserts via sinks.jdbc_upsert, the
+    medallion silver writer, ...) — the batch DataFrame inside is a
+    normal DataFrame, so every batch operator/writer applies.
+    Idempotency at scale: batchId-keyed dynamic partition overwrite (or
+    a MERGE on a transactional table format) makes retries exactly-once;
+    append suffices for the bounded replay here."""
+    ev = stream_events(spark, sf_dir).withColumn("event_date", F.to_date(F.col("ts").cast("timestamp")))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("append")
+            .partitionBy("event_date")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -40,3 +40,24 @@ def test_extract_features_mapinpandas(spark, sf_dir, payloads):
 def test_decode_is_stubbed(payloads):
     with pytest.raises(NotImplementedError, match="media decode"):
         mm.decode_payload(payloads)
+
+
+def test_resize_payload_shape_and_determinism(payloads):
+    px = mm.resize_payload(payloads, out_w=4, out_h=4)
+    rows = px.limit(50).collect()
+    assert rows and all(len(r["pixels"]) == 16 for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r["pixels"])
+    again = {r["doc_id"]: r["pixels"] for r in mm.resize_payload(payloads, 4, 4).limit(50).collect()}
+    assert all(again[r["doc_id"]] == r["pixels"] for r in rows)
+
+
+def test_sample_frames_fanout(payloads):
+    frames = mm.sample_frames(payloads, frame_bytes=16, every=4)
+    rows = frames.collect()
+    assert rows and all(len(r["frame"]) == 16 for r in rows)
+    # one doc fans out to multiple ordered frames
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
+    multi = [v for v in by_doc.values() if len(v) > 1]
+    assert multi and all(sorted(v) == list(range(len(v))) for v in by_doc.values())

@@ -81,3 +81,23 @@ def test_stateful_running_totals(spark, sf_dir):
         assert g["n_events"] == t["n_events"]
         assert abs(g["total_value"] - t["total_value"]) < 1e-6
         assert g["max_value"] == t["max_value"]
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """Sketch aggregates (HLL distinct, quantile sketch) are the
+    100 TB path where exact forms would shuffle too much state. Their
+    outputs are engine-specific, so they are accuracy-tested here
+    rather than oracle-hashed: ±5% of exact."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_exact"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+    assert abs(row["p50_approx"] - row["p50_exact"]) <= max(1.0, 0.05 * row["p50_exact"])

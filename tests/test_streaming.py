@@ -36,3 +36,22 @@ def test_streaming_is_incremental(spark, sf_dir):
     a = streaming_tumbling(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
     b = streaming_tumbling(spark, sf_dir).agg(F.sum("n_events")).collect()[0][0]
     assert a == b
+
+
+def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
+    from airflow_crypto_etl_spark.streaming.windows import stream_to_parquet
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out")
+    stream_to_parquet(spark, sf_dir, out, str(tmp_path / "ckpt"))
+    landed = spark.read.parquet(out)
+    batch = load_table(spark, sf_dir, "events")
+    assert landed.count() == batch.count()
+    # value totals survive the stream → parquet round trip exactly
+    s = landed.agg(F.sum(F.col("value").cast("decimal(18,4)"))).collect()[0][0]
+    b = batch.agg(F.sum(F.col("value").cast("decimal(18,4)"))).collect()[0][0]
+    assert s == b
+    # partition layout is the medallion dt= shape
+    import os
+    assert any(d.startswith("event_date=") for d in os.listdir(out))
