@@ -20,6 +20,9 @@ the dedup family.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -246,4 +249,53 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _pair_dot_arrow():
+    """Arrow-vectorized pairwise dot product (numpy einsum over the
+    batch matrix). Built lazily so importing this module never needs a
+    live session."""
+
+    @F.pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.vstack(a.to_numpy())
+        B = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return pair_dot
+
+
+def brute_force_topk_arrow(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy variant of :func:`brute_force_topk`: the per-pair
+    score runs as a vectorized pandas_udf (one einsum per Arrow batch)
+    instead of the codegen'd sequential fold.
+
+    Trade-off, measured not guessed (tests assert same top-k): the fold
+    is bit-deterministic and stays inside whole-stage codegen — right
+    when results feed an exactness gate; the einsum amortizes Python
+    per-row cost to per-batch and uses SIMD — right for wide vectors
+    (dim ≳ 256) where JVM expression interpretation dominates. Summation
+    order differs (pairwise vs sequential), so scores agree only to
+    ~1e-12 relative — which is why the oracle-checked query keeps the
+    fold."""
+    base = _normed_base(emb, id_col, vec_col)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pair_dot = _pair_dot_arrow()
+    scored = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id")).withColumn(
+        "cos", pair_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
     )

@@ -101,3 +101,20 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
     assert abs(row["p50_approx"] - row["p50_exact"]) <= max(1.0, 0.05 * row["p50_exact"])
+
+
+def test_arrow_topk_agrees_with_exact_fold(spark, sf_dir):
+    """The vectorized-pandas_udf ANN scorer must return the same
+    neighbors as the codegen'd fold (scores to fp-reassociation
+    tolerance)."""
+    from airflow_crypto_etl_spark.operators import similarity as sim
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3]
+    exact = sim.brute_force_topk(emb, qids, k=5).collect()
+    arrow = sim.brute_force_topk_arrow(emb, qids, k=5).collect()
+    ex = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    ar = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in arrow}
+    assert set(ex) == set(ar)
+    assert all(abs(ex[kk] - ar[kk]) < 1e-9 for kk in ex)
