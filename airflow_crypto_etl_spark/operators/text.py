@@ -100,3 +100,39 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (functions.hashing.char_hash) — the exact-dedup key that doesn't
     require shuffling full document bodies, only 8-byte hashes."""
     return df.withColumn("fingerprint", char_hash(text_col))
+
+
+def subword_tokens_col(text: str | Column, max_piece: int = 4) -> Column:
+    """BPE-ish regex tokenization, fully codegen'd: GPT-2-style
+    pre-tokenization into letter runs / digit runs / single punctuation
+    (``[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]``), then fixed-length chunking of
+    each run to ≤``max_piece`` chars — the byte-fallback piece shape a
+    real BPE produces, without a learned merge table (which would be a
+    broadcast lookup join on this same column)."""
+    c = F.col(text) if isinstance(text, str) else text
+    runs = F.regexp_extract_all(c, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0))
+    return F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.transform(
+                F.sequence(F.lit(1), F.ceil(F.length(r) / max_piece).cast("int")),
+                lambda i: F.substring(r, (i - 1) * max_piece + 1, max_piece),
+            ),
+        )
+    )
+
+
+def subword_stats(df: DataFrame, text_col: str = "text", max_piece: int = 4) -> DataFrame:
+    """Subword token counts: pieces, distinct pieces, pieces-per-word
+    ratio (the compression signal quality filters use)."""
+    pieces = subword_tokens_col(text_col, max_piece)
+    words = tokens_col(text_col)
+    return df.withColumns(
+        {
+            "n_pieces": F.size(pieces),
+            "n_distinct_pieces": F.size(F.array_distinct(pieces)),
+            "pieces_per_word": F.round(
+                F.size(pieces) / F.greatest(F.size(words), F.lit(1)), 4
+            ),
+        }
+    )

@@ -543,3 +543,29 @@ ORACLE_EXT = {
     # q_stream_session: rows-only by design (append-mode emission)
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
 }
+
+
+def q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword tokenization (regex pre-tokenize + fixed-length
+    chunking) — token-budget estimation over the corpus."""
+    out = tx.subword_stats(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_pieces", "n_distinct_pieces", "pieces_per_word")
+
+
+_SUBWORD_RUNS = "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')"
+_SUBWORD_PIECES = (
+    f"flatten(list_transform({_SUBWORD_RUNS}, r -> "
+    "list_transform(range(1, CAST(ceil(length(r)/4.0) AS INTEGER)+1), "
+    "i -> substring(r, CAST((i-1)*4+1 AS INTEGER), 4))))"
+)
+
+ORACLE_SUBWORD_COUNT = f"""
+SELECT doc_id,
+       CAST(len({_SUBWORD_PIECES}) AS INTEGER) AS n_pieces,
+       CAST(len(list_distinct({_SUBWORD_PIECES})) AS INTEGER) AS n_distinct_pieces,
+       round(len({_SUBWORD_PIECES}) / greatest(len({_TOKS}), 1), 4) AS pieces_per_word
+FROM documents
+"""
+
+QUERIES_EXT["q_subword_count"] = q_subword_count
+ORACLE_EXT["q_subword_count"] = ORACLE_SUBWORD_COUNT
