@@ -57,3 +57,27 @@ def test_upsert_gated_without_psycopg2(spark, sf_dir):
     region = load_table(spark, sf_dir, "region")
     with pytest.raises(NotImplementedError, match="psycopg2"):
         jdbc_upsert.upsert_foreach_partition(region, "dsn", "t", ["r_regionkey"])
+
+
+def test_compaction_binpacks_small_files(spark, sf_dir, tmp_path):
+    """Fragmented ingest output compacts to the byte-derived file count
+    with data intact; an already-compact dir is a no-op."""
+    from airflow_crypto_etl_spark.sinks import compaction
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "fragmented")
+    li.repartition(48).write.parquet(path)  # simulate per-micro-batch files
+    before_total, before_files = compaction.dir_stats(path)
+    assert before_files == 48
+
+    res = compaction.compact_parquet(spark, path, target_mb=1)
+    assert not res["skipped"]
+    want = max(1, -(-before_total // (1024 * 1024)))
+    assert res["after_files"] == want < before_files
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert back.agg({"l_quantity": "sum"}).collect()[0][0] == li.agg({"l_quantity": "sum"}).collect()[0][0]
+
+    again = compaction.compact_parquet(spark, path, target_mb=1)
+    assert again["skipped"]
