@@ -93,3 +93,32 @@ ORACLE_UDF = {
     "q_applyinpandas_scale": ORACLE_APPLYINPANDAS_SCALE,
     "q_pandas_grouped_agg": ORACLE_PANDAS_GROUPED_AGG,
 }
+
+
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join: per-document word bigrams with
+    positions (the generator/table-function surface)."""
+    from .functions.udtfs import WordNGrams
+
+    spark.udtf.register("word_ngrams", WordNGrams)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.ngram FROM docs_udtf, LATERAL word_ngrams(text, 2) t"
+    )
+
+
+ORACLE_UDTF_NGRAMS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 50),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> {'pos': i - 1, 'ngram': toks[i] || ' ' || toks[i+1]})) AS e
+  FROM t)
+SELECT doc_id, CAST(e.pos AS INTEGER) AS pos, e.ngram AS ngram FROM ex
+"""
+
+QUERIES_UDF["q_udtf_ngrams"] = q_udtf_ngrams
+ORACLE_UDF["q_udtf_ngrams"] = ORACLE_UDTF_NGRAMS
