@@ -230,3 +230,60 @@ def simhash_pairs(
         "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     )
     return pairs.filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def duplicate_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, cluster, keep).
+
+    Completes the dedup pipeline: pair generators (minhash/simhash/
+    jaccard/cosine) emit EDGES; retention needs CLUSTERS with one
+    canonical survivor each. Components come from iterative min-label
+    propagation: every doc starts as its own label, and each round
+    every doc takes the minimum label in its neighborhood (symmetrized
+    edges), until a fixpoint. Iterations ≤ graph diameter ≈
+    O(log n) rounds for near-dup clusters (they are small and dense) —
+    the same label-propagation shape large-graph systems run; each
+    round is one shuffle on doc_id.
+
+    The driver-side loop is the legitimate use of driver control flow:
+    per-ROUND orchestration of distributed joins (bounded by
+    ``max_iters``), never per-row work. Labels are localCheckpointed
+    each round to cut the growing lineage.
+
+    Returns (id_col, cluster_id, is_kept): cluster_id = min doc id in
+    the component; is_kept marks the canonical survivor.
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+    )
+    labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_kept"),
+    )

@@ -569,3 +569,36 @@ FROM documents
 
 QUERIES_EXT["q_subword_count"] = q_subword_count
 ORACLE_EXT["q_subword_count"] = ORACLE_SUBWORD_COUNT
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash
+    near-dup pairs, with canonical-survivor marking — pairs → clusters
+    is the retention step of the dedup pipeline. Oracle: transitive
+    closure via recursive CTE over the same (oracle-identical) edges."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dd.duplicate_clusters(docs, pairs)
+
+
+def _clusters_oracle() -> str:
+    minhash_pairs = ORACLE_DEDUP_MINHASH.strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_pairs}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id AS src, doc_id AS dst FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS cluster_id, src = min(dst) AS is_kept
+FROM reach GROUP BY src
+"""
+
+
+ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
+
+QUERIES_EXT["q_dedup_clusters"] = q_dedup_clusters
+ORACLE_EXT["q_dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
