@@ -541,3 +541,59 @@ ORACLE_WINDOW = {
     "q_scan_orc": ORACLE_SCAN_ORC,
     "q_partition_prune": ORACLE_PARTITION_PRUNE,
 }
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the gold-metrics wide row becomes (key, metric,
+    value) long form — the serving-layer reshape for metric stores."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+ORACLE_UNPIVOT = f"""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE)      AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_price,
+         CAST(count(*) AS DOUBLE)                             AS n_rows
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+"""
+
+
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casts: try_cast yields NULL instead of failing the
+    job — the quarantine path of the silver contract (the strict path
+    is enforce_contract/ANSI, q_contract_enforce)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#(\\d+)$", 1).try_cast("int").alias("brand_num"),
+        F.col("p_type").try_cast("int").alias("type_as_int"),  # always NULL, never an error
+        F.col("p_size").cast("string").try_cast("int").alias("size_roundtrip"),
+    )
+
+
+ORACLE_TRY_CAST = """
+SELECT p_partkey,
+       TRY_CAST(regexp_extract(p_brand, '#(\\d+)$', 1) AS INTEGER) AS brand_num,
+       TRY_CAST(p_type AS INTEGER) AS type_as_int,
+       TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip
+FROM part
+"""
+
+QUERIES_WINDOW["q_unpivot"] = q_unpivot
+ORACLE_WINDOW["q_unpivot"] = ORACLE_UNPIVOT
+QUERIES_WINDOW["q_try_cast"] = q_try_cast
+ORACLE_WINDOW["q_try_cast"] = ORACLE_TRY_CAST
