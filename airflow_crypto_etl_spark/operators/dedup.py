@@ -259,26 +259,38 @@ def duplicate_clusters(
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .unionByName(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .distinct()
+        .cache()
     )
+    # Near-dup edge sets are usually tiny next to the corpus (only dups
+    # have edges): when they fit a broadcast, every round's join turns
+    # into a map-side lookup — zero per-round shuffles of the corpus.
+    # Billions-of-edges corpora fall back to the shuffle join.
+    broadcast_edges = edges.count() <= 5_000_000
+    e = F.broadcast(edges) if broadcast_edges else edges
     labels = docs.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
     for _ in range(max_iters):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            e.join(labels, e.dst == labels.node)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        if broadcast_edges:  # neighbor_min ≤ edge endpoints — same bound
+            neighbor_min = F.broadcast(neighbor_min)
+        # carry the previous label through the projection so the
+        # convergence check needs no join back to the old labels, and
+        # checkpoint lazily — the changed-count below is then the ONE
+        # action per round that both materializes and answers.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select("node", F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"))
-            .localCheckpoint(eager=True)
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("__changed"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        new_labels = new_labels.drop("__changed")
         labels = new_labels
         if changed == 0:
             break
