@@ -100,3 +100,72 @@ def test_dedup_exact_keeps_one_per_key_deterministically(spark, rows):
         if k not in by_key or ts < by_key[k][1]:
             by_key[k] = (k, ts, v)
     assert {tuple(r) for r in out} == set(by_key.values())
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=11), st.integers(min_value=0, max_value=11)),
+    min_size=0,
+    max_size=20,
+).map(lambda es: [(a, b) for a, b in es if a < b])
+
+
+@given(edges=EDGES)
+@_SETTINGS
+def test_duplicate_clusters_invariants(spark, edges):
+    """Connected-components laws on arbitrary graphs over 12 nodes:
+    exactly one kept doc per cluster, cluster_id is the component's
+    minimum, and every edge joins two same-cluster nodes (reference
+    implementation: pure-python union-find)."""
+    from airflow_crypto_etl_spark.operators import dedup as dd
+
+    nodes = list(range(12))
+    docs = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges] or [],
+        "doc_a long, doc_b long, est_jaccard double",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["is_kept"]) for r in
+           dd.duplicate_clusters(docs, pairs).collect()}
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    expect = {n: min(members) for root, members in comp.items() for n in members}
+
+    assert {n: c for n, (c, _) in got.items()} == expect
+    kept = [n for n, (c, k) in got.items() if k]
+    assert sorted(kept) == sorted(set(expect.values()))
+
+
+TEXTS = st.lists(
+    st.text(alphabet="ab1 .'", min_size=0, max_size=40), min_size=1, max_size=8
+)
+
+
+@given(texts=TEXTS)
+@_SETTINGS
+def test_subword_chunking_is_lossless(spark, texts):
+    """Concatenating a document's subword pieces reproduces exactly its
+    regex runs concatenated — chunking never drops or invents chars."""
+    import re
+
+    from airflow_crypto_etl_spark.operators import text as tx
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: "".join(r["p"])
+        for r in df.select("doc_id", tx.subword_tokens_col("text").alias("p")).collect()
+    }
+    for i, t in enumerate(texts):
+        runs = "".join(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]", t))
+        assert got[i] == runs
