@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scaling probe: do the headline plans scale linearly with data size?
+
+Inflates the sf0.1 tables in-memory by UNION (same distribution, N×
+rows — synthetic but distribution-preserving) and times representative
+queries at 1× and N×. A plan that survives a scale-up shows time ratio
+≈ N (linear operators) or N·log-ish (sorts); a broken plan (all-pairs
+join, driver collect, single hot partition) blows past it.
+
+Prints one JSON line: {"inflate": N, "queries": {name: {"t1": s,
+"tN": s, "ratio": r}}}. Warm-up pass first, like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F
+
+from airflow_crypto_etl_spark.operators import aggregate as agg_ops
+from airflow_crypto_etl_spark.operators import dedup as dd
+from airflow_crypto_etl_spark.operators import joins as join_ops
+from airflow_crypto_etl_spark.session import get_spark
+from airflow_crypto_etl_spark.sources.tables import load_table
+
+INFLATE = int(os.environ.get("SPARK_GRAFT_INFLATE", "4"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def inflate(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
+    """n× the rows with shifted keys so join/group cardinalities scale
+    too (a pure UNION of identical keys would just deepen groups)."""
+    parts = []
+    for i in range(n):
+        p = df
+        for k in key_cols:
+            p = p.withColumn(k, F.col(k) + F.lit(i * 1_000_000_000))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="aces-scaling-probe")
+    li = load_table(spark, SF_DIR, "lineitem")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    cases = {
+        # scan-agg: linear work, constant groups
+        "gold_daily": lambda d: agg_ops.gold_daily_metrics(
+            d, keys=["l_returnflag", "l_linestatus"], price_col="l_extendedprice", volume_col="l_quantity"
+        ),
+        # shuffle join on the natural key: linear rows both sides
+        "orders_join": lambda d: d.join(
+            load_table(spark, SF_DIR, "orders").withColumn(
+                "o_orderkey", F.col("o_orderkey")
+            ),
+            d.l_orderkey == F.col("o_orderkey"),
+        ).groupBy("o_orderpriority").count(),
+        # window latest-per-key: linear rows, linear keys
+        "latest_per_key": lambda d: d.groupBy("l_orderkey").agg(
+            F.max("l_shipdate").alias("last_ship")
+        ),
+    }
+    doc_cases = {
+        # MinHash signature+banding — the per-doc LINEAR stage of LSH
+        # dedup (tokenize → shingle-hash → K minima → band sigs). The
+        # candidate-pair stage is deliberately NOT probed under copy
+        # inflation: its output is proportional to the number of true
+        # duplicate pairs, and copying every doc n× creates C(n,2)
+        # genuine duplicates per doc — quadratic OUTPUT, not a plan
+        # defect. (The pair join itself is an equi-join on buckets —
+        # test_plans asserts the shape.)
+        "minhash_signatures": lambda d: dd.minhash_signatures(d),
+    }
+
+    results = {}
+    for name, fn in cases.items():
+        small = li
+        big = inflate(li, ["l_orderkey"], INFLATE)
+        fn(small).count()  # warm
+        t0 = time.perf_counter(); fn(small).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
+        results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
+    for name, fn in doc_cases.items():
+        big = inflate(docs, ["doc_id"], INFLATE)
+        fn(docs).count()
+        t0 = time.perf_counter(); fn(docs).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
+        results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
+
+    print(json.dumps({"inflate": INFLATE, "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
