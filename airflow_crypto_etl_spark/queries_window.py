@@ -597,3 +597,64 @@ QUERIES_WINDOW["q_unpivot"] = q_unpivot
 ORACLE_WINDOW["q_unpivot"] = ORACLE_UNPIVOT
 QUERIES_WINDOW["q_try_cast"] = q_try_cast
 ORACLE_WINDOW["q_try_cast"] = ORACLE_TRY_CAST
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: same RESULT as the plain equi-join (the oracle
+    is the plain join), different physical distribution — each hot key
+    splits across `salt` reducers. The driver check proves salting is
+    result-transparent."""
+    from .operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="l_orderkey", salt=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias("revenue"),
+    )
+
+
+ORACLE_SALTED_JOIN = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS {_DEC})) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides persisted bucketed+sorted on
+    the join key, then joined exchange-free (shuffle paid once at write
+    time — the 100 TB answer for repeated fact⋈fact joins). Result
+    equals the plain join; the zero-Exchange plan is asserted in
+    tests."""
+    from .operators.joins import bucketed_tables
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    bucketed_tables(
+        {"aces_bkt_li": li, "aces_bkt_o": o.withColumnRenamed("o_orderkey", "l_orderkey")},
+        key="l_orderkey",
+        n_buckets=8,
+    )
+    j = spark.table("aces_bkt_li").join(spark.table("aces_bkt_o"), "l_orderkey")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = f"""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+       sum(CAST(l_quantity AS {_DEC})) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+QUERIES_WINDOW["q_salted_join"] = q_salted_join
+ORACLE_WINDOW["q_salted_join"] = ORACLE_SALTED_JOIN
+QUERIES_WINDOW["q_bucketed_join"] = q_bucketed_join
+ORACLE_WINDOW["q_bucketed_join"] = ORACLE_BUCKETED_JOIN
