@@ -16,6 +16,9 @@ strategy chosen for scale:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -107,6 +110,15 @@ def bucketed_tables(
     the 100 TB answer for repeated fact⋈fact joins — pay the shuffle
     once at write time, never at query time."""
     for name, df in dfs.items():
+        if overwrite:
+            spark = df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            # a PREVIOUS session may have left the managed location on
+            # disk without a catalog entry — saveAsTable refuses that
+            # (LOCATION_ALREADY_EXISTS); clear the orphan.
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), name.lower())
+            shutil.rmtree(loc, ignore_errors=True)
         writer = (
             df.write.mode("overwrite" if overwrite else "error")
             .bucketBy(n_buckets, key)
