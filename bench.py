@@ -45,7 +45,9 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q9",
     "q_tpch_q18",
+    "q_tpch_q21",
 ]
 
 
