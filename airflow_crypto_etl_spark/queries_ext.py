@@ -602,3 +602,26 @@ ORACLE_DEDUP_CLUSTERS = _clusters_oracle()
 
 QUERIES_EXT["q_dedup_clusters"] = q_dedup_clusters
 ORACLE_EXT["q_dedup_clusters"] = ORACLE_DEDUP_CLUSTERS
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows via the streaming engine (2h window, 1h slide) —
+    oracle expands each event into its two containing windows."""
+    from .streaming.windows import streaming_sliding
+
+    return streaming_sliding(spark, sf_dir)
+
+
+ORACLE_STREAM_SLIDING = """
+WITH expanded AS (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+         event_type, value
+  FROM events)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM expanded GROUP BY window_start, event_type
+"""
+
+QUERIES_EXT["q_stream_sliding"] = q_stream_sliding
+ORACLE_EXT["q_stream_sliding"] = ORACLE_STREAM_SLIDING

@@ -150,3 +150,19 @@ def stream_to_parquet(spark: SparkSession, sf_dir: str, out_dir: str, checkpoint
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide) computed BY THE STREAMING
+    ENGINE — each event lands in two overlapping windows; complete-mode
+    bounded replay, so emission equals the batch semantics."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
