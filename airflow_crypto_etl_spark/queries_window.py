@@ -658,3 +658,60 @@ QUERIES_WINDOW["q_salted_join"] = q_salted_join
 ORACLE_WINDOW["q_salted_join"] = ORACLE_SALTED_JOIN
 QUERIES_WINDOW["q_bucketed_join"] = q_bucketed_join
 ORACLE_WINDOW["q_bucketed_join"] = ORACLE_BUCKETED_JOIN
+
+
+def q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics from exact moments: mean, population variance, and
+    Pearson correlation assembled from DECIMAL power sums, with the
+    float math applied only to the (exact, association-order-free)
+    sums. Native corr()/var_pop() merge co-moments in partition order —
+    fp-nondeterministic across partitionings; this form hashes
+    identically everywhere. The groupBy is still one partial+final
+    hash aggregate carrying five sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,4)")
+    y = F.col("l_extendedprice").cast("decimal(12,4)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = F.col("sxx").cast("double"), F.col("syy").cast("double"), F.col("sxy").cast("double")
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 4).alias("mean_qty"),
+        F.round((sxx - sx * sx / n) / n, 4).alias("var_pop_qty"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4
+        ).alias("corr_qty_price"),
+    )
+
+
+ORACLE_CORR_EXACT = """
+WITH g AS (
+  -- DECIMAL(19,4) inputs: DuckDB's product type is then DECIMAL(38,8)
+  -- (a (12,4) input caps the product at DECIMAL(18,8), which price^2
+  -- overflows); values are identical to Spark's (25,8)-exact products.
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       round(sx / n, 4) AS mean_qty,
+       round((sxx - sx * sx / n) / n, 4) AS var_pop_qty,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qty_price
+FROM (SELECT l_returnflag, CAST(n AS DOUBLE) AS n_d, n, sx, sy, sxx, syy, sxy FROM g)
+"""
+
+QUERIES_WINDOW["q_corr_exact"] = q_corr_exact
+ORACLE_WINDOW["q_corr_exact"] = ORACLE_CORR_EXACT
