@@ -715,3 +715,36 @@ FROM (SELECT l_returnflag, CAST(n AS DOUBLE) AS n_d, n, sx, sy, sxx, syy, sxy FR
 
 QUERIES_WINDOW["q_corr_exact"] = q_corr_exact
 ORACLE_WINDOW["q_corr_exact"] = ORACLE_CORR_EXACT
+
+
+def q_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: timestamp ± INTERVAL, month arithmetic with
+    end-of-month clamping (add_months), and unit-true diffs
+    (timestampdiff) — the shipping-latency calculation shape."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("timestampdiff(HOUR, o_orderdate, l_shipdate)").alias("latency_hours"),
+        F.expr("timestampdiff(DAY, o_orderdate, l_shipdate)").alias("latency_days"),
+        (F.col("o_orderdate") + F.expr("interval 45 days")).cast("date").alias("due_date"),
+        F.add_months(F.to_date("o_orderdate"), 3).alias("quarter_later"),
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 45 days")).alias("is_late"),
+    )
+
+
+ORACLE_INTERVAL_ARITH = """
+SELECT l_orderkey, l_linenumber,
+       CAST(date_diff('hour', o_orderdate, l_shipdate) AS BIGINT) AS latency_hours,
+       CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)  AS latency_days,
+       CAST(o_orderdate + INTERVAL 45 DAY AS DATE)                AS due_date,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+       l_shipdate > o_orderdate + INTERVAL 45 DAY                 AS is_late
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_orderkey < 2000
+"""
+
+QUERIES_WINDOW["q_interval_arith"] = q_interval_arith
+ORACLE_WINDOW["q_interval_arith"] = ORACLE_INTERVAL_ARITH
