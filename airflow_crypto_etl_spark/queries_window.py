@@ -748,3 +748,94 @@ WHERE l_orderkey < 2000
 
 QUERIES_WINDOW["q_interval_arith"] = q_interval_arith
 ORACLE_WINDOW["q_interval_arith"] = ORACLE_INTERVAL_ARITH
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: one pass, fixed bucket
+    count — the profiling shape that replaces collecting a column to
+    the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.width_bucket(F.col("l_extendedprice"), F.lit(0.0), F.lit(110000.0), F.lit(11))
+    return (
+        li.groupBy(b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 4).alias("lo"),
+            F.round(F.max("l_extendedprice"), 4).alias("hi"),
+        )
+    )
+
+
+ORACLE_HISTOGRAM = """
+-- width_bucket(x, 0, 110000, 11) spelled arithmetically (no width_bucket in DuckDB)
+SELECT CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                 WHEN l_extendedprice >= 110000.0 THEN 12
+                 ELSE floor(l_extendedprice / 10000.0) + 1 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(l_extendedprice), 4) AS lo,
+       round(max(l_extendedprice), 4) AS hi
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact mode per group: count per value, then
+    max_by with an explicit (count desc, value asc) tiebreak — native
+    mode() leaves ties engine-defined, this form hashes identically
+    everywhere."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("l_returnflag").agg(
+        F.max_by("l_quantity", F.struct(F.col("cnt"), (-F.col("l_quantity")).cast("double"))).alias(
+            "mode_qty"
+        ),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+ORACLE_MODE_EXACT = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+ranked AS (
+  SELECT l_returnflag, l_quantity, cnt,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity ASC) AS rn
+  FROM counts)
+SELECT l_returnflag, l_quantity AS mode_qty,
+       (SELECT max(cnt) FROM counts c WHERE c.l_returnflag = ranked.l_returnflag) AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_string_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-surgery battery: split_part, translate, repeat, left/
+    right slices, position — engine-portable subset."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("_"), F.lit(1)).alias("name_head"),
+        F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.repeat(F.lit("*"), F.col("c_nationkey") % 5).alias("stars"),
+        F.substring(F.col("c_name"), 1, 4).alias("left4"),
+        F.right(F.col("c_name"), F.lit(3)).alias("right3"),
+        F.instr(F.col("c_name"), "_").alias("us_pos"),
+    )
+
+
+ORACLE_STRING_SURGERY = """
+SELECT c_custkey,
+       split_part(c_name, '_', 1) AS name_head,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       repeat('*', c_nationkey % 5) AS stars,
+       substring(c_name, 1, 4) AS left4,
+       right(c_name, 3) AS right3,
+       CAST(strpos(c_name, '_') AS INTEGER) AS us_pos
+FROM customer WHERE c_custkey < 1000
+"""
+
+QUERIES_WINDOW["q_histogram"] = q_histogram
+ORACLE_WINDOW["q_histogram"] = ORACLE_HISTOGRAM
+QUERIES_WINDOW["q_mode_exact"] = q_mode_exact
+ORACLE_WINDOW["q_mode_exact"] = ORACLE_MODE_EXACT
+QUERIES_WINDOW["q_string_surgery"] = q_string_surgery
+ORACLE_WINDOW["q_string_surgery"] = ORACLE_STRING_SURGERY
