@@ -3,10 +3,12 @@
 The reference's analytical intent is the star-schema serving layer
 (SURVEY.md §2.4 J1: `coin_prices_fact ⋈ coin_dimension`, DDL at
 `/root/reference/dags/coin_data_pipeline_optimized.py:87-104`). This
-module exercises that intent at engine strength: 19 of the 22 classic
+module exercises that intent at engine strength: all 22 classic
 TPC-H query shapes (Q1 pricing summary through Q22 inactive customers),
 adapted to the driver's TPC-H-ish columns (TESTDATA.md). Q2/Q11/Q20 are
-skipped — they are partsupp-centric and the schema has no partsupp;
+partsupp-centric and the schema has no partsupp, so they run over a
+deterministic *derived* partsupp (see ``derived_partsupp``) that the
+DuckDB oracle rebuilds with identical integer/decimal arithmetic;
 Q16's supplier-part pairs are observed through lineitem instead, and
 "late" (Q4/Q21) is modeled as shipped >60 days after order date since
 there are no commit/receipt dates.
@@ -826,7 +828,272 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Derived partsupp — closes the Q2/Q11/Q20 gap
+# ---------------------------------------------------------------------------
+#
+# The driver schema has no partsupp table, so the three partsupp-centric
+# TPC-H shapes are run over a *derived* partsupp relation computed
+# identically (pure integer/decimal arithmetic) by the Spark query and the
+# DuckDB oracle from the tables both sides share: 4 suppliers per part,
+# dbgen-style. Distinctness of the 4 ps_suppkey values per part is
+# guaranteed because the stride is floor(S/4) ≥ 1 and 3·floor(S/4) < S.
+# All supplycost/availqty arithmetic is decimal/integer — no double terms —
+# so the cross-engine value hash is exact.
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp: 4 (part, supplier) rows per part with
+    arithmetic-derived availqty/supplycost. Scales linearly with |part|
+    (explode of a 4-element sequence — no cross join against supplier;
+    the supplier count enters via a 1-row broadcast)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    scnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_cnt"))
+    return (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey",
+            "s_cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (
+                    (F.col("p_partkey") % F.col("s_cnt"))
+                    + F.col("i") * F.expr("s_cnt div 4")
+                )
+                % F.col("s_cnt")
+            ).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 37 + F.col("i") * 11) % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 13 + F.col("i") * 7) % 100000 + 100)
+                .cast("decimal(12,0)")
+                * F.lit("0.01").cast("decimal(4,2)")
+            )
+            .cast("decimal(12,2)")
+            .alias("ps_supplycost"),
+        )
+    )
+
+
+_PARTSUPP_SQL = """
+partsupp AS (
+    SELECT p_partkey AS ps_partkey,
+           ((p_partkey % s_cnt) + i * (s_cnt // 4)) % s_cnt AS ps_suppkey,
+           CAST((p_partkey * 37 + i * 11) % 9999 + 1 AS INTEGER) AS ps_availqty,
+           CAST(CAST((p_partkey * 13 + i * 7) % 100000 + 100 AS DECIMAL(12,0))
+                * CAST(0.01 AS DECIMAL(4,2)) AS DECIMAL(12,2)) AS ps_supplycost
+    FROM part,
+         (SELECT count(*) AS s_cnt FROM supplier),
+         generate_series(0, 3) AS g(i)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated-min decorrelated to a window)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for STANDARD parts of mid size, the EUROPE supplier(s)
+    at the per-part minimum supplycost. The classic correlated scalar
+    subquery is decorrelated into ``min() OVER (PARTITION BY part)`` —
+    one window pass instead of a second join against the same relation."""
+    from pyspark.sql.window import Window
+
+    ps = derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 30)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = supp.join(
+        F.broadcast(
+            nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+                "n_nationkey", "n_name"
+            )
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+    )
+    cand = ps.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        ps.ps_partkey == F.col("p_partkey"),
+    ).join(euro_supp, ps.ps_suppkey == euro_supp.s_suppkey)
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_TPCH_Q2 = f"""
+WITH {_PARTSUPP_SQL.strip()},
+cand AS (
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost,
+           min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+    FROM partsupp
+    JOIN part     ON ps_partkey = p_partkey
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM cand
+WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (global-total scalar via broadcast)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's suppliers,
+    kept when above a fraction of the nation total. The scalar total is a
+    1-row aggregate broadcast into the HAVING predicate — no second scan
+    materialization. Sums stay in decimal and are down-cast to
+    DECIMAL(18,2) *before* the fraction multiply so neither engine hits
+    its precision ceiling (38) and silently rounds."""
+    ps = derived_partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nsupp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey"
+    )
+    joined = ps.join(F.broadcast(nsupp), ps.ps_suppkey == F.col("s_suppkey"))
+    val = F.col("ps_supplycost") * F.col("ps_availqty").cast("decimal(10,0)")
+    per_part = joined.groupBy("ps_partkey").agg(
+        F.sum(val).cast("decimal(18,2)").alias("value_raw")
+    )
+    total = joined.agg(F.sum(val).cast("decimal(18,2)").alias("total_raw"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_raw")
+            > F.col("total_raw") * F.lit("0.005").cast("decimal(6,4)")
+        )
+        .select("ps_partkey", F.col("value_raw").cast(_DEC).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+ORACLE_TPCH_Q11 = f"""
+WITH {_PARTSUPP_SQL.strip()},
+nsupp AS (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+),
+per_part AS (
+    SELECT ps_partkey,
+           CAST(sum(ps_supplycost * CAST(ps_availqty AS DECIMAL(10,0))) AS DECIMAL(18,2)) AS value_raw
+    FROM partsupp JOIN nsupp ON ps_suppkey = s_suppkey
+    GROUP BY ps_partkey
+),
+tot AS (
+    SELECT CAST(sum(ps_supplycost * CAST(ps_availqty AS DECIMAL(10,0))) AS DECIMAL(18,2)) AS total_raw
+    FROM partsupp JOIN nsupp ON ps_suppkey = s_suppkey
+)
+SELECT ps_partkey, CAST(value_raw AS DECIMAL(18,4)) AS value
+FROM per_part, tot
+WHERE value_raw > total_raw * CAST(0.005 AS DECIMAL(6,4))
+ORDER BY value DESC, ps_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess-stock suppliers (semi-join over a correlated half-sum)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: ASIA suppliers holding more than half the quantity
+    they shipped of any 'small%' part in 1996. The correlated
+    ``0.5 * sum(l_quantity)`` subquery becomes a grouped aggregate joined
+    back on (partkey, suppkey); quantity sums are decimal so the strict
+    inequality can't flip on float association order."""
+    ps = derived_partsupp(spark, sf_dir)
+    small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("shipped_qty")
+    )
+    qualifying = (
+        ps.join(F.broadcast(small), ps.ps_partkey == small.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(
+            F.col("ps_availqty").cast("decimal(12,2)")
+            > F.col("shipped_qty") * F.lit("0.5").cast("decimal(2,1)")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .join(
+            F.broadcast(
+                nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "s_acctbal", "n_name")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_TPCH_Q20 = f"""
+WITH {_PARTSUPP_SQL.strip()},
+shipped AS (
+    SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS shipped_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey, l_suppkey
+),
+qualifying AS (
+    SELECT DISTINCT ps_suppkey
+    FROM partsupp
+    JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') p
+      ON ps_partkey = p.p_partkey
+    JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    WHERE CAST(ps_availqty AS DECIMAL(12,2)) > shipped_qty * CAST(0.5 AS DECIMAL(2,1))
+)
+SELECT s_name, s_acctbal, n_name
+FROM supplier
+JOIN qualifying ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+ORDER BY s_name
+"""
+
+
 QUERIES_TPCH = {
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q20": q_tpch_q20,
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q5": q_tpch_q5,
@@ -849,6 +1116,9 @@ QUERIES_TPCH = {
 }
 
 ORACLE_TPCH = {
+    "q_tpch_q2": ORACLE_TPCH_Q2,
+    "q_tpch_q11": ORACLE_TPCH_Q11,
+    "q_tpch_q20": ORACLE_TPCH_Q20,
     "q_tpch_q1": ORACLE_TPCH_Q1,
     "q_tpch_q3": ORACLE_TPCH_Q3,
     "q_tpch_q5": ORACLE_TPCH_Q5,
