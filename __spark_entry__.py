@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_ext as qx
+from airflow_crypto_etl_spark import queries_scale as qs
 from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark import queries_udf as qu
 from airflow_crypto_etl_spark import queries_window as qw
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | dict(qt.QUERIES_TPCH)
         | dict(qw.QUERIES_WINDOW)
         | dict(qu.QUERIES_UDF)
+        | dict(qs.QUERIES_SCALE)
     )
 
 
@@ -50,4 +52,5 @@ def oracle_sql() -> dict[str, str]:
         | dict(qt.ORACLE_TPCH)
         | dict(qw.ORACLE_WINDOW)
         | dict(qu.ORACLE_UDF)
+        | dict(qs.ORACLE_SCALE)
     )

@@ -118,3 +118,85 @@ def test_arrow_topk_agrees_with_exact_fold(spark, sf_dir):
     ar = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in arrow}
     assert set(ex) == set(ar)
     assert all(abs(ex[kk] - ar[kk]) < 1e-9 for kk in ex)
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """With broadcast off (forcing a shuffle join), Catalyst's runtime
+    bloom-filter rule should plant a might_contain predicate on the big
+    side, built from the selective dim side — the row-level semi-join
+    reduction that matters when the fact side is 100 TB."""
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = 'URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_zorder_layout_prunes_2d_box(spark, sf_dir, tmp_path):
+    """Write the same rows (a) sorted by p_size and (b) sorted by the
+    Morton key, then count parquet row groups whose min/max stats overlap
+    a price-bucket point predicate. The 1-D size sort cannot prune the
+    price dimension; the Z-order layout must touch strictly fewer groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from airflow_crypto_etl_spark.queries_scale import _ZX, _ZY_SPARK, _morton_expr
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.expr(_ZY_SPARK).alias("pbucket"),
+        F.expr(_morton_expr(_ZX, _ZY_SPARK, "div")).cast("long").alias("zkey"),
+    )
+    layouts = {
+        "by_size": part.orderBy("p_size", "p_partkey").toPandas(),
+        "by_zkey": part.orderBy("zkey", "p_partkey").toPandas(),
+    }
+    n_rows = len(layouts["by_size"])
+    rg_size = max(1, n_rows // 8)
+    target = int(layouts["by_size"]["pbucket"].mode().iloc[0])
+
+    def overlapping_groups(path):
+        md = pq.ParquetFile(path).metadata
+        hit = 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats = {
+                g.column(i).path_in_schema: g.column(i).statistics
+                for i in range(g.num_columns)
+            }["pbucket"]
+            if stats.min <= target <= stats.max:
+                hit += 1
+        return md.num_row_groups, hit
+
+    counts = {}
+    for name, pdf in layouts.items():
+        path = tmp_path / f"{name}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=rg_size)
+        counts[name] = overlapping_groups(path)
+    assert counts["by_size"][0] == counts["by_zkey"][0] >= 8
+    assert counts["by_zkey"][1] < counts["by_size"][1]
