@@ -65,3 +65,78 @@ def running_totals_per_user(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState — the current-generation arbitrary-state API
+# ---------------------------------------------------------------------------
+#
+# transformWithStateInPandas supersedes applyInPandasWithState: typed,
+# composable state primitives (ValueState/ListState/MapState, TTL, timers)
+# backed by the RocksDB state store. Its Python worker protocol needs
+# `protobuf`, which is not installed in this container (and installs are
+# disallowed), so the processor below is import-gated: the class/plan
+# construction is real and the test exercises it only when protobuf is
+# present.
+
+TYPE_COUNTS_SCHEMA = "user_id bigint, event_type string, n_events bigint"
+
+TWS_STATE_STORE_CONF = (
+    "spark.sql.streaming.stateStore.providerClass",
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+)
+
+
+def _make_type_counts_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EventTypeCounts(StatefulProcessor):
+        """Per-user running count per event type, kept in MapState — state
+        size scales with (users × types) regardless of event volume, and
+        only the types touched by a micro-batch are read or written."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            delta: dict[str, int] = {}
+            for pdf in rows:
+                for et, c in pdf["event_type"].value_counts().items():
+                    delta[et] = delta.get(et, 0) + int(c)
+            users, types, ns = [], [], []
+            for et, d in sorted(delta.items()):
+                prev = (
+                    self._counts.getValue((et,))
+                    if self._counts.containsKey((et,))
+                    else None
+                )
+                n = (prev[0] if prev else 0) + d
+                self._counts.updateValue((et,), (n,))
+                users.append(key[0])
+                types.append(et)
+                ns.append(n)
+            yield pd.DataFrame(
+                {"user_id": users, "event_type": types, "n_events": ns}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return EventTypeCounts()
+
+
+def event_type_counts_per_user(events_stream: DataFrame) -> DataFrame:
+    """Streaming per-(user, event_type) running counts via
+    transformWithStateInPandas (Update mode, RocksDB state store —
+    set ``TWS_STATE_STORE_CONF`` on the session first)."""
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_type_counts_processor(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

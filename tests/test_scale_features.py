@@ -200,3 +200,39 @@ def test_zorder_layout_prunes_2d_box(spark, sf_dir, tmp_path):
         counts[name] = overlapping_groups(path)
     assert counts["by_size"][0] == counts["by_zkey"][0] >= 8
     assert counts["by_zkey"][1] < counts["by_size"][1]
+
+
+def test_transform_with_state_type_counts(spark, sf_dir):
+    """transformWithStateInPandas running counts equal batch group counts.
+    Gated: the TWS Python worker protocol needs protobuf, absent here."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from airflow_crypto_etl_spark.streaming.stateful import (
+        TWS_STATE_STORE_CONF,
+        event_type_counts_per_user,
+    )
+
+    k, v = TWS_STATE_STORE_CONF
+    old = spark.conf.get(k)
+    spark.conf.set(k, v)
+    try:
+        out = run_available_now(
+            event_type_counts_per_user(stream_events(spark, sf_dir)), "update"
+        )
+        got = {
+            (r["user_id"], r["event_type"]): r["n_events"]
+            for r in out.groupBy("user_id", "event_type")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        }
+        want = {
+            (r["user_id"], r["event_type"]): r["n"]
+            for r in load_table(spark, sf_dir, "events")
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(k, old)
