@@ -625,3 +625,29 @@ FROM expanded GROUP BY window_start, event_type
 
 QUERIES_EXT["q_stream_sliding"] = q_stream_sliding
 ORACLE_EXT["q_stream_sliding"] = ORACLE_STREAM_SLIDING
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase within 30
+    minutes) — append emission over the bounded replay equals the batch
+    interval self-join, so it is oracle-comparable."""
+    from .streaming.windows import streaming_stream_join
+
+    return streaming_stream_join(spark, sf_dir)
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+QUERIES_EXT["q_stream_stream_join"] = q_stream_stream_join
+ORACLE_EXT["q_stream_stream_join"] = ORACLE_STREAM_STREAM_JOIN

@@ -166,3 +166,45 @@ ORACLE_SCALE = {
     "q_fuzzy_join": ORACLE_FUZZY,
     "q_zorder_key": ORACLE_ZORDER,
 }
+
+
+# ---------------------------------------------------------------------------
+# Continuous-aggregate rollup hierarchy (hypertable-style)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeseries rollup hierarchy: the DAILY aggregate is derived by
+    re-aggregating HOURLY partials (count + decimal sum — both
+    merge-associative), never by rescanning raw events. This is the
+    continuous-aggregate / hypertable pattern: at 100 TB the raw scan
+    happens once into the finest rollup and every coarser resolution is
+    a cheap reaggregation of partials. The oracle aggregates raw events
+    straight to daily — the result must be identical, which is exactly
+    the partial-aggregation associativity guarantee."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+    )
+    return (
+        hourly.groupBy(F.to_date("h").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").cast("decimal(18,4)").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_ROLLUP_HIERARCHY = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+QUERIES_SCALE["q_rollup_hierarchy"] = q_rollup_hierarchy
+ORACLE_SCALE["q_rollup_hierarchy"] = ORACLE_ROLLUP_HIERARCHY

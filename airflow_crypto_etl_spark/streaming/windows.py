@@ -166,3 +166,44 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_available_now(agg, "complete")
     return out.select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+
+
+def streaming_stream_join(
+    spark: SparkSession, sf_dir: str, within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: click→purchase attribution per user
+    within a time bound. Both sides are watermarked and the join carries
+    an event-time range condition, so the state store can evict a click
+    once the purchase-side watermark passes click_ts + bound — state is
+    O(events inside the watermark horizon), not O(stream). The bounded
+    single-batch replay emits exactly the batch interval-join result,
+    so this is fully oracle-comparable."""
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            stream_events(spark, sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {within}")),
+    )
+    out = run_available_now(joined, "append")
+    return out.select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
