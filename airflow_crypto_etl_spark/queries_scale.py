@@ -208,3 +208,149 @@ GROUP BY 1, 2
 
 QUERIES_SCALE["q_rollup_hierarchy"] = q_rollup_hierarchy
 ORACLE_SCALE["q_rollup_hierarchy"] = ORACLE_ROLLUP_HIERARCHY
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — latest-per-key with tombstones
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change feed: keep each key's latest record (version order =
+    (ts, event_id)), dropping keys whose latest change is a tombstone
+    ('error' here). Implemented as a max_by struct aggregate — one hash
+    aggregate with map-side partials, skew-immune (no per-key sort, unlike
+    the row_number form the oracle uses)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("r")
+    )
+    return (
+        latest.filter(F.col("r.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.value").alias("value"),
+        )
+    )
+
+
+ORACLE_CDC_APPLY = """
+WITH r AS (
+    SELECT user_id, event_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_id, event_type, value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling — per-stratum deterministic rates
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample with per-stratum rates (urgent 50%, high 20%,
+    rest 5%) decided by the portable affine hash of the key — not rand():
+    reproducible across engines, partitionings, and re-runs, and the
+    filter stays inside whole-stage codegen. The 100 TB pattern for
+    class-balanced training subsets."""
+    from .functions.hashing import affine_hash
+
+    o = _t(spark, sf_dir, "orders")
+    h = affine_hash(F.col("o_orderkey"), F.lit(5)) % 100
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 50)
+        .when(F.col("o_orderpriority") == "2-HIGH", 20)
+        .otherwise(5)
+    )
+    return (
+        o.filter(h < rate)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("sum_price"),
+        )
+    )
+
+
+def _stratified_oracle() -> str:
+    from .functions.hashing import affine_hash_sql
+
+    h = affine_hash_sql("o_orderkey", "5")
+    return f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
+       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+FROM orders
+WHERE ({h}) % 100 < CASE o_orderpriority
+                      WHEN '1-URGENT' THEN 50
+                      WHEN '2-HIGH' THEN 20
+                      ELSE 5 END
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms — per-document TF ranking with DF pruning
+# ---------------------------------------------------------------------------
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document: term frequency ranked after
+    pruning corpus-common terms (document frequency > 20% of docs — the
+    stopword effect, computed from the data, not a list). All ordering
+    keys are integers/strings, so the ranking is bit-exact across
+    engines — no float tf-idf in the comparison path."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cand = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 5 <= F.col("n_docs"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "rank")
+    )
+
+
+ORACLE_DISTINCTIVE_TERMS = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+r AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term ASC) AS rank
+    FROM tf JOIN df USING (term), nd
+    WHERE df * 5 <= n_docs
+)
+SELECT doc_id, term, tf, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 3
+"""
+
+QUERIES_SCALE["q_cdc_apply"] = q_cdc_apply
+ORACLE_SCALE["q_cdc_apply"] = ORACLE_CDC_APPLY
+QUERIES_SCALE["q_stratified_sample"] = q_stratified_sample
+ORACLE_SCALE["q_stratified_sample"] = _stratified_oracle()
+QUERIES_SCALE["q_distinctive_terms"] = q_distinctive_terms
+ORACLE_SCALE["q_distinctive_terms"] = ORACLE_DISTINCTIVE_TERMS
