@@ -236,3 +236,95 @@ def test_transform_with_state_type_counts(spark, sf_dir):
         assert got == want
     finally:
         spark.conf.set(k, old)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """With one hot key dominating the left side, AQE's OptimizeSkewedJoin
+    must split the oversized shuffle partition: final adaptive plan shows
+    SortMergeJoin(skew=true) over an `AQEShuffleRead skewed` — the
+    runtime answer to key skew that salting solves statically."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 500_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan and "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_range_partitioned_write_nonoverlapping(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions before write produces
+    files with disjoint key ranges — the layout that lets a key-range
+    predicate prune whole FILES (coarser than row groups), which is what
+    keeps a 100 TB scan from touching most of its inputs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    out = str(tmp_path / "ranged")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats = {
+                g.column(i).path_in_schema: g.column(i).statistics
+                for i in range(g.num_columns)
+            }["l_orderkey"]
+            mins.append(stats.min)
+            maxs.append(stats.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+
+
+def test_hll_partial_sketches_union_to_global(spark, sf_dir):
+    """HLL sketches aggregated per group then hll_union_agg'd to a global
+    estimate — the mergeable-sketch rollup pattern (per-partition /
+    per-day sketches unioned instead of recounting raw data). Estimate
+    must land within 5% of the exact distinct count."""
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    est = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    exact = li.select("l_partkey").distinct().count()
+    assert abs(est - exact) <= 0.05 * exact
