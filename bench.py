@@ -18,10 +18,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_ext as qx
+from airflow_crypto_etl_spark import queries_scale as qs
 from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark.session import get_spark
 
-ALL_QUERIES = dict(q.QUERIES) | dict(qx.QUERIES_EXT) | dict(qt.QUERIES_TPCH)
+ALL_QUERIES = (
+    dict(q.QUERIES)
+    | dict(qx.QUERIES_EXT)
+    | dict(qt.QUERIES_TPCH)
+    | dict(qs.QUERIES_SCALE)
+)
 
 HEADLINE = [
     # reference-parity core
@@ -43,11 +49,16 @@ HEADLINE = [
     "q_stream_tumbling",
     # TPC-H analytic battery (join/agg heavy hitters)
     "q_tpch_q1",
+    "q_tpch_q2",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q9",
     "q_tpch_q18",
     "q_tpch_q21",
+    # warehouse modeling / streaming join
+    "q_scd2_intervals",
+    "q_stream_stream_join",
+    "q_rollup_hierarchy",
 ]
 
 
