@@ -354,3 +354,125 @@ QUERIES_SCALE["q_stratified_sample"] = q_stratified_sample
 ORACLE_SCALE["q_stratified_sample"] = _stratified_oracle()
 QUERIES_SCALE["q_distinctive_terms"] = q_distinctive_terms
 ORACLE_SCALE["q_distinctive_terms"] = ORACLE_DISTINCTIVE_TERMS
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE — calendar spine with gap-fill (Spark 4.1 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+
+def q_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly calendar spine generated by a RECURSIVE CTE (bounded
+    recursion, one row per step), left-joined against monthly order
+    counts so empty months surface as zeros — the gap-filling shape
+    reporting needs. Recursion depth = months in the fixed data span
+    (84), far under the engine's recursion level limit."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM spine WHERE m < DATE '2001-12-01'
+        ),
+        monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+                   count(*) AS n
+            FROM orders_rec GROUP BY 1
+        )
+        SELECT m AS month, COALESCE(n, 0) AS n_orders
+        FROM spine LEFT JOIN monthly ON mo = m
+        """
+    )
+
+
+ORACLE_RECURSIVE_SPINE = """
+WITH RECURSIVE spine(m) AS (
+    SELECT DATE '1995-01-01'
+    UNION ALL
+    SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < DATE '2001-12-01'
+),
+monthly AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+)
+SELECT m AS month, COALESCE(n, 0) AS n_orders
+FROM spine LEFT JOIN monthly ON mo = m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Variant — semi-structured extraction via the VARIANT type (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through VARIANT: ``parse_json`` once into a
+    typed variant column, then ``variant_get`` typed extraction — the
+    binary-encoded path that replaces repeated string re-parsing
+    (get_json_object) on hot columns. Rolled up into integer deciles so
+    every compared value is exact."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select((k - k % 10).alias("k_decile"), k.alias("k"))
+        .groupBy("k_decile")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+ORACLE_VARIANT_JSON = """
+WITH x AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT k - k % 10 AS k_decile, CAST(count(*) AS BIGINT) AS n, sum(k) AS sum_k
+FROM x GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# XML — built-in XML source round-trip (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML format round-trip (built into Spark 4): write the supplier dim
+    as XML rows, read it back with an explicit schema, aggregate per
+    nation. Exercises the remaining built-in semi-structured source
+    beside csv/json/parquet/orc (q_scan_csv/q_scan_parquet/q_scan_orc)."""
+    import tempfile
+
+    sup = _t(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="aces_xml_") + "/supplier_xml"
+    (
+        sup.write.mode("overwrite")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .save(out)
+    )
+    back = (
+        spark.read.schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(out)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,4)")).alias("sum_acctbal"),
+    )
+
+
+ORACLE_SCAN_XML = """
+SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+       sum(CAST(s_acctbal AS DECIMAL(18,4))) AS sum_acctbal
+FROM supplier GROUP BY s_nationkey
+"""
+
+QUERIES_SCALE["q_recursive_spine"] = q_recursive_spine
+ORACLE_SCALE["q_recursive_spine"] = ORACLE_RECURSIVE_SPINE
+QUERIES_SCALE["q_variant_json"] = q_variant_json
+ORACLE_SCALE["q_variant_json"] = ORACLE_VARIANT_JSON
+QUERIES_SCALE["q_scan_xml"] = q_scan_xml
+ORACLE_SCALE["q_scan_xml"] = ORACLE_SCAN_XML

@@ -328,3 +328,38 @@ def test_hll_partial_sketches_union_to_global(spark, sf_dir):
     ).collect()[0]["est"]
     exact = li.select("l_partkey").distinct().count()
     assert abs(est - exact) <= 0.05 * exact
+
+
+def test_analyze_table_feeds_optimizer_estimates(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must surface as optimizer
+    cardinality estimates (CBO input) — at 100 TB, stats-driven join
+    ordering/broadcast decisions are what keep plans sane before AQE's
+    runtime correction kicks in."""
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    spark.sql("DROP TABLE IF EXISTS cbo_probe")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(
+        "cbo_probe"
+    )
+    spark.sql("ANALYZE TABLE cbo_probe COMPUTE STATISTICS FOR ALL COLUMNS")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        n = load_table(spark, sf_dir, "orders").count()
+        stats = (
+            spark.table("cbo_probe")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == n
+        line = (
+            spark.sql("DESC EXTENDED cbo_probe o_orderkey")
+            .filter("info_name = 'distinct_count'")
+            .collect()
+        )
+        assert line and int(line[0][1]) > 0
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+        spark.sql("DROP TABLE IF EXISTS cbo_probe")
