@@ -39,6 +39,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -107,3 +108,54 @@ class JsonlShardDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
         return JsonlShardWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlShardStreamWriter":
+        return JsonlShardStreamWriter(dict(self.options))
+
+
+class JsonlShardStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`JsonlShardWriter`: every micro-batch
+    commits its shards under batch-scoped final names
+    (``part-b{batchId}-...``), so a batch retried after a crash re-renames
+    over its own names instead of duplicating output — idempotent,
+    exactly-once publication keyed by batchId (the same contract
+    foreachBatch sinks must implement by hand)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_shard stream sink requires a 'path' option")
+        self.path = path
+
+    def write(self, iterator) -> ShardCommit:
+        os.makedirs(os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = os.path.join(self.path, "_tmp", f"{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return ShardCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        # idempotent re-publish: clear any shard this batch already
+        # committed (a retry after a crash between rename and checkpoint)
+        for name in os.listdir(self.path):
+            if name.startswith(f"part-b{batchId:05d}-"):
+                os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.replace(
+                m.tmp_path,
+                os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass

@@ -70,3 +70,28 @@ def test_jsonl_shard_append_accumulates(spark, sf_dir, tmp_path):
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 2
     assert spark.read.json(out).count() == 2 * small.count()
+
+
+def test_jsonl_shard_streaming_sink(spark, sf_dir, tmp_path):
+    """Custom Python DataSource STREAM writer: availableNow replay of the
+    event stream into batch-scoped shards; output must equal the batch
+    event count and carry batchId-prefixed names (the idempotent
+    re-publish key)."""
+    from airflow_crypto_etl_spark.streaming.windows import stream_events
+
+    _register(spark)
+    out = str(tmp_path / "stream_shards")
+    ckpt = str(tmp_path / "ckpt")
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    q = (
+        ev.writeStream.format("jsonl_shard")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = [f for f in os.listdir(out) if f.startswith("part-b")]
+    assert parts, "no batch-scoped shards written"
+    n = spark.read.json(out).count()
+    assert n == load_table(spark, sf_dir, "events").count()

@@ -81,3 +81,31 @@ def test_compaction_binpacks_small_files(spark, sf_dir, tmp_path):
 
     again = compaction.compact_parquet(spark, path, target_mb=1)
     assert again["skipped"]
+
+
+def test_parquet_schema_evolution_mergeschema(spark, sf_dir, tmp_path):
+    """Lake schema evolution: a partition written before a column existed
+    must coexist with newer partitions — mergeSchema=true reads the
+    superset schema with NULLs for the missing column, and the old
+    partition keeps pruning correctly."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    out = str(tmp_path / "evolving")
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", "o_totalprice").withColumn("dt", F.lit("2026-01-01"))
+    v2 = (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .withColumn("dt", F.lit("2026-01-02"))
+    )
+    v1.write.partitionBy("dt").mode("append").parquet(out)
+    v2.write.partitionBy("dt").mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "o_orderpriority" in merged.columns
+    old = merged.filter(F.col("dt") == "2026-01-01")
+    assert old.filter(F.col("o_orderpriority").isNull()).count() == old.count()
+    new = merged.filter(F.col("dt") == "2026-01-02")
+    assert new.filter(F.col("o_orderpriority").isNotNull()).count() == new.count()
+    assert merged.count() == 2 * o.count()
