@@ -31,10 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.q_gold_daily(spark, SF_SMOKE)
 
 
+def _finalized(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return q.finalize_decimals(fn(spark, sf_dir))
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, plus the
-    training-data extension set (dedup/similarity/text/windows)."""
-    return (
+    training-data extension set (dedup/similarity/text/windows).
+
+    Every query is wrapped with ``finalize_decimals``: decimal
+    arithmetic stays internal for exactness, but the published schema
+    carries doubles — the driver's DuckDB oracle materializes decimals
+    as float64, and each oracle mirrors the cast at its final select."""
+    raw = (
         dict(q.QUERIES)
         | dict(qx.QUERIES_EXT)
         | dict(qt.QUERIES_TPCH)
@@ -42,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | dict(qu.QUERIES_UDF)
         | dict(qs.QUERIES_SCALE)
     )
+    return {name: _finalized(fn) for name, fn in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:

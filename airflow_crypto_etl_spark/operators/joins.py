@@ -49,29 +49,97 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     direction: str = "backward",
+    strategy: str = "merge",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` (backward) within the same ``on`` key.
+    ``right_ts <= left_ts`` (backward) within the same ``on`` key;
+    inner semantics (left rows without a match are dropped), matching
+    DuckDB/pandas ASOF JOIN.
 
-    Spark lacks a native ASOF JOIN; composition: equi-join on the key
-    with the range predicate, then keep the max-ts right match per left
-    row via a window. The equi-join keeps the shuffle keyed on ``on``
-    (co-partitioned both sides); the window re-uses that partitioning, so
-    AQE sees one shuffle. For very hot keys, pre-bucket both sides on
-    ``on``. (Alternative at extreme skew: ``applyInPandas`` +
-    ``pd.merge_asof`` per key-group.)
+    Spark lacks a native ASOF JOIN; two compositions:
+
+    - ``strategy="merge"`` (default, the 100 TB path): cogroup both
+      sides on ``on`` and run ``pd.merge_asof`` per key group via
+      ``applyInPandas``. Exactly ONE shuffle per input, keyed on
+      ``on``, and the (left × prior-right) candidate pairs are NEVER
+      materialized — per-group cost is the sort-merge O(n log n), not
+      O(pairs). Arrow-batched, not per-row Python.
+    - ``strategy="pairs"`` (JVM-only alternative): equi-join on ``on``
+      with the range predicate, then collapse to the best match per
+      left row with ``max_by`` keyed on a synthesized unique row id.
+      The partial (map-side) aggregation collapses each left row's
+      matches inside the join stage, so the second exchange moves only
+      ~|left| rows — but the join still *enumerates* every candidate
+      pair, which a hot key can make quadratic. Use for small/cold
+      keys when staying JVM-side wins.
     """
+    if strategy == "merge":
+        return _asof_merge(left, right, on, left_ts, right_ts, right_cols, direction)
+    if strategy != "pairs":
+        raise ValueError(f"unknown asof strategy: {strategy!r}")
     cmp_ok = F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") if direction == "backward" else (
         F.col(f"__r.{right_ts}") >= F.col(f"__l.{left_ts}")
     )
-    order = F.col(f"__r.{right_ts}").desc() if direction == "backward" else F.col(f"__r.{right_ts}").asc()
-    l, r = left.alias("__l"), right.alias("__r")
+    pick = F.max_by if direction == "backward" else F.min_by
+    l = left.withColumn("__lid", F.monotonically_increasing_id()).alias("__l")
+    r = right.alias("__r")
     joined = l.join(r, (F.col(f"__l.{on}") == F.col(f"__r.{on}")) & cmp_ok, "inner")
-    w = Window.partitionBy(*[F.col(f"__l.{c}") for c in left.columns]).orderBy(order)
-    out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    keep = [F.col(f"__l.{c}").alias(c) for c in left.columns]
-    keep += [F.col(f"__r.{c}").alias(f"r_{c}") for c in right_cols]
-    return out.select(*keep)
+    picked = joined.groupBy(F.col("__l.__lid").alias("__lid")).agg(
+        # left columns are constant within a __lid group, so first() is
+        # deterministic here despite its general order-dependence
+        *[F.first(F.col(f"__l.{c}")).alias(c) for c in left.columns],
+        *[pick(F.col(f"__r.{c}"), F.col(f"__r.{right_ts}")).alias(f"r_{c}") for c in right_cols],
+    )
+    return picked.select(*left.columns, *[f"r_{c}" for c in right_cols])
+
+
+def _asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str,
+) -> DataFrame:
+    """Cogrouped ``pd.merge_asof`` kernel (see ``asof_join``)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    r_keep = list(dict.fromkeys([right_ts, *right_cols]))  # ts needed for the merge key
+    # Alias-rename EVERY right column (fresh exprIds): when both sides
+    # share lineage (e.g. two filters of one events scan), Spark's
+    # self-cogroup dedup collapses right attributes that carry the same
+    # name as left ones, and the right pandas frame arrives without them.
+    right_slim = right.select(
+        F.col(on).alias("__r_on"), *[F.col(c).alias(f"__m_{c}") for c in r_keep]
+    )
+    out_fields = list(left.schema.fields) + [
+        T.StructField(f"r_{c}", right_slim.schema[f"__m_{c}"].dataType, True) for c in right_cols
+    ]
+    schema = T.StructType(out_fields)
+    l_cols = list(left.columns)
+    match_col = f"__m_{right_ts}"
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        rr = rpdf[[f"__m_{c}" for c in r_keep]].sort_values(match_col)
+        ll = lpdf.sort_values(left_ts)
+        m = pd.merge_asof(
+            ll, rr, left_on=left_ts, right_on=match_col, direction=direction
+        )
+        m = m[m[match_col].notna()]  # inner asof semantics
+        out = m[l_cols].copy()
+        for c in right_cols:
+            out[f"r_{c}"] = m[f"__m_{c}"]
+        return out
+
+    return (
+        left.groupBy(on)
+        .cogroup(right_slim.groupBy("__r_on"))
+        .applyInPandas(merge, schema=schema)
+    )
 
 
 def salted_join(

@@ -182,6 +182,65 @@ def lsh_topk(
     )
 
 
+def lsh_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup at scale: candidate pairs come from a bucket
+    EQUI-JOIN (same sign-LSH bucket in any of L tables), never an
+    all-pairs product — expected candidate count is Σ_buckets n_b²/2
+    ≈ N²·L/2^P per table-bucket skew, versus N²/2 for the cross join,
+    and the shuffle is keyed on (table, bucket) so it scales out.
+
+    ``bucket_cap`` bounds the quadratic term: (table, bucket) groups
+    larger than the cap are dropped before the self-join (the
+    stop-shingle move — a bucket that dense carries no discriminative
+    signal, and at 100 TB one degenerate bucket is the whole runtime).
+    Raise ``planes`` instead when recall for such pairs still matters.
+
+    Same output contract as ``cosine_pairs`` (vec_a < vec_b, cos ≥
+    threshold); recall is the LSH collision probability (two vectors at
+    angle θ share a P-bit bucket with (1-θ/π)^P in one table, 1-(1-p)^L
+    overall), so pairs that never collide are not emitted — that is the
+    deliberate approximation that makes 100 TB feasible.
+    ``cosine_pairs`` remains the exact verification kernel for small N.
+
+    Candidates carry ids only (vectors joined back for scoring), so
+    shuffle volume is O(candidate pairs), not O(pairs·dim)."""
+    base = _normed_base(emb, id_col, vec_col)
+    wide = base.select(
+        F.col(id_col),
+        *[lsh_bucket(F.col("v"), dim, planes, t * planes).alias(f"b{t}") for t in range(tables)],
+    )
+    stack = ", ".join(f"{t}, b{t}" for t in range(tables))
+    long = wide.selectExpr(id_col, f"stack({tables}, {stack}) as (t, bucket)")
+    if bucket_cap is not None:
+        sizes = long.groupBy("t", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+        long = long.join(sizes.filter(F.col("__n") <= bucket_cap), ["t", "bucket"]).drop("__n")
+    a = long.select(F.col(id_col).alias("vec_a"), "t", "bucket")
+    b = long.select(F.col(id_col).alias("vec_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    scored = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    )
+    return scored.filter(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -11,6 +11,16 @@ Numeric-determinism policy (so hashes are reproducible across engines,
 partitionings, and re-runs):
 - SUM over float measures casts to DECIMAL(18,4) first → exact,
   association-order-independent arithmetic.
+- DECIMAL stays INTERNAL: the driver's oracle side materializes
+  decimals as float64, so a DecimalType column in a registered query's
+  final schema diverges at the hash boundary on representation, not
+  math (round-1 root cause: 8/50 hash fails, all decimal-output).
+  Every registered query is therefore wrapped with
+  ``finalize_decimals`` (decimal → plain double cast — exact IEEE
+  nearest on both engines, no round() cross-engine ambiguity), and
+  every oracle mirrors it with ``CAST(... AS DOUBLE)`` at the final
+  select. ``tests/test_oracle_parity.py`` asserts no DecimalType
+  escapes.
 - AVG stays double (relative fp error ~1e-12) and is rounded to 4dp.
 - double→int conversions go through explicit FLOOR/ROUND (Spark CAST
   truncates, DuckDB CAST rounds — never rely on CAST).
@@ -45,6 +55,24 @@ _DEC = "decimal(18,4)"
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     return load_table(spark, sf_dir, name)
+
+
+def finalize_decimals(df: DataFrame) -> DataFrame:
+    """Driver-boundary normalization: cast every DecimalType column in a
+    final result to double (exact IEEE-nearest on Spark and DuckDB
+    alike). Decimal arithmetic stays internal to the plan — this only
+    rewrites the last Project, which whole-stage codegen collapses into
+    the existing one, so there is no extra stage or shuffle."""
+    if not any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, T.DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +172,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS sum_measure,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_measure,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -159,7 +187,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CUBE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 4) AS sum_measure,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_measure,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -184,9 +212,9 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PIVOT_EVENTS = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END)    AS sum_click,
-       sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END)     AS sum_view,
-       sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS sum_purchase
+       CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)    AS sum_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)     AS sum_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS sum_purchase
 FROM events GROUP BY user_id
 """
 
@@ -293,7 +321,7 @@ def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FILTER_RANGE = """
-SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
@@ -350,7 +378,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STAR_JOIN = """
 SELECT r_name, n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -419,7 +447,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RANGE_JOIN = """
 SELECT band, CAST(count(*) AS BIGINT) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e9)) AS b(band, lo, hi)
   ON value >= lo AND value < hi
@@ -554,7 +582,7 @@ def q_union_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_UNION_PARTITIONS = """
 SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
        CAST(count(*) AS BIGINT) AS n_rows,
-       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
 FROM (
   SELECT * FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1995
   UNION ALL

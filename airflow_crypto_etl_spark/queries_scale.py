@@ -201,7 +201,7 @@ def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ROLLUP_HIERARCHY = """
 SELECT date_trunc('day', ts) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -286,7 +286,7 @@ def _stratified_oracle() -> str:
     h = affine_hash_sql("o_orderkey", "5")
     return f"""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
-       sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
 FROM orders
 WHERE ({h}) % 100 < CASE o_orderpriority
                       WHEN '1-URGENT' THEN 50
@@ -466,7 +466,7 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SCAN_XML = """
 SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
-       sum(CAST(s_acctbal AS DECIMAL(18,4))) AS sum_acctbal
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
 FROM supplier GROUP BY s_nationkey
 """
 

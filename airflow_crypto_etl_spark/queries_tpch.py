@@ -78,12 +78,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS {_DEC}))      AS sum_qty,
-       sum(CAST(l_extendedprice AS {_DEC})) AS sum_base_price,
-       sum({_REV_SQL})                      AS sum_disc_price,
-       sum(CAST(l_extendedprice AS DECIMAL(12,4))
+       CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_REV_SQL}) AS DOUBLE)                      AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
            * (1 - CAST(l_discount AS DECIMAL(6,4)))
-           * (1 + CAST(l_tax AS DECIMAL(6,4))))       AS sum_charge,
+           * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE)  AS sum_charge,
        round(avg(l_quantity), 4)      AS avg_qty,
        round(avg(l_extendedprice), 4) AS avg_price,
        round(avg(l_discount), 4)      AS avg_disc,
@@ -118,7 +118,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q3 = f"""
 SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-       sum({_REV_SQL}) AS revenue
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -161,7 +161,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q5 = f"""
-SELECT n_name, sum({_REV_SQL}) AS revenue
+SELECT n_name, CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -197,7 +197,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q6 = f"""
-SELECT sum(CAST(l_extendedprice * l_discount AS {_DEC})) AS revenue
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS {_DEC})) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
   AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
@@ -234,7 +234,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q10 = f"""
 SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal, n_name,
-       sum({_REV_SQL}) AS revenue
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -306,8 +306,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q14 = f"""
-SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS promo_revenue,
-       sum({_REV_SQL}) AS total_revenue,
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS total_revenue,
        round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS DOUBLE) * 100
              / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS promo_pct
 FROM lineitem
@@ -347,7 +347,7 @@ WITH rev AS (
   WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
     AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
   GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """
@@ -391,7 +391,7 @@ WITH brand_li AS (
 part_avg AS (
   SELECT l_partkey AS avg_partkey, avg(l_quantity) AS avg_qty
   FROM brand_li GROUP BY l_partkey)
-SELECT sum(CAST(l_extendedprice AS {_DEC})) AS total_price,
+SELECT CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) AS total_price,
        round(CAST(sum(CAST(l_extendedprice AS {_DEC})) AS DOUBLE) / 7.0, 4) AS avg_yearly
 FROM brand_li JOIN part_avg ON l_partkey = avg_partkey
 WHERE l_quantity < 0.2 * avg_qty
@@ -436,7 +436,7 @@ WITH big AS (
   SELECT l_orderkey, sum(CAST(l_quantity AS {_DEC})) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS {_DEC})) > 170)
 SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-       round(o_totalprice, 4) AS o_totalprice, sum_qty
+       round(o_totalprice, 4) AS o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
 FROM big
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -469,7 +469,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q22 = f"""
 SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-       sum(CAST(c_acctbal AS {_DEC})) AS totacctbal
+       CAST(sum(CAST(c_acctbal AS {_DEC})) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -554,7 +554,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TPCH_Q7 = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS l_year,
-       sum({_REV_SQL}) AS revenue
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -612,8 +612,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q8 = f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       sum(CASE WHEN n2.n_name = 'NATION_9' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS nation_volume,
-       sum({_REV_SQL}) AS total_volume,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_9' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS DOUBLE) AS nation_volume,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS total_volume,
        round(CAST(sum(CASE WHEN n2.n_name = 'NATION_9' THEN {_REV_SQL} ELSE CAST(0 AS {_DEC}) END) AS DOUBLE)
              / CAST(sum({_REV_SQL}) AS DOUBLE), 4) AS mkt_share
 FROM lineitem
@@ -662,9 +662,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q9 = """
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-       sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))
            - CAST(p_retailprice AS DECIMAL(12,4)) * CAST(0.6 AS DECIMAL(2,1))
-             * CAST(l_quantity AS DECIMAL(12,4))) AS sum_profit
+             * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -762,7 +762,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_TPCH_Q19 = f"""
-SELECT sum({_REV_SQL}) AS revenue
+SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
    OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -944,7 +944,8 @@ cand AS (
     JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
 )
-SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(ps_supplycost AS DOUBLE) AS ps_supplycost
 FROM cand
 WHERE ps_supplycost = min_cost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
@@ -1002,7 +1003,7 @@ tot AS (
     SELECT CAST(sum(ps_supplycost * CAST(ps_availqty AS DECIMAL(10,0))) AS DECIMAL(18,2)) AS total_raw
     FROM partsupp JOIN nsupp ON ps_suppkey = s_suppkey
 )
-SELECT ps_partkey, CAST(value_raw AS DECIMAL(18,4)) AS value
+SELECT ps_partkey, CAST(value_raw AS DOUBLE) AS value
 FROM per_part, tot
 WHERE value_raw > total_raw * CAST(0.005 AS DECIMAL(6,4))
 ORDER BY value DESC, ps_partkey

@@ -104,10 +104,10 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_RANGE_FRAME = f"""
 SELECT o_custkey, o_orderkey,
        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,
-       sum(CAST(o_totalprice AS {_DEC})) OVER (
+       CAST(sum(CAST(o_totalprice AS {_DEC})) OVER (
          PARTITION BY o_custkey
          ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS spend_90d
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
 FROM orders
 WHERE o_custkey < 300
 """
@@ -169,7 +169,7 @@ ORACLE_GROUPING_SETS = f"""
 SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        CAST(count(*) AS BIGINT)          AS n,
-       sum(CAST(o_totalprice AS {_DEC})) AS total
+       CAST(sum(CAST(o_totalprice AS {_DEC})) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -224,7 +224,7 @@ SELECT l_orderkey,
        CAST(count(*) AS BIGINT) AS n_lines,
        array_to_string(list_sort(list(l_linenumber)), ',') AS lines_csv,
        array_to_string(list_sort(list(l_partkey)), ',')    AS parts_csv,
-       sum(CAST(l_quantity AS {_DEC})) AS qty_sum
+       CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS qty_sum
 FROM lineitem
 WHERE l_orderkey < 2000
 GROUP BY l_orderkey
@@ -379,7 +379,7 @@ agg AS (
   FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
 SELECT month_start,
        COALESCE(cnt, 0) AS n_orders,
-       COALESCE(total, CAST(0 AS {_DEC})) AS month_total
+       CAST(COALESCE(total, CAST(0 AS {_DEC})) AS DOUBLE) AS month_total
 FROM months LEFT JOIN agg ON month_start = m
 """
 
@@ -422,7 +422,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_HASH = f"""
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_sampled,
-       sum(CAST(l_quantity AS {_DEC})) AS qty
+       CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS qty
 FROM lineitem
 WHERE ({affine_hash_sql('(l_orderkey * 10 + l_linenumber)', '3')}) % 100 < 10
 GROUP BY l_returnflag
@@ -462,7 +462,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SCAN_ORC = f"""
 SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
-       sum(CAST(p_retailprice AS {_DEC})) AS retail_total,
+       CAST(sum(CAST(p_retailprice AS {_DEC})) AS DOUBLE) AS retail_total,
        max(p_size) AS max_size
 FROM part GROUP BY p_brand
 """
@@ -498,7 +498,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PARTITION_PRUNE = f"""
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-       sum(CAST(l_quantity AS {_DEC})) AS qty
+       CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS qty
 FROM lineitem WHERE year(l_shipdate) = 1997
 GROUP BY l_returnflag
 """
@@ -619,7 +619,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SALTED_JOIN = f"""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS {_DEC})) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS {_DEC})) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -649,7 +649,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BUCKETED_JOIN = f"""
 SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
-       sum(CAST(l_quantity AS {_DEC})) AS qty
+       CAST(sum(CAST(l_quantity AS {_DEC})) AS DOUBLE) AS qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """

@@ -1,0 +1,107 @@
+"""Full adversarial driver simulation (the verify-skill recipe).
+
+Builds a FOREIGN SparkSession (non-UTC, not our session factory), runs
+every ``queries()[name]`` at sf0.01 against ``oracle_sql()[name]`` on
+DuckDB over the same parquet, and compares row count, sorted column
+names, and order-insensitive normalized values.
+
+Decimal-faithful: ``decimal.Decimal`` values are NOT coerced to float —
+the driver's hash distinguishes representation (round-1 lesson), so a
+decimal-vs-double divergence must fail here too.
+"""
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])  # optional subset of query names
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v:.4f}"
+    if isinstance(v, dt.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"d:{v.isoformat()}"
+    return f"{type(v).__name__[0]}:{v}"
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("driver-sim")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    print("entry rows:", e.entry(spark).count())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    names = [n for n in sorted(qs) if not ONLY or n in ONLY]
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF)
+            cols = sorted(df.columns)
+            rows = sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+            if name not in oracles:
+                n_rows_only += 1
+                print(f"ROWSONLY {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+                continue
+            cur = con.execute(oracles[name])
+            onames = [d[0] for d in cur.description]
+            order = sorted(range(len(onames)), key=lambda i: onames[i])
+            orows = sorted(tuple(_norm(row[i]) for i in order) for row in cur.fetchall())
+            ocols = sorted(onames)
+            if cols != ocols:
+                n_fail += 1
+                print(f"FAIL {name}: cols {cols} vs {ocols}")
+            elif len(rows) != len(orows):
+                n_fail += 1
+                print(f"FAIL {name}: rows {len(rows)} vs {len(orows)}")
+            elif rows != orows:
+                n_fail += 1
+                diff = [(a, b) for a, b in zip(rows, orows) if a != b][:3]
+                print(f"FAIL {name}: value diff {diff}")
+            else:
+                n_pass += 1
+                print(f"ok   {name} ({len(rows)} rows, {time.time()-t0:.1f}s)")
+        except Exception as ex:  # noqa: BLE001
+            n_fail += 1
+            print(f"FAIL {name}: {type(ex).__name__}: {str(ex)[:200]}")
+    print(f"\npass={n_pass} rows_only={n_rows_only} fail={n_fail} of {len(names)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

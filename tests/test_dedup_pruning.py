@@ -1,0 +1,54 @@
+"""Stop-shingle pruning: a ubiquitous shingle must not create a
+quadratic join bucket, and Jaccard is computed over the pruned space."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_etl_spark.operators import dedup as dd
+
+
+def _corpus(spark):
+    # every doc shares the ubiquitous phrase; docs 1/2 are near-dups in
+    # the rest of their text, doc 3 is unrelated
+    common = "the quick brown fox"
+    rows = [
+        (1, f"{common} alpha beta gamma delta epsilon"),
+        (2, f"{common} alpha beta gamma delta zeta"),
+        (3, f"{common} one two three four five"),
+    ] + [
+        # filler docs so df_frac=0.5 prunes only the ubiquitous phrase
+        # (in all docs), not the 1/2-distinctive shingles (df=2)
+        (10 + i, f"{common} filler{i}a filler{i}b filler{i}c filler{i}d")
+        for i in range(7)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ubiquitous_shingle_pruned_bounds_buckets(spark):
+    docs = _corpus(spark)
+    sh = dd._doc_shingles(docs, "doc_id", "text", 3)
+    # unpruned: the shared-phrase shingles appear in every doc
+    top_raw = sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert top_raw == 10
+    pruned = dd.ngram_jaccard_pairs(docs, threshold=0.0, df_frac=0.5)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in pruned.collect()}
+    # docs 1,2 still found as near-dups on their distinctive shingles
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.3
+    # doc 3 shares ONLY the pruned ubiquitous shingles -> no pair at all
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_df_cap_absolute(spark):
+    docs = _corpus(spark)
+    # cap=1 removes every shingle appearing in >1 doc -> no common left
+    out = dd.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=1)
+    assert out.count() == 0
+
+
+def test_unpruned_path_unchanged(spark):
+    docs = _corpus(spark)
+    out = dd.ngram_jaccard_pairs(docs, threshold=0.0)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    # ubiquitous shingles link every doc pair when pruning is off
+    assert {(1, 2), (1, 3), (2, 3), (1, 10), (10, 11)} <= pairs

@@ -81,3 +81,11 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     # corpus side must not shuffle; the Q queries are the broadcast side
     assert "Broadcast" in p, p
     assert "SortMergeJoin" not in p
+
+
+def test_embed_neardup_is_bucket_equijoin(spark, sf_dir):
+    # round-2: the registered near-dup must be the LSH bucket equi-join,
+    # not the O(N^2) cross-join kernel
+    p = plan_of(spark, qx.q_embed_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "bucket" in p, p
