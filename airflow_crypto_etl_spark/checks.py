@@ -86,9 +86,13 @@ def run_suite(df: DataFrame, expectations: list) -> DataFrame:
         fail = F.when(e.cond, 0).otherwise(1)  # null cond counts as failure
         aggs.append(F.sum(fail).alias(e.name))
     for e in uniq_exps:
-        aggs.append(
-            (F.count(F.lit(1)) - F.countDistinct(*[F.col(c) for c in e.cols])).alias(e.name)
-        )
+        # NULL policy: a NULL key is a VALUE — two rows with the same
+        # all-NULL key are duplicates of each other, but a single
+        # NULL-keyed row is not. Bare countDistinct(cols) would drop
+        # every tuple containing a NULL (scoring lone NULL rows as
+        # duplicates); wrapping in a struct keeps them countable.
+        key = F.struct(*[F.col(c) for c in e.cols])
+        aggs.append((F.count(F.lit(1)) - F.count_distinct(key)).alias(e.name))
     wide = df.agg(*aggs)
     names = [e.name for e in row_exps + uniq_exps]
     stacked = wide.selectExpr(
@@ -163,6 +167,32 @@ def from_great_expectations(df: DataFrame, suite: dict) -> list:
         else:
             raise CheckFailure(f"unsupported expectation type: {kind}")
     return out
+
+
+def load_ge_suite(path: str) -> dict:
+    """Load a Great-Expectations suite FILE (the persistent-context
+    checkpoint flow the reference configures in
+    `/root/reference/great_expectations/great_expectations.yml:27-41` and
+    runs via `dags/crypto_etl_datawarehouse_day10.py:70-78`). The suite
+    JSON is the declarative artifact; ``from_great_expectations``
+    compiles it and ``enforce_ge_suite`` is the checkpoint run."""
+    import json
+
+    with open(path) as fh:
+        suite = json.load(fh)
+    if "expectations" not in suite:
+        raise CheckFailure(f"not a GE suite file (no 'expectations'): {path}")
+    return suite
+
+
+def enforce_ge_suite(df: DataFrame, path: str) -> DataFrame:
+    """Checkpoint-run semantics: structural expectations fail fast at
+    compile, value expectations evaluate in one aggregation pass and
+    raise CheckFailure listing every failed check. Returns the tidy
+    report DataFrame on success."""
+    exps = from_great_expectations(df, load_ge_suite(path))
+    enforce(df, exps)
+    return run_suite(df, exps)
 
 
 def freshness(df: DataFrame, partition_col: str, expected_value) -> None:

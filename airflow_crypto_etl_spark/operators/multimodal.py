@@ -74,16 +74,105 @@ def split_payload(df: DataFrame, id_col: str = "doc_id") -> tuple[DataFrame, Dat
 
 
 def decode_payload(df: DataFrame) -> DataFrame:
-    """STUB — media decode (image → pixels etc.). Real implementation
-    needs a decoder library on the executors; the Spark-side contract
-    (binary in, array out via mapInPandas) is what this function pins."""
+    """General media decode (JPEG/PNG/... → pixels) — needs a decoder
+    library on the executors; gated on PIL. For the dependency-free
+    format this engine decodes natively, use :func:`decode_ppm`
+    (binary P6 — real header/pixel parsing, no libraries)."""
     if not _HAS_PIL:
         raise NotImplementedError(
-            "media decode requires an image library (e.g. Pillow) on the executors; "
-            "not available in this environment — use extract_features (deterministic "
-            "byte-level features) for pipeline testing"
+            "JPEG/PNG decode requires an image library (e.g. Pillow) on the "
+            "executors; not available in this environment — decode_ppm handles "
+            "P6 PPM without dependencies, extract_features gives byte-level "
+            "features for any payload"
         )
     raise NotImplementedError("decoder wiring reserved for an environment with media libs")
+
+
+PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("maxval", T.IntegerType()),
+        T.StructField("n_px_bytes", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def make_ppm(doc_id: int, width: int, height: int) -> bytes:
+    """Deterministic P6 image: pixel byte i is (doc_id + i) mod 256.
+    Ingest-side scaffolding for tests/queries — the decoder below never
+    sees these formulas, it parses the binary."""
+    n = width * height * 3
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes((doc_id + i) % 256 for i in range(n))
+
+
+def attach_ppm_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Give every document a decodable P6 payload (width/height derived
+    from the id so expected decode output is predictable)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        make_ppm(int(i), 4 + int(i) % 5, 3 + int(i) % 4) for i in ids
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [docs.schema[id_col], T.StructField("payload", T.BinaryType())]
+    )
+    return docs.select(id_col).mapInPandas(batches, schema)
+
+
+def decode_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL decode, no dependencies: parse the binary P6 header
+    (magic, whitespace-separated width/height/maxval per the netpbm
+    spec, including comment lines) and the raw pixel buffer, emitting
+    typed metadata + the pixel mean. Arrow-batched ``mapInPandas`` —
+    the same executor-side batch shape a JPEG decoder would use, so
+    swapping the kernel for Pillow changes nothing upstream.
+
+    px_mean is an exact integer sum divided once, so it is
+    IEEE-reproducible across engines (oracle-comparable)."""
+
+    def parse_header(b: bytes) -> tuple[int, int, int, int]:
+        if b[:2] != b"P6":
+            raise ValueError("not a P6 PPM payload")
+        vals, pos = [], 2
+        while len(vals) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # comment runs to end of line
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(b[start:pos]))
+        return vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                w, h, maxval, off = parse_header(bytes(b))
+                px = bytes(b)[off : off + w * h * 3]
+                if len(px) != w * h * 3:
+                    raise ValueError(f"truncated pixel buffer for {id_col}={doc_id}")
+                rows.append((doc_id, w, h, maxval, len(px), sum(px) / len(px)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "maxval", "n_px_bytes", "px_mean"]
+            )
+
+    return df.mapInPandas(batches, PPM_SCHEMA)
 
 
 def extract_features(df: DataFrame, head: int = 8) -> DataFrame:

@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import apply_runtime_confs
@@ -71,9 +72,19 @@ def incremental_silver(
     written = {"n": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        silver = silver_transform(batch_df)
+        # Idempotent at the BATCH grain: output partitioned by batch_id
+        # with dynamic partition overwrite, so a crash between this
+        # write and the checkpoint offset commit replays the batch into
+        # the SAME partition instead of appending duplicates (round-1
+        # ADVICE: plain append broke the module's exactly-once claim).
+        silver = silver_transform(batch_df).withColumn("batch_id", F.lit(batch_id))
         out = os.path.join(lake_root, "silver_incremental", "coins")
-        silver.write.mode("append").parquet(out)
+        (
+            silver.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
         written["n"] += silver.count()
 
     q = (

@@ -649,6 +649,43 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SCAN_CSV = "SELECT r_regionkey, r_name FROM region"
 
 
+def q_rest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — the REST Python DataSource scanning recorded CoinGecko
+    `/coins/markets` JSON end-to-end (`…optimized.py:158-183`): a real
+    `spark.read.format("paged_rest")` scan node whose page partitions
+    read the fixture instead of the network. The oracle reads the same
+    fixture file with DuckDB's JSON reader."""
+    from .sources.rest import FIXTURE_PATH, register_rest_source
+
+    apply_runtime_confs(spark)
+    if not register_rest_source(spark):  # pragma: no cover - old pyspark
+        raise NotImplementedError("Python DataSource API unavailable")
+    return (
+        spark.read.format("paged_rest")
+        .option("fixture_path", FIXTURE_PATH)
+        .option("pages", "2")
+        .option("per_page", "100")
+        .load()
+    )
+
+
+def _rest_oracle() -> str:
+    from .sources.rest import FIXTURE_PATH
+
+    cols = (
+        "{page: 'INTEGER', id: 'VARCHAR', symbol: 'VARCHAR', name: 'VARCHAR', "
+        "current_price: 'DOUBLE', market_cap: 'DOUBLE', last_updated: 'VARCHAR'}"
+    )
+    return f"""
+SELECT id, symbol, name, current_price, market_cap, last_updated
+FROM read_json('{FIXTURE_PATH}', format='array', columns={cols})
+WHERE page <= 2
+"""
+
+
+ORACLE_REST_SCAN = _rest_oracle()
+
+
 def q_string_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 — string/date formatting functions (`…optimized.py:139,224`)."""
     c = _t(spark, sf_dir, "customer")
@@ -890,6 +927,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_ops": q_set_ops,
     "q_scan_parquet": q_scan_parquet,
     "q_scan_csv": q_scan_csv,
+    "q_rest_scan": q_rest_scan,
     "q_string_fmt": q_string_fmt,
     "q_stats": q_stats,
     "q_date_parts": q_date_parts,
@@ -928,6 +966,7 @@ ORACLE: dict[str, str] = {
     "q_set_ops": ORACLE_SET_OPS,
     "q_scan_parquet": ORACLE_SCAN_PARQUET,
     "q_scan_csv": ORACLE_SCAN_CSV,
+    "q_rest_scan": ORACLE_REST_SCAN,
     "q_string_fmt": ORACLE_STRING_FMT,
     "q_stats": ORACLE_STATS,
     "q_date_parts": ORACLE_DATE_PARTS,

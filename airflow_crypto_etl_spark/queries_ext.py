@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .functions.hashing import affine_hash_sql, char_hash_sql
 from .operators import dedup as dd
+from .operators import multimodal as mm
 from .operators import similarity as sim
 from .operators import text as tx
 from .operators.dedup import BAND_WEIGHTS, MINHASH_K, MINHASH_R, SIMHASH_BITS
@@ -530,6 +531,33 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary decode end-to-end (round-1 verdict #7): every doc gets
+    a deterministic P6 PPM payload (pixel i = (doc_id+i) mod 256, size
+    from the id), and ``decode_ppm`` parses the binary header + pixel
+    buffer with no media libraries. The oracle never sees the bytes —
+    it predicts the decode output from the generation formulas, so a
+    header-parsing or offset bug shows up as a value mismatch."""
+    d = mm.attach_ppm_payload(_docs(spark, sf_dir))
+    return mm.decode_ppm(d)
+
+
+ORACLE_MULTIMODAL_DECODE = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST(255 AS INTEGER) AS maxval,
+       CAST(width * height * 3 AS INTEGER) AS n_px_bytes,
+       CAST(list_sum(list_transform(range(0, width * height * 3),
+                                    i -> (doc_id + i) % 256)) AS DOUBLE)
+         / (width * height * 3) AS px_mean
+FROM geo
+"""
+
+
 QUERIES_EXT = {
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
@@ -550,6 +578,7 @@ QUERIES_EXT = {
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_decode": q_multimodal_decode,
 }
 
 ORACLE_EXT = {
@@ -572,6 +601,7 @@ ORACLE_EXT = {
     "q_stream_dedup": ORACLE_STREAM_DEDUP,
     # q_stream_session: rows-only by design (append-mode emission)
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
+    "q_multimodal_decode": ORACLE_MULTIMODAL_DECODE,
 }
 
 

@@ -27,6 +27,7 @@ Scale: per-partition connections mean write parallelism ==
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Row
@@ -53,11 +54,30 @@ def append_jdbc(df: DataFrame, url: str, table: str, batchsize: int = 1000, **op
     )
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?$")
+
+
+def _ident(name: str) -> str:
+    """Validate an identifier (optionally schema-qualified) before it is
+    interpolated into SQL text. Names come from DataFrame columns and
+    caller config, which can be externally sourced — a quote or space
+    would break the statement or open an injection surface (round-1
+    ADVICE). Strict allowlist beats quoting: these are warehouse
+    tables/columns, not arbitrary labels."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
+
+
 def build_upsert_sql(
     table: str, columns: list[str], conflict_cols: list[str], update: bool
 ) -> str:
     """The ON CONFLICT statement the executor batches rows into —
-    upsert-ignore (`…optimized.py:669`) or upsert-update (`:923-933`)."""
+    upsert-ignore (`…optimized.py:669`) or upsert-update (`:923-933`).
+    All identifiers are validated against a strict pattern first."""
+    table = _ident(table)
+    columns = [_ident(c) for c in columns]
+    conflict_cols = [_ident(c) for c in conflict_cols]
     collist = ", ".join(columns)
     conflict = ", ".join(conflict_cols)
     if update:

@@ -20,6 +20,7 @@ default raises — tests inject a deterministic fake; production injects
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,8 +43,33 @@ COIN_MARKET_SCHEMA = T.StructType(
 def _default_fetcher(page: int, per_page: int) -> list[dict]:
     raise NotImplementedError(
         "no network access in this environment; inject a fetcher(page, per_page) "
-        "backed by requests.get(<api>/coins/markets?...) in production"
+        "backed by requests.get(<api>/coins/markets?...) in production, or use "
+        "fixture_fetcher() / the fixture_path reader option for recorded JSON"
     )
+
+
+FIXTURE_PATH = os.path.join(os.path.dirname(__file__), "fixtures", "coingecko_markets.json")
+
+
+def _load_fixture(path: str) -> list[dict]:
+    with open(path) as fh:
+        records = json.load(fh)
+    if not isinstance(records, list):
+        raise ValueError(f"fixture must be a flat JSON array of records: {path}")
+    return records
+
+
+def fixture_fetcher(path: str = FIXTURE_PATH) -> Fetcher:
+    """A Fetcher over recorded response JSON (the no-network stand-in
+    for ``requests.get(<api>/coins/markets?page=N&per_page=K)``): the
+    fixture is a flat array of records tagged with their ``page``, in
+    the public CoinGecko `/coins/markets` field shape the reference
+    projects (`…optimized.py:161-168`)."""
+
+    def fetch(page: int, per_page: int) -> list[dict]:
+        return [r for r in _load_fixture(path) if r.get("page") == page][:per_page]
+
+    return fetch
 
 
 def fetch_to_dataframe(
@@ -74,9 +100,11 @@ try:  # Spark 4 Python DataSource API
             self.schema_ = schema
             self.pages = int(options.get("pages", 1))
             self.per_page = int(options.get("per_page", 100))
-            # options are strings; the fetcher is shipped as a JSON blob of
-            # canned records per page when no network fetcher is registered
+            # options are strings; with no network fetcher registered the
+            # records come from a JSON blob (canned_json) or a recorded
+            # fixture file readable on the executors (fixture_path)
             self.canned = options.get("canned_json")
+            self.fixture_path = options.get("fixture_path")
 
         def partitions(self) -> list[InputPartition]:
             return [_PagePartition(p, self.per_page) for p in range(1, self.pages + 1)]
@@ -85,6 +113,8 @@ try:  # Spark 4 Python DataSource API
             if self.canned is not None:
                 by_page = json.loads(self.canned)
                 records = by_page.get(str(partition.page), [])
+            elif self.fixture_path is not None:
+                records = fixture_fetcher(self.fixture_path)(partition.page, partition.per_page)
             else:
                 records = _default_fetcher(partition.page, partition.per_page)
             for r in records:

@@ -59,3 +59,16 @@ def test_reconcile_and_freshness(spark, sf_dir):
     checks.freshness(dated, "dt", "1995-01")
     with pytest.raises(checks.CheckFailure, match="freshness"):
         checks.freshness(dated, "dt", "2030-01")
+
+
+def test_unique_expectation_null_keys(spark):
+    """NULL keys: a lone NULL-keyed row is NOT a duplicate (round-1
+    ADVICE: countDistinct dropped NULL tuples, scoring every NULL row
+    as a failure); two identical NULL-keyed rows ARE duplicates."""
+    lone = spark.createDataFrame([(1, "a"), (None, "b"), (2, "c")], "k int, v string")
+    r = checks.run_suite(lone, [checks.expect_unique(["k"])]).collect()[0]
+    assert r["n_failed"] == 0 and r["passed"]
+
+    dup_null = spark.createDataFrame([(None, "a"), (None, "b"), (1, "c")], "k int, v string")
+    r = checks.run_suite(dup_null, [checks.expect_unique(["k"])]).collect()[0]
+    assert r["n_failed"] == 1 and not r["passed"]

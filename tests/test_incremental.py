@@ -41,8 +41,33 @@ def test_incremental_silver_exactly_once(spark, tmp_path):
     assert n3 == len(day2)
     silver = spark.read.parquet(out)
     assert silver.count() == len(day1) + len(day2)
-    # the silver contract survived the streaming path
+    # the silver contract survived the streaming path (+ the batch_id
+    # partition column that makes crash-replay idempotent)
     assert set(silver.columns) == {
-        "coin_id", "symbol", "name", "price_usd", "market_cap", "timestamp",
+        "coin_id", "symbol", "name", "price_usd", "market_cap", "timestamp", "batch_id",
     }
     assert silver.filter("coin_id IS NULL OR price_usd IS NULL").count() == 0
+
+
+def test_incremental_silver_batch_replay_idempotent(spark, tmp_path):
+    """Crash between the parquet write and the checkpoint offset commit
+    replays the batch; the batch_id-partitioned dynamic overwrite must
+    re-land it in place, not duplicate it (round-1 ADVICE)."""
+    import shutil
+
+    lake = str(tmp_path / "lake")
+    day1 = bronze_records("2026-01-13")
+    _drop_bronze(lake, "2026-01-13", day1)
+
+    ckpt1 = str(tmp_path / "ckpt1")
+    n1 = incremental.incremental_silver(spark, lake, ckpt1)
+    out = os.path.join(lake, "silver_incremental", "coins")
+    assert spark.read.parquet(out).count() == n1
+
+    # simulate the lost-commit crash: wipe the checkpoint so the same
+    # files replay as batch 0 again into the already-written sink
+    shutil.rmtree(ckpt1)
+    ckpt2 = str(tmp_path / "ckpt2")
+    n2 = incremental.incremental_silver(spark, lake, ckpt2)
+    assert n2 == n1
+    assert spark.read.parquet(out).count() == n1  # overwritten, not appended

@@ -72,3 +72,45 @@ def test_contract_enforcement_aborts_on_bad_rows(spark, bronze):
     with pytest.raises(Exception) as exc:
         silver.collect()
     assert "must not be null" in str(exc.value)
+
+
+GE_SUITE = "/root/reference/great_expectations/expectations/coin_data_suite.json"
+GE_CHECKPOINT_SUITE = "/root/reference/great_expectations/checkpoints/coin_data_checkpoint.yml"
+
+
+def test_ge_suite_file_checkpoint_on_silver(spark, bronze):
+    """The captured GE suite file, compiled and enforced on the replayed
+    Silver snapshot — the reference's persistent-context checkpoint flow
+    (`great_expectations.yml:27-41`, `crypto_etl_datawarehouse_day10.py:70-78`)
+    driven from the suite FILE, not hand-written expectations."""
+    import os
+
+    from airflow_crypto_etl_spark import checks
+
+    if not os.path.exists(GE_SUITE):
+        pytest.skip("reference GE suite not available")
+    silver = medallion.silver_transform(bronze)
+    report = checks.enforce_ge_suite(silver, GE_SUITE).collect()
+    assert report and all(r["passed"] for r in report)
+    names = {r["check"] for r in report}
+    assert {"coin_id_not_null", "timestamp_not_null", "price_usd_gt_0", "market_cap_gt_0"} <= names
+
+
+def test_ge_checkpoint_suite_type_gate(spark, bronze):
+    """The (misnamed) checkpoint-dir suite declares market_cap as int —
+    the warehouse DDL's type. Against double Silver it must fail fast;
+    against the warehouse-shaped cast it passes."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark import checks
+
+    if not os.path.exists(GE_CHECKPOINT_SUITE):
+        pytest.skip("reference GE checkpoint suite not available")
+    silver = medallion.silver_transform(bronze)
+    with pytest.raises(checks.CheckFailure, match="market_cap"):
+        checks.enforce_ge_suite(silver, GE_CHECKPOINT_SUITE)
+    warehouse_shaped = silver.withColumn("market_cap", F.col("market_cap").cast("bigint"))
+    report = checks.enforce_ge_suite(warehouse_shaped, GE_CHECKPOINT_SUITE).collect()
+    assert report and all(r["passed"] for r in report)

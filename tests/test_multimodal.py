@@ -37,8 +37,10 @@ def test_extract_features_mapinpandas(spark, sf_dir, payloads):
     assert 0.0 <= rows[some]["byte_mean"] <= 255.0
 
 
-def test_decode_is_stubbed(payloads):
-    with pytest.raises(NotImplementedError, match="media decode"):
+def test_general_decode_is_gated(payloads):
+    # JPEG/PNG decode stays gated on a media library; PPM decode is the
+    # dependency-free real path (tests below)
+    with pytest.raises(NotImplementedError, match="decode_ppm"):
         mm.decode_payload(payloads)
 
 
@@ -61,3 +63,34 @@ def test_sample_frames_fanout(payloads):
         by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
     multi = [v for v in by_doc.values() if len(v) > 1]
     assert multi and all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+
+
+def test_make_ppm_roundtrip_decode(spark):
+    """decode_ppm genuinely parses the binary: header fields, pixel
+    count, and pixel mean all recovered from bytes alone."""
+    docs = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    decoded = {r.doc_id: r for r in mm.decode_ppm(mm.attach_ppm_payload(docs)).collect()}
+    r7 = decoded[7]
+    assert (r7.width, r7.height, r7.maxval) == (4 + 7 % 5, 3 + 7 % 4, 255)
+    n = r7.width * r7.height * 3
+    assert r7.n_px_bytes == n
+    assert r7.px_mean == sum((7 + i) % 256 for i in range(n)) / n
+
+
+def test_decode_ppm_handles_comments_and_whitespace(spark):
+    """Netpbm allows comment lines and arbitrary whitespace in the
+    header — the parser must skip them, not mis-offset the pixels."""
+    raw = b"P6\n# a comment\n 3\t2 # trailing\n255\n" + bytes(range(18))
+    pdf = spark.createDataFrame([(1, bytearray(raw))], "doc_id long, payload binary")
+    r = mm.decode_ppm(pdf).collect()[0]
+    assert (r.width, r.height, r.maxval, r.n_px_bytes) == (3, 2, 255, 18)
+    assert r.px_mean == sum(range(18)) / 18
+
+
+def test_decode_ppm_rejects_garbage(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    pdf = spark.createDataFrame([(1, bytearray(b"JFIF...."))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="not a P6|PythonException|Py4J"):
+        mm.decode_ppm(pdf).collect()

@@ -63,3 +63,19 @@ def test_serving_star_query(spark, silver):
     btc = rows["bitcoin"]
     assert btc["name"] == "Bitcoin" and btc["n_observations"] == 1
     assert btc["min_price_usd"] == btc["max_price_usd"]
+
+
+def test_build_upsert_sql_rejects_unsafe_identifiers():
+    import pytest as _pytest
+
+    from airflow_crypto_etl_spark.sinks.jdbc_upsert import build_upsert_sql
+
+    # schema-qualified and ordinary identifiers pass
+    assert "INSERT INTO gold.coins" in build_upsert_sql(
+        "gold.coins", ["coin_id", "price"], ["coin_id"], update=True
+    )
+    for bad in ['coins"; DROP TABLE x; --', "coins table", "1coins", "a.b.c"]:
+        with _pytest.raises(ValueError, match="unsafe SQL identifier"):
+            build_upsert_sql(bad, ["coin_id"], ["coin_id"], update=False)
+    with _pytest.raises(ValueError):
+        build_upsert_sql("coins", ["price; --"], ["price; --"], update=False)
