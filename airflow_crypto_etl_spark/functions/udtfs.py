@@ -18,9 +18,13 @@ from __future__ import annotations
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="pos int, ngram string")
+@udtf(returnType="pos int, ngram string", useArrow=True)
 class WordNGrams:
-    """Emit (position, word-n-gram) for every n-gram in the text."""
+    """Emit (position, word-n-gram) for every n-gram in the text.
+
+    Arrow-optimized (``useArrow=True``): rows move through the UDTF as
+    Arrow batches (ArrowEvalPythonUDTF), not per-row pickling — the same
+    batch-transfer discipline as the pandas UDF surface."""
 
     def eval(self, text: str, n: int):  # noqa: D102 - UDTF contract
         toks = [t for t in (text or "").split(" ") if t]

@@ -59,26 +59,63 @@ def test_all_queries_have_oracles_or_are_flagged():
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
-def _assert_no_decimal(name, df):
-    """The driver's oracle side materializes DECIMAL as float64, so any
-    DecimalType reaching a registered query's output schema fails the
-    value hash on representation (round-1: 8/50). finalize_decimals
-    must keep the published surface decimal-free."""
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin —
+# every entry is a BOUNDED broadcast side (scalar/1-row aggregates, a
+# 3-row band table, an 8-row salt range, 8 ANN query vectors, a UDTF
+# lateral). CartesianProduct (non-broadcast product) is banned outright:
+# at 100 TB an accidental product join is fatal.
+_PRODUCT_OK = {
+    "q_contract_enforce",   # 1-row total x 1-row violations
+    "q_reconcile_counts",   # 1-row src x 1-row dst counts
+    "q_ann_topk",           # corpus x broadcast 8 query vectors
+    "q_ann_ivf",            # corpus x broadcast centroids
+    "q_dedup_ngram",        # dfreq x broadcast 1-row corpus count
+    "q_dedup_simhash",      # broadcast scalar threshold
+    "q_distinctive_terms",  # broadcast 1-row corpus count (DF pruning)
+    "q_range_join",         # broadcast 3-row band interval table
+    "q_salted_join",        # right x broadcast 8-row salt range
+    "q_tpch_q2",            # broadcast 1-row min-cost scalar
+    "q_tpch_q11",           # broadcast 1-row group-total scalar
+    "q_tpch_q20",           # broadcast scalar availqty threshold
+    "q_tpch_q22",           # broadcast 1-row avg(acctbal) scalar
+    "q_udtf_ngrams",        # lateral UDTF join
+}
+
+
+def _assert_published_contract(name, df):
+    """Two invariants for every registered query:
+
+    1. No DecimalType in the final schema — the driver's oracle side
+       materializes DECIMAL as float64, so decimal output fails the
+       value hash on representation (round-1: 8/50 checked queries).
+    2. Plan hygiene — no row-at-a-time Python UDF (BatchEvalPython) and
+       no undeclared cartesian/nested-loop product in the plan.
+    """
     import pyspark.sql.types as T
 
     dec = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
     assert not dec, f"{name}: DecimalType escapes to final schema: {dec}"
+    try:
+        plan = df._jdf.queryExecution().explainString(
+            df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    except Exception:
+        return  # plan introspection is best-effort (e.g. foreign wrappers)
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF in plan"
+    if name not in _PRODUCT_OK:
+        bad = [m for m in ("CartesianProduct", "BroadcastNestedLoopJoin") if m in plan]
+        assert not bad, f"{name}: undeclared product join {bad} in plan"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_query_schema(name, spark, sf_dir):
-    _assert_no_decimal(name, QUERIES[name](spark, sf_dir))
+    _assert_published_contract(name, QUERIES[name](spark, sf_dir))
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     df = QUERIES[name](spark, sf_dir)
-    _assert_no_decimal(name, df)
+    _assert_published_contract(name, df)
     s_cols, s_rows = _spark_rows(df)
     d_cols, d_rows = _duck_rows(duck, ORACLES[name])
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
