@@ -57,6 +57,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _scratch(spark: SparkSession, name: str) -> str:
+    """Session-unique scratch path. Roundtrip queries write temp data;
+    fixed /tmp names collide when two sessions run concurrently (e.g.
+    the parity suite next to a driver sim — observed as TASK_WRITE_FAILED
+    on the shared path), so every session gets its own."""
+    import re as _re
+
+    app = _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId)
+    return os.path.join(tempfile.gettempdir(), f"aces_{name}_{app}")
+
+
 def finalize_decimals(df: DataFrame) -> DataFrame:
     """Driver-boundary normalization: cast every DecimalType column in a
     final result to double (exact IEEE-nearest on Spark and DuckDB
@@ -636,7 +647,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — CSV scan with explicit schema (`…optimized.py:221`): round-trip
     the region dim through CSV and read it back (no inference pass)."""
     r = _t(spark, sf_dir, "region")
-    tmp = os.path.join(tempfile.gettempdir(), "aces_csv_roundtrip")
+    tmp = _scratch(spark, "csv_roundtrip")
     shutil.rmtree(tmp, ignore_errors=True)
     r.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
     schema = T.StructType([

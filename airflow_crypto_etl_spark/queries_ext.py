@@ -354,6 +354,132 @@ SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.4
 ORACLE_EMBED_NEARDUP = _neardup_oracle()
 
 
+# ---------------------------------------------------------------------------
+# LLM-prep battery: PII scrub / repetition filter / contamination / packing
+# ---------------------------------------------------------------------------
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction end-to-end: deterministic PII (email/phone/IP built
+    from the doc id) is appended to every document, then masked by
+    codegen'd regexp functions; the fingerprint of the scrubbed text
+    proves the masking is byte-identical across engines."""
+    from .functions.hashing import char_hash
+    from .operators import llm_prep as lp
+
+    d = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@mail.example"),
+            F.lit(" or 555-01"), (F.col("doc_id") % 90 + 10),
+            F.lit(" at 10.0."), (F.col("doc_id") % 200), F.lit(".7"),
+        ),
+    )
+    out = lp.scrub_pii(d)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4",
+        char_hash(F.col("scrubbed")).alias("scrubbed_fp"),
+    )
+
+
+def _pii_oracle() -> str:
+    from .operators.llm_prep import PII_MASKS, PII_ORDER, PII_PATTERNS
+
+    text = ("text || ' contact user' || doc_id || '@mail.example' || "
+            "' or 555-01' || (doc_id % 90 + 10) || ' at 10.0.' || (doc_id % 200) || '.7'")
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k]}')) AS INTEGER) AS n_{k}"
+        for k in PII_ORDER
+    )
+    scrub = "t"
+    for k in PII_ORDER:
+        scrub = f"regexp_replace({scrub}, '{PII_PATTERNS[k]}', '{PII_MASKS[k]}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {text} AS t FROM documents)
+SELECT doc_id,
+       {counts},
+       {char_hash_sql(scrub)} AS scrubbed_fp
+FROM p
+"""
+
+
+ORACLE_PII_SCRUB = _pii_oracle()
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (exact integer ratios)."""
+    from .operators import llm_prep as lp
+
+    out = lp.repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "top_token_ratio", "dup_token_ratio", "mean_token_len"
+    )
+
+
+_REP_COUNTS = (
+    f"list_transform(list_distinct({_TOKS}), d -> len(list_filter({_TOKS}, t -> t = d)))"
+)
+ORACLE_REPETITION_STATS = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+       CASE WHEN len({_TOKS}) > 0
+            THEN CAST(list_max({_REP_COUNTS}) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END AS top_token_ratio,
+       CASE WHEN len({_TOKS}) > 0
+            THEN CAST(coalesce(list_sum(list_filter({_REP_COUNTS}, c -> c > 1)), 0) AS DOUBLE)
+                 / len({_TOKS}) ELSE 0.0 END AS dup_token_ratio,
+       CASE WHEN len({_TOKS}) > 0
+            THEN CAST(list_sum(list_transform({_TOKS}, t -> length(t)::BIGINT)) AS DOUBLE)
+                 / len({_TOKS}) ELSE 0.0 END AS mean_token_len
+FROM documents
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set leakage screen: docs sharing ≥2 shingles with the
+    benchmark slice (doc_id < 10), benchmark index broadcast."""
+    from .operators import llm_prep as lp
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return lp.contamination(corpus, bench, min_common=2)
+
+
+ORACLE_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+c AS (SELECT * FROM sh WHERE doc_id >= 10),
+b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 10)
+SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
+FROM c JOIN b USING (shingle)
+GROUP BY c.doc_id, b.bench_id
+HAVING count(*) >= 2
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: bucketed in-order first-fit into
+    2048-token bins (bin identity = (bucket, bin_seq))."""
+    from .operators import llm_prep as lp
+
+    return lp.pack_sequences(_docs(spark, sf_dir), capacity=2048, n_buckets=32)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(doc_id % 32 AS INTEGER) AS bucket
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048) AS INTEGER) AS bin_seq
+FROM c
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
@@ -579,6 +705,10 @@ QUERIES_EXT = {
     "q_stream_dedup": q_stream_dedup,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_pii_scrub": q_pii_scrub,
+    "q_repetition_stats": q_repetition_stats,
+    "q_contamination": q_contamination,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 ORACLE_EXT = {
@@ -602,6 +732,10 @@ ORACLE_EXT = {
     # q_stream_session: rows-only by design (append-mode emission)
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
     "q_multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "q_pii_scrub": ORACLE_PII_SCRUB,
+    "q_repetition_stats": ORACLE_REPETITION_STATS,
+    "q_contamination": ORACLE_CONTAMINATION,
+    "q_pack_sequences": ORACLE_PACK_SEQUENCES,
 }
 
 

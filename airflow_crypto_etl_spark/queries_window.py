@@ -437,8 +437,10 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from .queries import _scratch
+
     p = _t(spark, sf_dir, "part")
-    tmp = os.path.join(tempfile.gettempdir(), "aces_orc_roundtrip")
+    tmp = _scratch(spark, "orc_roundtrip")
     shutil.rmtree(tmp, ignore_errors=True)
     p.write.mode("overwrite").orc(tmp)
     back = spark.read.schema(
@@ -479,8 +481,10 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from .queries import _scratch
+
     li = _t(spark, sf_dir, "lineitem")
-    tmp = os.path.join(tempfile.gettempdir(), "aces_part_prune")
+    tmp = _scratch(spark, "part_prune")
     shutil.rmtree(tmp, ignore_errors=True)
     (
         li.select(
@@ -631,16 +635,22 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — the 100 TB answer for repeated fact⋈fact joins). Result
     equals the plain join; the zero-Exchange plan is asserted in
     tests."""
+    import re as _re
+
     from .operators.joins import bucketed_tables
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    # session-unique table names: two concurrent sessions sharing the
+    # warehouse dir must not race on the same bucketed-table location
+    sfx = _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId).lower()
+    t_li, t_o = f"aces_bkt_li_{sfx}", f"aces_bkt_o_{sfx}"
     bucketed_tables(
-        {"aces_bkt_li": li, "aces_bkt_o": o.withColumnRenamed("o_orderkey", "l_orderkey")},
+        {t_li: li, t_o: o.withColumnRenamed("o_orderkey", "l_orderkey")},
         key="l_orderkey",
         n_buckets=8,
     )
-    j = spark.table("aces_bkt_li").join(spark.table("aces_bkt_o"), "l_orderkey")
+    j = spark.table(t_li).join(spark.table(t_o), "l_orderkey")
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast(_DEC)).alias("qty"),
