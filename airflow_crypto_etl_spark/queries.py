@@ -478,6 +478,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ts", F.col("r_ts").alias("last_click_ts"))
 
 
+def q_asof_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-only asof strategy (equi-join + unique-row-id max_by
+    collapse) against the same DuckDB ASOF oracle — both compositions
+    must agree exactly; `pairs` is the small/cold-key alternative, the
+    cogrouped merge path is the default (hot keys make candidate
+    enumeration quadratic)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = join_ops.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts"], strategy="pairs",
+    )
+    return out.select("event_id", "user_id", "ts", F.col("r_ts").alias("last_click_ts"))
+
+
 ORACLE_ASOF_JOIN = """
 SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
@@ -929,6 +945,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_reconcile_counts": q_reconcile_counts,
     "q_range_join": q_range_join,
     "q_asof_join": q_asof_join,
+    "q_asof_join_pairs": q_asof_join_pairs,
     "q_latest_per_key": q_latest_per_key,
     "q_sort": q_sort,
     "q_topk": q_topk,
@@ -968,6 +985,7 @@ ORACLE: dict[str, str] = {
     "q_reconcile_counts": ORACLE_RECONCILE_COUNTS,
     "q_range_join": ORACLE_RANGE_JOIN,
     "q_asof_join": ORACLE_ASOF_JOIN,
+    "q_asof_join_pairs": ORACLE_ASOF_JOIN,
     "q_latest_per_key": ORACLE_LATEST_PER_KEY,
     "q_sort": ORACLE_SORT,
     "q_topk": ORACLE_TOPK,

@@ -81,6 +81,19 @@ def main() -> None:
         "minhash_signatures": lambda d: dd.minhash_signatures(d),
     }
 
+    ev = load_table(spark, SF_DIR, "events")
+    ev_cases = {
+        # cogrouped merge_asof: one shuffle per side keyed on user_id,
+        # per-key sort-merge — linear keys under inflation, so the
+        # ratio must stay ~N (the round-1 pairs-materializing form was
+        # quadratic per hot key)
+        "asof_merge": lambda d: join_ops.asof_join(
+            d.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts"),
+            d.filter(F.col("event_type") == "click").select("user_id", "ts", "value"),
+            on="user_id", left_ts="ts", right_ts="ts", right_cols=["ts"],
+        ),
+    }
+
     results = {}
     for name, fn in cases.items():
         small = li
@@ -93,6 +106,12 @@ def main() -> None:
         big = inflate(docs, ["doc_id"], INFLATE)
         fn(docs).count()
         t0 = time.perf_counter(); fn(docs).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
+        results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
+    for name, fn in ev_cases.items():
+        big = inflate(ev, ["user_id", "event_id"], INFLATE)
+        fn(ev).count()
+        t0 = time.perf_counter(); fn(ev).count(); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
 
