@@ -288,6 +288,30 @@ SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk
 """
 
 
+def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy ANN scorer (vectorized pandas_udf einsum) against
+    the exact-top-k oracle. Scores differ from the codegen fold only in
+    summation order (~1e-12 relative), so the published columns are the
+    rank SET (query, neighbor, rank) — deterministic under the id
+    tiebreaker — not the float score."""
+    out = sim.brute_force_topk_arrow(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+ORACLE_ANN_TOPK_ARROW = f"""
+WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM v WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_dot_sql('qv', 've')} / (qn * nrm) AS cos
+  FROM v CROSS JOIN q WHERE v.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, dim=EMB_DIM)
 
@@ -695,6 +719,7 @@ QUERIES_EXT = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_embed_neardup": q_embed_neardup,
     "q_ann_topk": q_ann_topk,
+    "q_ann_topk_arrow": q_ann_topk_arrow,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_session_window": q_session_window,
@@ -722,6 +747,7 @@ ORACLE_EXT = {
     "q_dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "q_embed_neardup": ORACLE_EMBED_NEARDUP,
     "q_ann_topk": ORACLE_ANN_TOPK,
+    "q_ann_topk_arrow": ORACLE_ANN_TOPK_ARROW,
     "q_ann_lsh": ORACLE_ANN_LSH,
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_session_window": ORACLE_SESSION_WINDOW,
