@@ -169,3 +169,93 @@ def test_subword_chunking_is_lossless(spark, texts):
     for i, t in enumerate(texts):
         runs = "".join(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]", t))
         assert got[i] == runs
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operators: asof strategies, packing, PII scrub, LSH near-dup
+# ---------------------------------------------------------------------------
+
+TS_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _ts_df(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    data = [(k, base + dt.timedelta(seconds=ts), v) for k, ts, v in rows]
+    return spark.createDataFrame(data or [], schema=TS_SCHEMA)
+
+
+@given(left=ROWS, right=ROWS)
+@_SETTINGS
+def test_asof_merge_equals_pairs(spark, left, right):
+    """The cogrouped merge_asof path and the JVM pairs path are
+    independent implementations of the same ASOF spec — they must agree
+    on arbitrary inputs (ties excluded: right timestamps are made
+    unique per key so 'latest right <= left' picks a unique row)."""
+    from airflow_crypto_etl_spark.operators.joins import asof_join
+
+    l = _ts_df(spark, _unique_ts(left)).withColumnRenamed("v", "lv")
+    r = _ts_df(spark, _unique_ts(right)).withColumnRenamed("v", "rv")
+    kw = dict(on="k", left_ts="ts", right_ts="ts", right_cols=["ts", "rv"])
+    m = asof_join(l, r, strategy="merge", **kw)
+    p = asof_join(l, r, strategy="pairs", **kw)
+    key = lambda rows: sorted((x.k, x.ts, x.lv, x.r_ts, x.r_rv) for x in rows)
+    assert key(m.collect()) == key(p.collect())
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 200), st.integers(0, 40)), min_size=0, max_size=40))
+@_SETTINGS
+def test_pack_sequences_invariants(spark, rows):
+    """Packing preserves every doc, never assigns a negative bin, and a
+    bin's start offset (cum - n_tokens) always lies inside the bin."""
+    from airflow_crypto_etl_spark.operators.llm_prep import pack_sequences
+
+    uniq = {i: n for i, (i_raw, n) in enumerate(rows) for i in [i_raw + 1000 * i]}
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in uniq.items()] or [],
+        "doc_id long, text string",
+    )
+    cap = 37
+    out = pack_sequences(docs, capacity=cap, n_buckets=4).collect()
+    assert len(out) == len(uniq)
+    assert all(r.bin_seq >= 0 for r in out)
+    # recompute the per-bucket running sums and check bin assignment
+    per_bucket = {}
+    for r in sorted(out, key=lambda r: (r.bucket, r.doc_id)):
+        cum = per_bucket.get(r.bucket, 0) + r.n_tokens
+        per_bucket[r.bucket] = cum
+        assert r.bin_seq == (cum - r.n_tokens) // cap
+
+
+@given(text=st.text(alphabet=st.characters(codec="ascii", exclude_characters="'\x00"), max_size=80))
+@_SETTINGS
+def test_scrub_pii_idempotent(spark, text):
+    """Scrubbing an already-scrubbed document changes nothing (masks
+    contain no maskable patterns)."""
+    from airflow_crypto_etl_spark.operators.llm_prep import scrub_pii
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    once = scrub_pii(df).select(F.col("scrubbed").alias("text"), F.lit(1).alias("doc_id"))
+    twice = scrub_pii(once).collect()[0]
+    assert twice.scrubbed == twice.text
+    assert twice.n_email == 0 and twice.n_ipv4 == 0
+
+
+def test_lsh_near_pairs_subset_of_exact(spark, sf_dir):
+    """Candidate filtering can only LOSE pairs (bounded recall), never
+    invent them, and every emitted pair meets the threshold."""
+    from airflow_crypto_etl_spark.operators import similarity as sim
+    from airflow_crypto_etl_spark.queries_ext import EMB_DIM, _emb
+
+    E = _emb(spark, sf_dir)
+    exact = {(r.vec_a, r.vec_b) for r in sim.cosine_pairs(E, threshold=0.4).collect()}
+    lsh = sim.lsh_near_pairs(E, threshold=0.4, dim=EMB_DIM).collect()
+    assert {(r.vec_a, r.vec_b) for r in lsh} <= exact
+    assert all(r.cos >= 0.4 for r in lsh)
