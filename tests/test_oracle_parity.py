@@ -68,6 +68,7 @@ _PRODUCT_OK = {
     "q_contract_enforce",   # 1-row total x 1-row violations
     "q_reconcile_counts",   # 1-row src x 1-row dst counts
     "q_ann_topk",           # corpus x broadcast 8 query vectors
+    "q_ann_topk_arrow",     # same scoring shape, einsum kernel
     "q_ann_ivf",            # corpus x broadcast centroids
     "q_dedup_ngram",        # dfreq x broadcast 1-row corpus count
     "q_dedup_simhash",      # broadcast scalar threshold
