@@ -187,12 +187,19 @@ def load_ge_suite(path: str) -> dict:
 
 def enforce_ge_suite(df: DataFrame, path: str) -> DataFrame:
     """Checkpoint-run semantics: structural expectations fail fast at
-    compile, value expectations evaluate in one aggregation pass and
-    raise CheckFailure listing every failed check. Returns the tidy
-    report DataFrame on success."""
+    compile, value expectations evaluate in ONE aggregation pass (the
+    report is collected once and re-presented as a DataFrame — no second
+    scan of ``df``) and raise CheckFailure listing every failed check.
+    Returns the tidy report DataFrame on success."""
     exps = from_great_expectations(df, load_ge_suite(path))
-    enforce(df, exps)
-    return run_suite(df, exps)
+    report = run_suite(df, exps)
+    rows = report.collect()
+    failed = [r for r in rows if not r["passed"]]
+    if failed:
+        raise CheckFailure(
+            "; ".join(f"{r['check']}: {r['n_failed']} failing rows" for r in failed)
+        )
+    return df.sparkSession.createDataFrame(rows, schema=report.schema)
 
 
 def freshness(df: DataFrame, partition_col: str, expected_value) -> None:

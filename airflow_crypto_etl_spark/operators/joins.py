@@ -107,6 +107,11 @@ def _asof_merge(
     from pyspark.sql import types as T
 
     r_keep = list(dict.fromkeys([right_ts, *right_cols]))  # ts needed for the merge key
+    # NULL timestamps: the pairs path drops them via the range predicate
+    # (inner semantics); pd.merge_asof would instead raise on null merge
+    # keys — filter both sides up front so the strategies agree.
+    left = left.filter(F.col(left_ts).isNotNull() & F.col(on).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(on).isNotNull())
     # Alias-rename EVERY right column (fresh exprIds): when both sides
     # share lineage (e.g. two filters of one events scan), Spark's
     # self-cogroup dedup collapses right attributes that carry the same

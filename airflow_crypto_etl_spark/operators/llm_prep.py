@@ -41,10 +41,14 @@ PII_ORDER = ("email", "ipv4", "phone")
 
 
 def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "scrubbed") -> DataFrame:
-    """Mask emails / phone numbers / IPv4 addresses and count what was
-    masked, entirely in codegen'd regexp functions — the per-document
-    redaction pass every released corpus runs. Counts come from the
-    pre-scrub text so they survive the masking."""
+    """Mask emails / phone numbers / IPv4 addresses entirely in
+    codegen'd regexp functions — the per-document redaction pass every
+    released corpus runs. ``n_<kind>`` counts are per-pattern OCCURRENCE
+    counts over the raw text (computed before any masking); when
+    patterns overlap (a phone-shaped digit run inside an email local
+    part), the earlier pattern in ``PII_ORDER`` wins the mask while both
+    occurrences are still counted — counts measure exposure, not which
+    mask landed."""
     out = df
     for kind in PII_ORDER:
         out = out.withColumn(
@@ -144,18 +148,22 @@ def pack_sequences(
     text_col: str = "text",
     n_buckets: int = 32,
 ) -> DataFrame:
-    """Assign documents to fixed-capacity token bins (context-window
-    packing for pretraining batches): deterministic in-order first-fit
-    within a bucket — ``bin_id = floor((cumsum - n_tokens) / capacity)``
-    over docs ordered by id.
+    """Assign documents to context-window bins by CONCAT-AND-CHUNK (the
+    standard pretraining packing: concatenate the bucket's token stream
+    in doc-id order and split at ``capacity`` boundaries): a doc's bin
+    is where its first token lands — ``bin_seq = floor((cumsum -
+    n_tokens) / capacity)`` — so a doc may STRADDLE a bin boundary and
+    its tail belongs to the next window (the downstream batcher splits
+    it there; nothing is silently dropped). This is deliberately NOT
+    whole-doc first-fit, which needs a sequential scan that no window
+    function expresses.
 
     Scale shape: a GLOBAL running sum would serialize 100 TB through one
     window partition, so packing is bucketed — docs hash into
     ``n_buckets`` independent streams, each with its own running sum and
     bin sequence (bin identity = (bucket, bin_seq)). Buckets pack in
-    parallel and the wasted tail is one partial bin per bucket, which at
-    corpus scale is noise. Oversized docs (> capacity) get their own
-    bins, as real packers do (they are then truncated downstream)."""
+    parallel and the wasted tail is one partial window per bucket, which
+    at corpus scale is noise."""
     toks = F.size(tokens_col(text_col))
     w = Window.partitionBy("bucket").orderBy(id_col)
     binned = (

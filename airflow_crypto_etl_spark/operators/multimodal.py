@@ -157,6 +157,10 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             while pos < len(b) and not b[pos : pos + 1].isspace():
                 pos += 1
             vals.append(int(b[start:pos]))
+        if not (0 < vals[2] < 256):
+            # maxval >= 256 means 2-byte samples — a spec-valid P6 this
+            # parser does not implement; reject instead of mis-decoding
+            raise ValueError(f"unsupported P6 maxval {vals[2]} (1-byte samples only)")
         return vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -61,25 +61,67 @@ def _scratch(spark: SparkSession, name: str) -> str:
     """Session-unique scratch path. Roundtrip queries write temp data;
     fixed /tmp names collide when two sessions run concurrently (e.g.
     the parity suite next to a driver sim — observed as TASK_WRITE_FAILED
-    on the shared path), so every session gets its own."""
+    on the shared path), so every session gets its own. Stale siblings
+    from PAST sessions (mtime > 1 h — old enough that no live session
+    owns them) are reaped so repeated runs don't fill the disk."""
+    import glob as _glob
     import re as _re
+    import time as _time
 
     app = _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId)
-    return os.path.join(tempfile.gettempdir(), f"aces_{name}_{app}")
+    path = os.path.join(tempfile.gettempdir(), f"aces_{name}_{app}")
+    cutoff = _time.time() - 3600
+    for old in _glob.glob(os.path.join(tempfile.gettempdir(), f"aces_{name}_*")):
+        try:
+            if old != path and os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+    return path
+
+
+def has_decimal(dt: T.DataType) -> bool:
+    """True if a DecimalType occurs ANYWHERE in the type tree (top-level
+    column, array element, map key/value, struct field, nested)."""
+    if isinstance(dt, T.DecimalType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return has_decimal(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return has_decimal(dt.keyType) or has_decimal(dt.valueType)
+    if isinstance(dt, T.StructType):
+        return any(has_decimal(f.dataType) for f in dt.fields)
+    return False
+
+
+def _undecimal(dt: T.DataType) -> T.DataType:
+    """The same type tree with every DecimalType replaced by DoubleType."""
+    if isinstance(dt, T.DecimalType):
+        return T.DoubleType()
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_undecimal(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_undecimal(dt.keyType), _undecimal(dt.valueType), dt.valueContainsNull)
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _undecimal(f.dataType), f.nullable) for f in dt.fields]
+        )
+    return dt
 
 
 def finalize_decimals(df: DataFrame) -> DataFrame:
-    """Driver-boundary normalization: cast every DecimalType column in a
-    final result to double (exact IEEE-nearest on Spark and DuckDB
-    alike). Decimal arithmetic stays internal to the plan — this only
-    rewrites the last Project, which whole-stage codegen collapses into
-    the existing one, so there is no extra stage or shuffle."""
-    if not any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+    """Driver-boundary normalization: cast every DecimalType in a final
+    result — including decimals nested inside arrays/maps/structs — to
+    double (exact IEEE-nearest on Spark and DuckDB alike). Decimal
+    arithmetic stays internal to the plan — this only rewrites the last
+    Project, which whole-stage codegen collapses into the existing one,
+    so there is no extra stage or shuffle."""
+    if not any(has_decimal(f.dataType) for f in df.schema.fields):
         return df
     return df.select(
         *[
-            F.col(f.name).cast("double").alias(f.name)
-            if isinstance(f.dataType, T.DecimalType)
+            F.col(f.name).cast(_undecimal(f.dataType)).alias(f.name)
+            if has_decimal(f.dataType)
             else F.col(f.name)
             for f in df.schema.fields
         ]

@@ -293,7 +293,11 @@ def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-top-k oracle. Scores differ from the codegen fold only in
     summation order (~1e-12 relative), so the published columns are the
     rank SET (query, neighbor, rank) — deterministic under the id
-    tiebreaker — not the float score."""
+    tiebreaker — not the float score. Residual risk, accepted: two
+    neighbors whose true cosines differ by < ~1e-12 could rank
+    differently under the two summation orders; on the fixed driver
+    corpus the rank sets agree (sim-verified), and the exact-fold
+    variant (q_ann_topk) remains the canonical oracle-checked scorer."""
     out = sim.brute_force_topk_arrow(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
     return out.select("query_id", "neighbor_id", "rank")
 

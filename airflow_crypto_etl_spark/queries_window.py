@@ -645,6 +645,21 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse dir must not race on the same bucketed-table location
     sfx = _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId).lower()
     t_li, t_o = f"aces_bkt_li_{sfx}", f"aces_bkt_o_{sfx}"
+    # reap PAST sessions' table data (a fresh session's catalog never
+    # lists them, only their warehouse dirs persist; > 1 h old = dead)
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    cutoff = _time.time() - 3600
+    for old in _glob.glob(_os.path.join(wh, "aces_bkt_*")):
+        try:
+            if sfx not in _os.path.basename(old) and _os.path.getmtime(old) < cutoff:
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     bucketed_tables(
         {t_li: li, t_o: o.withColumnRenamed("o_orderkey", "l_orderkey")},
         key="l_orderkey",

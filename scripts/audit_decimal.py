@@ -11,8 +11,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import types as T
-
+from airflow_crypto_etl_spark.queries import has_decimal
 from airflow_crypto_etl_spark.session import get_spark
 import __spark_entry__ as entry
 
@@ -27,7 +26,7 @@ def main() -> int:
     for name, fn in sorted(qs.items()):
         try:
             df = fn(spark, SF_DIR)
-            dec_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+            dec_cols = [f.name for f in df.schema.fields if has_decimal(f.dataType)]
             if dec_cols:
                 bad.append((name, dec_cols))
         except Exception as e:  # noqa: BLE001

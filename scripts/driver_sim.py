@@ -66,6 +66,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = ONLY - set(qs)
+    if unknown:
+        # a typo must not read as "0 failures"
+        print(f"FATAL: unknown query names: {sorted(unknown)}")
+        return 2
     names = [n for n in sorted(qs) if not ONLY or n in ONLY]
     n_pass = n_fail = n_rows_only = 0
     for name in names:

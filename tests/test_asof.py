@@ -86,3 +86,25 @@ def test_asof_merge_plan_one_shuffle_per_side(spark, sf_dir):
     assert n_exchanges(p) == 2, p  # one per side, both on user_id
     assert "hashpartitioning(user_id" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+@pytest.mark.parametrize("strategy", ["merge", "pairs"])
+def test_asof_null_keys_and_timestamps_dropped(spark, trades_quotes, strategy):
+    """NULL join keys / timestamps never match in either strategy (the
+    merge path used to crash inside pd.merge_asof on null keys)."""
+    trades, quotes = trades_quotes
+    trades_n = trades.unionByName(
+        spark.createDataFrame(
+            [(None, _ts("2026-01-01T10:00:05"), 90), ("A", None, 91)],
+            "sym string, ts timestamp, trade_id int",
+        )
+    )
+    quotes_n = quotes.unionByName(
+        spark.createDataFrame([("A", None, 999.0)], "sym string, ts timestamp, px double")
+    )
+    out = asof_join(
+        trades_n, quotes_n, on="sym", left_ts="ts", right_ts="ts",
+        right_cols=["px"], strategy=strategy,
+    )
+    got = {r.trade_id: r.r_px for r in out.collect()}
+    assert got == {1: 101.0, 2: 101.0, 4: 200.0}  # null rows contributed nothing

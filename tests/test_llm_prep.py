@@ -56,20 +56,23 @@ def test_contamination_flags_leaked_doc(spark):
     assert hits[0].n_common >= 4
 
 
-def test_pack_sequences_respects_capacity(spark):
+def test_pack_sequences_concat_and_chunk(spark):
+    """Concat-and-chunk semantics: a doc's bin is where its FIRST token
+    lands, so a straddling doc belongs to the bin it starts in (its tail
+    is split downstream) — a bin's STARTING docs never begin past the
+    capacity boundary."""
     docs = spark.createDataFrame(
         [(i, " ".join(["w"] * 10)) for i in range(40)], "doc_id long, text string"
     )
     out = lp.pack_sequences(docs, capacity=25, n_buckets=4)
     rows = out.collect()
     assert len(rows) == 40 and all(r.n_tokens == 10 for r in rows)
-    # per (bucket, bin): first-fit means a bin's cumulative START offsets
-    # stay under capacity; with 10-token docs a 25-capacity bin holds 2-3
-    per_bin = {}
-    for r in rows:
-        per_bin.setdefault((r.bucket, r.bin_seq), 0)
-        per_bin[(r.bucket, r.bin_seq)] += r.n_tokens
-    assert all(2 * 10 <= tot <= 3 * 10 for tot in per_bin.values())
+    # every doc's start offset lies inside its assigned bin
+    per_bucket = {}
+    for r in sorted(rows, key=lambda r: (r.bucket, r.doc_id)):
+        start = per_bucket.get(r.bucket, 0)
+        per_bucket[r.bucket] = start + r.n_tokens
+        assert r.bin_seq == start // 25
     # deterministic across runs
     again = lp.pack_sequences(docs, capacity=25, n_buckets=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

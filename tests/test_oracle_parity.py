@@ -92,10 +92,10 @@ def _assert_published_contract(name, df):
     2. Plan hygiene — no row-at-a-time Python UDF (BatchEvalPython) and
        no undeclared cartesian/nested-loop product in the plan.
     """
-    import pyspark.sql.types as T
+    from airflow_crypto_etl_spark.queries import has_decimal
 
-    dec = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
-    assert not dec, f"{name}: DecimalType escapes to final schema: {dec}"
+    dec = [f.name for f in df.schema.fields if has_decimal(f.dataType)]
+    assert not dec, f"{name}: DecimalType escapes to final schema (incl. nested): {dec}"
     try:
         plan = df._jdf.queryExecution().explainString(
             df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
