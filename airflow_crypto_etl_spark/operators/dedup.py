@@ -175,6 +175,61 @@ def minhash_signatures(
     return wide.selectExpr(id_col, f"stack({MINHASH_K}, {stack}) as (i, mh)")
 
 
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band signatures from MinHash signatures: integer-weighted sum of
+    the R minhashes per band → (id, band, band_sig). These two tables
+    (sig + bands) ARE the persistable dedup index — build once for the
+    corpus, join every incoming batch against them (minhash_lookup)."""
+    weight = F.element_at(F.array(*[F.lit(w) for w in BAND_WEIGHTS]), (F.col("i") % MINHASH_R + 1).cast("int"))
+    return (
+        sig.withColumn("band", (F.col("i") / MINHASH_R).cast("bigint"))
+        .groupBy(id_col, "band")
+        .agg(F.sum(F.col("mh") * weight).alias("band_sig"))
+    )
+
+
+def minhash_lookup(
+    new_docs: DataFrame,
+    index_sig: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL dedup: match a new batch against an already-indexed
+    corpus without re-deduping the corpus — the 100 TB daily-ingest
+    shape (the index is built once per corpus and appended after each
+    accepted batch; only the batch is re-shingled).
+
+    Candidate generation is the (band, band_sig) equi-join of the
+    batch's bands against the stored index: shuffle volume is
+    O(batch×B + matched buckets), never O(corpus). Emits (new_id,
+    corpus_id, est_jaccard ≥ threshold)."""
+    new_sig = minhash_signatures(new_docs, id_col, text_col).cache()
+    new_bands = minhash_bands(new_sig, id_col)
+    n, ix = new_bands.alias("n"), index_bands.alias("ix")
+    cand = (
+        n.join(
+            ix,
+            (F.col("n.band") == F.col("ix.band"))
+            & (F.col("n.band_sig") == F.col("ix.band_sig"))
+            & (F.col(f"n.{id_col}") != F.col(f"ix.{id_col}")),
+        )
+        .select(F.col(f"n.{id_col}").alias("new_id"), F.col(f"ix.{id_col}").alias("corpus_id"))
+        .distinct()
+    )
+    sa = new_sig.select(F.col(id_col).alias("new_id"), "i", F.col("mh").alias("mh_a"))
+    sb = index_sig.select(F.col(id_col).alias("corpus_id"), "i", F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(sa, "new_id")
+        .join(sb, ["corpus_id", "i"])
+        .groupBy("new_id", "corpus_id")
+        .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)) / MINHASH_K).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return est.select("new_id", "corpus_id", "est_jaccard")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
@@ -187,12 +242,7 @@ def minhash_lsh_pairs(
     filter ≥ threshold.
     """
     sig = minhash_signatures(docs, id_col, text_col).cache()
-    weight = F.element_at(F.array(*[F.lit(w) for w in BAND_WEIGHTS]), (F.col("i") % MINHASH_R + 1).cast("int"))
-    bands = (
-        sig.withColumn("band", (F.col("i") / MINHASH_R).cast("bigint"))
-        .groupBy(id_col, "band")
-        .agg(F.sum(F.col("mh") * weight).alias("band_sig"))
-    )
+    bands = minhash_bands(sig, id_col)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

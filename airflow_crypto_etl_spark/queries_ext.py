@@ -233,6 +233,50 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch (id-shifted copies of the corpus,
+    so every new doc has a known match) joined against the persisted
+    MinHash index of the corpus — candidate shuffle is O(batch), the
+    corpus is only touched through its (sig, bands) index tables."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    index_sig = dd.minhash_signatures(docs)
+    index_bands = dd.minhash_bands(index_sig)
+    batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return dd.minhash_lookup(batch, index_sig, index_bands, threshold=0.5)
+
+
+def _minhash_incremental_oracle() -> str:
+    weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
+    return f"""
+WITH tokh AS (
+  SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
+sig AS (
+  SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
+  FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {MINHASH_R} AS band,
+         CAST(sum(mh * ({weights})[(i % {MINHASH_R}) + 1]) AS BIGINT) AS band_sig
+  FROM sig GROUP BY doc_id, i // {MINHASH_R}),
+new_bands AS (SELECT doc_id + 1000000 AS doc_id, band, band_sig FROM bands),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, ix.doc_id AS corpus_id
+  FROM new_bands n JOIN bands ix
+    ON n.band = ix.band AND n.band_sig = ix.band_sig AND n.doc_id <> ix.doc_id),
+new_sig AS (SELECT doc_id + 1000000 AS doc_id, i, mh FROM sig),
+est AS (
+  SELECT new_id, corpus_id,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / {MINHASH_K} AS est_jaccard
+  FROM cand
+  JOIN new_sig sa ON sa.doc_id = new_id
+  JOIN sig sb ON sb.doc_id = corpus_id AND sb.i = sa.i
+  GROUP BY new_id, corpus_id)
+SELECT new_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_DEDUP_INCREMENTAL = _minhash_incremental_oracle()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
 
@@ -720,6 +764,7 @@ QUERIES_EXT = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_simhash": q_dedup_simhash,
     "q_embed_neardup": q_embed_neardup,
     "q_ann_topk": q_ann_topk,
@@ -748,6 +793,7 @@ ORACLE_EXT = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "q_dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "q_dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "q_dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "q_embed_neardup": ORACLE_EMBED_NEARDUP,
     "q_ann_topk": ORACLE_ANN_TOPK,

@@ -52,3 +52,32 @@ def test_unpruned_path_unchanged(spark):
     pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
     # ubiquitous shingles link every doc pair when pruning is off
     assert {(1, 2), (1, 3), (2, 3), (1, 10), (10, 11)} <= pairs
+
+
+def test_minhash_lookup_incremental(spark):
+    """Incremental dedup: a batch matches against the corpus INDEX
+    (sig+bands), finding known duplicates without re-deduping the
+    corpus; a novel doc matches nothing."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, f"totally unique document number {i} about topic {i} with many words "
+             f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sig = dd.minhash_signatures(corpus)
+    bands = dd.minhash_bands(sig)
+    batch = corpus.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    ).unionByName(
+        spark.createDataFrame(
+            [(999, "a completely novel text sharing no shingles at all "
+                   "qq ww ee rr tt yy uu ii oo pp")],
+            "doc_id long, text string",
+        )
+    )
+    hits = dd.minhash_lookup(batch, sig, bands, threshold=0.5).collect()
+    got = {(r.new_id, r.corpus_id): r.est_jaccard for r in hits}
+    assert {(100, 0), (101, 1), (102, 2)} <= set(got)
+    assert all(got[(100 + i, i)] == 1.0 for i in range(3))  # exact copies
+    assert not any(n == 999 for n, _ in got)  # novel doc matches nothing
