@@ -204,7 +204,12 @@ def minhash_lookup(
     Candidate generation is the (band, band_sig) equi-join of the
     batch's bands against the stored index: shuffle volume is
     O(batch×B + matched buckets), never O(corpus). Emits (new_id,
-    corpus_id, est_jaccard ≥ threshold)."""
+    corpus_id, est_jaccard ≥ threshold). Batch and index are DISTINCT
+    tables, so no self-pair guard applies — a batch doc whose id
+    already exists in the index (a re-ingested document) is still
+    compared and reported, which is exactly the duplicate you want
+    caught. Callers pass ``index_sig``/``index_bands`` cached or read
+    from their persisted form; this function does not re-cache them."""
     new_sig = minhash_signatures(new_docs, id_col, text_col).cache()
     new_bands = minhash_bands(new_sig, id_col)
     n, ix = new_bands.alias("n"), index_bands.alias("ix")
@@ -212,8 +217,7 @@ def minhash_lookup(
         n.join(
             ix,
             (F.col("n.band") == F.col("ix.band"))
-            & (F.col("n.band_sig") == F.col("ix.band_sig"))
-            & (F.col(f"n.{id_col}") != F.col(f"ix.{id_col}")),
+            & (F.col("n.band_sig") == F.col("ix.band_sig")),
         )
         .select(F.col(f"n.{id_col}").alias("new_id"), F.col(f"ix.{id_col}").alias("corpus_id"))
         .distinct()

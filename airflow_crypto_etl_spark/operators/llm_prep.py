@@ -164,11 +164,19 @@ def pack_sequences(
     bin sequence (bin identity = (bucket, bin_seq)). Buckets pack in
     parallel and the wasted tail is one partial window per bucket, which
     at corpus scale is noise."""
+    from ..functions.hashing import affine_hash
+
     toks = F.size(tokens_col(text_col))
     w = Window.partitionBy("bucket").orderBy(id_col)
+    # bucket on a HASH of the id, not the raw id: block-allocated or
+    # strided id spaces (shard bits in the low positions) would collapse
+    # pmod(id, n) into few buckets and re-serialize the packing. The
+    # affine hash is engine-portable, so the oracle mirrors it exactly.
     binned = (
         docs.select(id_col, toks.alias("n_tokens"))
-        .withColumn("bucket", F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            "bucket", F.pmod(affine_hash(F.col(id_col), F.lit(7)), F.lit(n_buckets)).cast("int")
+        )
         .withColumn("cum", F.sum("n_tokens").over(w))
         .withColumn(
             "bin_seq",

@@ -57,26 +57,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def reap_stale(pattern: str, keep: set[str], max_age_s: int = 3600) -> None:
+    """Remove scratch artifacts from PAST sessions: anything matching
+    ``pattern`` that is not in ``keep`` and is older than ``max_age_s``
+    (old enough that no live session owns it). One shared policy for
+    /tmp roundtrip dirs and warehouse bucketed-table data, so repeated
+    runs don't fill the disk."""
+    import glob as _glob
+    import time as _time
+
+    cutoff = _time.time() - max_age_s
+    for old in _glob.glob(pattern):
+        try:
+            if old not in keep and os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
+
+
+def session_suffix(spark: SparkSession) -> str:
+    """Sanitized per-session discriminator for scratch names."""
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId).lower()
+
+
 def _scratch(spark: SparkSession, name: str) -> str:
     """Session-unique scratch path. Roundtrip queries write temp data;
     fixed /tmp names collide when two sessions run concurrently (e.g.
     the parity suite next to a driver sim — observed as TASK_WRITE_FAILED
-    on the shared path), so every session gets its own. Stale siblings
-    from PAST sessions (mtime > 1 h — old enough that no live session
-    owns them) are reaped so repeated runs don't fill the disk."""
-    import glob as _glob
-    import re as _re
-    import time as _time
-
-    app = _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId)
-    path = os.path.join(tempfile.gettempdir(), f"aces_{name}_{app}")
-    cutoff = _time.time() - 3600
-    for old in _glob.glob(os.path.join(tempfile.gettempdir(), f"aces_{name}_*")):
-        try:
-            if old != path and os.path.getmtime(old) < cutoff:
-                shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
+    on the shared path), so every session gets its own; stale siblings
+    are reaped via :func:`reap_stale`."""
+    path = os.path.join(tempfile.gettempdir(), f"aces_{name}_{session_suffix(spark)}")
+    reap_stale(os.path.join(tempfile.gettempdir(), f"aces_{name}_*"), keep={path})
     return path
 
 

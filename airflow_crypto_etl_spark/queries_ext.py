@@ -239,7 +239,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash index of the corpus — candidate shuffle is O(batch), the
     corpus is only touched through its (sig, bands) index tables."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    index_sig = dd.minhash_signatures(docs)
+    # cache: the index signatures feed BOTH the bands derivation and
+    # the per-minhash estimation join — without it the corpus-wide
+    # shingle+minhash lineage evaluates twice
+    index_sig = dd.minhash_signatures(docs).cache()
     index_bands = dd.minhash_bands(index_sig)
     batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return dd.minhash_lookup(batch, index_sig, index_bands, threshold=0.5)
@@ -261,7 +264,7 @@ new_bands AS (SELECT doc_id + 1000000 AS doc_id, band, band_sig FROM bands),
 cand AS (
   SELECT DISTINCT n.doc_id AS new_id, ix.doc_id AS corpus_id
   FROM new_bands n JOIN bands ix
-    ON n.band = ix.band AND n.band_sig = ix.band_sig AND n.doc_id <> ix.doc_id),
+    ON n.band = ix.band AND n.band_sig = ix.band_sig),
 new_sig AS (SELECT doc_id + 1000000 AS doc_id, i, mh FROM sig),
 est AS (
   SELECT new_id, corpus_id,
@@ -540,7 +543,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-         CAST(doc_id % 32 AS INTEGER) AS bucket
+         CAST(({affine_hash_sql('doc_id', '7')}) % 32 AS INTEGER) AS bucket
   FROM documents),
 c AS (
   SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id

@@ -433,9 +433,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC format round-trip (columnar alternative to parquet, built
     into Spark): write the part dim to ORC, read it back with explicit
     schema, aggregate."""
-    import os
     import shutil
-    import tempfile
 
     from .queries import _scratch
 
@@ -477,9 +475,7 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition value, aggregate. The filter must prune at directory
     listing (PartitionFilters — asserted in test_tpch_plans), so a
     100 TB lake scans one year, not all."""
-    import os
     import shutil
-    import tempfile
 
     from .queries import _scratch
 
@@ -635,31 +631,25 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time — the 100 TB answer for repeated fact⋈fact joins). Result
     equals the plain join; the zero-Exchange plan is asserted in
     tests."""
-    import re as _re
-
     from .operators.joins import bucketed_tables
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     # session-unique table names: two concurrent sessions sharing the
     # warehouse dir must not race on the same bucketed-table location
-    sfx = _re.sub(r"[^A-Za-z0-9]", "", spark.sparkContext.applicationId).lower()
+    import os as _os
+
+    from .queries import reap_stale, session_suffix
+
+    sfx = session_suffix(spark)
     t_li, t_o = f"aces_bkt_li_{sfx}", f"aces_bkt_o_{sfx}"
     # reap PAST sessions' table data (a fresh session's catalog never
     # lists them, only their warehouse dirs persist; > 1 h old = dead)
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import time as _time
-
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
-    cutoff = _time.time() - 3600
-    for old in _glob.glob(_os.path.join(wh, "aces_bkt_*")):
-        try:
-            if sfx not in _os.path.basename(old) and _os.path.getmtime(old) < cutoff:
-                _shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
+    reap_stale(
+        _os.path.join(wh, "aces_bkt_*"),
+        keep={_os.path.join(wh, t_li), _os.path.join(wh, t_o)},
+    )
     bucketed_tables(
         {t_li: li, t_o: o.withColumnRenamed("o_orderkey", "l_orderkey")},
         key="l_orderkey",

@@ -80,8 +80,16 @@ def test_pack_sequences_concat_and_chunk(spark):
 
 def test_pack_sequences_oversized_doc_gets_own_bins(spark):
     docs = spark.createDataFrame(
-        [(0, " ".join(["w"] * 100)), (4, " ".join(["w"] * 5))], "doc_id long, text string"
+        [(0, " ".join(["w"] * 100))]
+        + [(i, " ".join(["w"] * 5)) for i in range(1, 13)],
+        "doc_id long, text string",
     )
-    out = {r.doc_id: r for r in lp.pack_sequences(docs, capacity=30, n_buckets=4).collect()}
-    assert out[0].bin_seq == 0          # oversized doc starts its own bin
-    assert out[4].bin_seq == 3          # next doc in bucket 0 lands past it (100//30)
+    rows = lp.pack_sequences(docs, capacity=30, n_buckets=4).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].bin_seq == 0  # oversized doc starts at its bucket's bin 0
+    # the first doc AFTER it in the same (hash-assigned) bucket starts
+    # past the oversized doc's tokens: bin 100 // 30 = 3
+    same = sorted((r for r in rows if r.bucket == by_id[0].bucket and r.doc_id > 0),
+                  key=lambda r: r.doc_id)
+    assert same, "expected a follower in the oversized doc's bucket"
+    assert same[0].bin_seq == 100 // 30
