@@ -6,8 +6,9 @@ Spark-first: `spark.read.jdbc` with either a pushdown query (the
 database computes the scalar — right for COUNT-style gates) or a
 partitioned range read (parallel extraction — right for bulk loads).
 
-No database exists in this environment; these helpers build the reader
-configuration (unit-testable) and execute lazily like any scan.
+Executed live in tests against the embedded Derby database on Spark's
+classpath (tests/test_jdbc_live.py): append + read-back, pushdown count
+probe, and a partitioned 4-way parallel range scan.
 """
 
 from __future__ import annotations
