@@ -184,3 +184,175 @@ def pack_sequences(
         )
     )
     return binned.select(id_col, "n_tokens", "bucket", "bin_seq")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splitting (train / valid / test)
+# ---------------------------------------------------------------------------
+
+SPLIT_RESOLUTION = 10_000
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    salt: int = 11,
+) -> DataFrame:
+    """Assign each row to a named split (train/valid/test/...) by a
+    deterministic, engine-portable hash of its id — the standard
+    holdout construction for pretraining corpora. Properties that
+    matter at 100 TB:
+
+    - STABLE: membership depends only on (id, salt), so re-runs,
+      backfills, and incremental appends never migrate a document
+      across splits (no leakage between train and eval over time);
+    - STATELESS / map-side: a pure codegen'd expression, no shuffle,
+      no global sample() coordination, no rand() (which is
+      partition-order dependent and unreproducible across retries);
+    - EXACT: thresholds compare integers (``h * total < cum *
+      resolution``), so the oracle replays it bit-for-bit.
+
+    ``weights`` maps split name → integer weight; expected share of
+    split i is weights[i]/sum(weights).
+    """
+    from ..functions.hashing import affine_hash
+
+    total = sum(weights.values())
+    h = F.pmod(affine_hash(F.col(id_col), F.lit(salt)), F.lit(SPLIT_RESOLUTION))
+    expr: Column | None = None
+    cum = 0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = (h * total) < (cum * SPLIT_RESOLUTION)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture rebalancing
+# ---------------------------------------------------------------------------
+
+def mixture_rebalance(
+    df: DataFrame,
+    target_weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 13,
+) -> DataFrame:
+    """Downsample sources so the kept corpus matches a target mixture
+    (e.g. web 60 / books 25 / code 15) — the data-mixing step every
+    pretraining run performs before tokenization.
+
+    Construction: with per-source counts ``c_s``, integer target
+    weights ``w_s`` (sum ``W``), the largest achievable mixture total
+    is ``T = min_s floor(c_s * W / w_s)`` (the scarcest source binds).
+    Each source keeps rows where ``hash % R  <  r_s * R`` with
+    ``r_s = w_s * T / (W * c_s)`` — evaluated as the integer
+    comparison ``h * W * c_s < w_s * T * R`` so both engines agree
+    exactly. Sources missing from ``target_weights`` are dropped.
+
+    Scale shape: per-source counts are a partial-agg groupBy over the
+    (few) sources; the tiny rate table joins back BROADCAST, and the
+    keep decision is a map-side codegen'd filter — the corpus itself
+    shuffles zero bytes.
+    """
+    from ..functions.hashing import affine_hash
+
+    w_total = sum(target_weights.values())
+    weights = F.create_map(
+        *[x for k, v in target_weights.items() for x in (F.lit(k), F.lit(v))]
+    )
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .withColumn("w_s", weights[F.col(source_col)])
+        .filter(F.col("w_s").isNotNull())
+        .withColumn("cap_s", F.expr(f"c_s * {w_total} div w_s"))
+    )
+    t_bind = counts.agg(F.min("cap_s").alias("t_total"))
+    rates = counts.crossJoin(F.broadcast(t_bind))
+    h = F.pmod(affine_hash(F.col(id_col), F.lit(salt)), F.lit(SPLIT_RESOLUTION))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(h * w_total * F.col("c_s") < F.col("w_s") * F.col("t_total") * SPLIT_RESOLUTION)
+        .drop("c_s", "w_s", "cap_s", "t_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG / context-window chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    retrieval/RAG indexing verb (and the long-document splitter ahead
+    of embedding). Chunk starts step by ``chunk_size - overlap``; the
+    final chunk may be short (never empty), and empty documents emit
+    no chunks.
+
+    Scale shape: sequence + explode + slice are all codegen'd array
+    expressions — one narrow map stage, zero shuffles, and the output
+    inherits the input partitioning (chunks of a doc stay on its
+    partition for the downstream embed step).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens_col(text_col)
+    out = (
+        df.select(id_col, toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .withColumn("start", F.explode(F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))))
+        .withColumn("chunk_id", F.expr(f"start div {stride}").cast("int"))
+        .withColumn("chunk_toks", F.slice(F.col("_toks"), F.col("start") + 1, chunk_size))
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size("chunk_toks").alias("n_chunk_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8)
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    storage/serving compression step for a 100 TB vector corpus (4×
+    smaller than float32, 8× than float64; dot products stay within
+    ~1% for unit-norm vectors).
+
+    ``scale = max|x| / 127``; ``q_i = floor(x_i/scale + 0.5)`` (round
+    half toward +inf — identical in every engine, unlike banker's
+    rounding). All arithmetic is double-precision IEEE with a fixed op
+    order, so the oracle reproduces it bit-for-bit. Pure codegen'd
+    array expressions; no shuffle, no UDF.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs > 0, F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("bigint"))).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("bigint"))
+    )
+    return df.withColumns({"q_scale": scale, "_q": q}).withColumns(
+        {
+            "n_dims": F.size("_q"),
+            "q_sum": F.aggregate(F.col("_q"), F.lit(0).cast("bigint"), lambda a, x: a + x),
+            "q_l1": F.aggregate(
+                F.col("_q"), F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+            ),
+            "q_min": F.array_min("_q"),
+            "q_max": F.array_max("_q"),
+        }
+    ).drop("_q")

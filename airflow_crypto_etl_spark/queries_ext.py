@@ -924,3 +924,128 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 
 QUERIES_EXT["q_stream_stream_join"] = q_stream_stream_join
 ORACLE_EXT["q_stream_stream_join"] = ORACLE_STREAM_STREAM_JOIN
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: split / mixture / chunking / quantization
+# ---------------------------------------------------------------------------
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train-valid-test split (stable hash
+    membership — append-safe, leakage-free) summarized per split."""
+    from .operators import llm_prep as lp
+
+    d = lp.split_corpus(_docs(spark, sf_dir), {"train": 90, "valid": 5, "test": 5})
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+_SPLIT_H = f"(({affine_hash_sql('doc_id', '11')}) % 10000)"
+ORACLE_TRAIN_TEST_SPLIT = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN {_SPLIT_H} * 100 < 90 * 10000 THEN 'train'
+              WHEN {_SPLIT_H} * 100 < 95 * 10000 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split
+"""
+
+QUERIES_EXT["q_train_test_split"] = q_train_test_split
+ORACLE_EXT["q_train_test_split"] = ORACLE_TRAIN_TEST_SPLIT
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing to a 50/30/20 target over three
+    sources (others dropped); kept counts per source prove the rates."""
+    from .operators import llm_prep as lp
+
+    kept = lp.mixture_rebalance(
+        _docs(spark, sf_dir), {"src0": 50, "src1": 30, "src2": 20}
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_MIX_H = f"(({affine_hash_sql('doc_id', '13')}) % 10000)"
+ORACLE_MIXTURE_REBALANCE = f"""
+WITH w(source, w_s) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c_s FROM documents GROUP BY source),
+rates AS (
+  SELECT counts.source, c_s, w_s, c_s * 100 // w_s AS cap_s
+  FROM counts JOIN w USING (source)),
+t AS (SELECT min(cap_s) AS t_total FROM rates),
+kept AS (
+  SELECT d.source
+  FROM documents d JOIN rates ON d.source = rates.source CROSS JOIN t
+  WHERE {_MIX_H} * 100 * c_s < w_s * t_total * 10000)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source
+"""
+
+QUERIES_EXT["q_mixture_rebalance"] = q_mixture_rebalance
+ORACLE_EXT["q_mixture_rebalance"] = ORACLE_MIXTURE_REBALANCE
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 64-token windows, 16-token overlap; per-chunk
+    token count + portable fingerprint of the chunk text."""
+    from .functions.hashing import char_hash
+    from .operators import llm_prep as lp
+
+    chunks = lp.chunk_documents(_docs(spark, sf_dir), chunk_size=64, overlap=16)
+    return chunks.select(
+        "doc_id", "chunk_id", "n_chunk_tokens",
+        char_hash(F.col("chunk_text")).alias("chunk_fp"),
+    )
+
+
+_CHUNK_SLICE = "list_slice(toks, start + 1, start + 64)"
+ORACLE_CHUNK_DOCS = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM nz)
+SELECT doc_id,
+       CAST(start // 48 AS INTEGER) AS chunk_id,
+       CAST(len({_CHUNK_SLICE}) AS INTEGER) AS n_chunk_tokens,
+       {char_hash_sql(f"array_to_string({_CHUNK_SLICE}, ' ')")} AS chunk_fp
+FROM s
+"""
+
+QUERIES_EXT["q_chunk_docs"] = q_chunk_docs
+ORACLE_EXT["q_chunk_docs"] = ORACLE_CHUNK_DOCS
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization; integer summaries of the
+    quantized vector plus the (IEEE-exact) scale."""
+    from .operators import llm_prep as lp
+
+    out = lp.quantize_embeddings(_emb(spark, sf_dir))
+    return out.select("vec_id", "n_dims", "q_scale", "q_sum", "q_l1", "q_min", "q_max")
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS max_abs FROM v),
+q AS (
+  SELECT vec_id, max_abs / 127.0 AS q_scale,
+         CASE WHEN max_abs > 0
+              THEN list_transform(ve, x -> CAST(floor(x / (max_abs / 127.0) + 0.5) AS BIGINT))
+              ELSE list_transform(ve, x -> 0::BIGINT) END AS qq
+  FROM m)
+SELECT vec_id,
+       CAST(len(qq) AS INTEGER) AS n_dims,
+       q_scale,
+       CAST(list_sum(qq) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qq, x -> abs(x))) AS BIGINT) AS q_l1,
+       list_min(qq) AS q_min,
+       list_max(qq) AS q_max
+FROM q
+"""
+
+QUERIES_EXT["q_embed_quantize"] = q_embed_quantize
+ORACLE_EXT["q_embed_quantize"] = ORACLE_EMBED_QUANTIZE

@@ -93,3 +93,77 @@ def test_pack_sequences_oversized_doc_gets_own_bins(spark):
                   key=lambda r: r.doc_id)
     assert same, "expected a follower in the oversized doc's bucket"
     assert same[0].bin_seq == 100 // 30
+
+
+def test_split_corpus_stable_and_proportional(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = lp.split_corpus(docs, {"train": 80, "valid": 10, "test": 10})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["valid"] / 2000 - 0.1) < 0.03
+    # membership is a pure function of the id: a subset sees identical splits
+    sub = lp.split_corpus(docs.filter("doc_id % 3 = 0"), {"train": 80, "valid": 10, "test": 10})
+    full = {r.doc_id: r.split for r in out.collect()}
+    assert all(full[r.doc_id] == r.split for r in sub.collect())
+
+
+def test_mixture_rebalance_hits_target_and_binds_on_scarcest(spark):
+    rows = (
+        [(i, "web") for i in range(1000)]
+        + [(10_000 + i, "books") for i in range(200)]
+        + [(20_000 + i, "code") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = lp.mixture_rebalance(df, {"web": 60, "books": 20, "code": 20})
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # books is scarcest (200/0.2 => total 1000): books keeps ~all, web ~600, code ~200
+    assert counts["books"] >= 195
+    assert abs(counts["web"] - 600) < 60
+    assert abs(counts["code"] - 200) < 40
+    # sources absent from the target mixture are dropped entirely
+    with_extra = df.union(spark.createDataFrame([(99_999, "junk")], "doc_id long, source string"))
+    kept2 = lp.mixture_rebalance(with_extra, {"web": 60, "books": 20, "code": 20})
+    assert kept2.filter("source = 'junk'").count() == 0
+
+
+def test_chunk_documents_covers_text_losslessly(spark):
+    text = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")], "doc_id long, text string")
+    chunks = lp.chunk_documents(df, chunk_size=64, overlap=16)
+    rows = sorted(chunks.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # starts step by 48; 150 tokens -> starts 0,48,96,144 -> 4 chunks
+    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in d1] == [64, 64, 54, 6]
+    # stitching non-overlap prefixes reconstructs the document exactly
+    stride = 48
+    rebuilt = []
+    for r in d1:
+        rebuilt.extend(r.chunk_text.split(" ")[:stride])
+    assert rebuilt == text.split(" ")
+    # consecutive chunks share exactly the overlap
+    assert d1[0].chunk_text.split(" ")[48:] == d1[1].chunk_text.split(" ")[:16]
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_chunk_tokens == 2
+    assert not [r for r in rows if r.doc_id == 3]  # empty doc -> no chunks
+
+
+def test_quantize_embeddings_error_bound_and_range(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0]), (3, [3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in lp.quantize_embeddings(df).collect()}
+    # int8 range respected, extremes hit exactly
+    assert out[1].q_min == -127 and -127 <= out[1].q_max <= 127
+    assert out[3].q_max == 127 and out[3].q_scale == 3.0 / 127
+    # zero vector quantizes to zeros with zero scale
+    assert out[2].q_sum == 0 and out[2].q_l1 == 0 and out[2].q_scale == 0.0
+    # reconstruction error bound: |x - q*scale| <= scale/2 per dim
+    import math
+    vec = [0.5, -1.0, 0.25, 0.0]
+    scale = out[1].q_scale
+    qs = [math.floor(x / scale + 0.5) for x in vec]
+    assert all(abs(x - qv * scale) <= scale / 2 + 1e-12 for x, qv in zip(vec, qs))
+    assert sum(qs) == out[1].q_sum and sum(abs(v) for v in qs) == out[1].q_l1

@@ -79,6 +79,7 @@ _PRODUCT_OK = {
     "q_tpch_q11",           # broadcast 1-row group-total scalar
     "q_tpch_q20",           # broadcast scalar availqty threshold
     "q_tpch_q22",           # broadcast 1-row avg(acctbal) scalar
+    "q_mixture_rebalance",  # broadcast 1-row binding mixture total
     "q_udtf_ngrams",        # lateral UDTF join
 }
 
