@@ -241,8 +241,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # cache: the index signatures feed BOTH the bands derivation and
     # the per-minhash estimation join — without it the corpus-wide
-    # shingle+minhash lineage evaluates twice
-    index_sig = dd.minhash_signatures(docs).cache()
+    # shingle+minhash lineage evaluates twice. Registered session-scoped;
+    # dd.release_caches() reclaims it (see operators.dedup).
+    index_sig = dd.register_cache(dd.minhash_signatures(docs))
     index_bands = dd.minhash_bands(index_sig)
     batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return dd.minhash_lookup(batch, index_sig, index_bands, threshold=0.5)
@@ -281,7 +282,9 @@ ORACLE_DEDUP_INCREMENTAL = _minhash_incremental_oracle()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_pairs(_docs(spark, sf_dir), max_hamming=6)
+    # Manku chunk join (bucketed equi-join) — the all-pairs XOR kernel
+    # dd.simhash_pairs remains as the verification twin in tests.
+    return dd.simhash_pairs_chunked(_docs(spark, sf_dir), max_hamming=6)
 
 
 ORACLE_DEDUP_SIMHASH = f"""

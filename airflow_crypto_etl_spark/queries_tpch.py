@@ -638,10 +638,14 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part retail price × quantity): profit by supplier nation and year.
     All arithmetic in decimal from raw columns so the derived measure
     hashes identically across engines."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    # Filtered part and supplier are dims next to lineitem — explicit
+    # broadcast per the module policy (round-3 verdict #1): without the
+    # hint, misleading stats at scale would shuffle all of lineitem for
+    # the part join. orders stays a shuffle join (fact-fact).
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")))
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    s = _t(spark, sf_dir, "supplier")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     profit = (
         F.col("l_extendedprice").cast("decimal(12,4)")

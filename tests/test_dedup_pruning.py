@@ -81,3 +81,44 @@ def test_minhash_lookup_incremental(spark):
     assert {(100, 0), (101, 1), (102, 2)} <= set(got)
     assert all(got[(100 + i, i)] == 1.0 for i in range(3))  # exact copies
     assert not any(n == 999 for n, _ in got)  # novel doc matches nothing
+
+
+def test_release_caches_leaves_no_persistent_rdds(spark, sf_dir):
+    """Round-3 verdict #3: the session-scoped dedup caches must be
+    reclaimable — after consuming each dedup query and calling
+    release_caches, no cached RDD may remain pinned."""
+    from airflow_crypto_etl_spark import queries_ext as qx
+
+    for q in (qx.q_dedup_minhash, qx.q_dedup_incremental):
+        q(spark, sf_dir).count()
+    assert dd.release_caches() >= 2
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_duplicate_clusters_unpersists_edges(spark):
+    """After the propagation loop the edge cache is released in-function;
+    with the signature cache released too, the DataFrame cache manager
+    must be empty. (getPersistentRDDs is not the right probe here: the
+    result's localCheckpoint blocks legitimately remain until the
+    ContextCleaner reaps them — those are not cacheManager entries.)"""
+    docs = _corpus(spark)
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.3)
+    out = dd.duplicate_clusters(docs, pairs)
+    n = out.count()
+    assert n == docs.count()
+    dd.release_caches()  # the lsh signature cache
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_simhash_chunked_matches_allpairs_and_bucket_joins(spark):
+    """Manku chunk join (round-3 verdict #7): identical pairs to the
+    all-pairs XOR kernel, via an equi-join plan (no nested-loop join)."""
+    docs = _corpus(spark)
+    ap = {tuple(r) for r in dd.simhash_pairs(docs, max_hamming=6).collect()}
+    ch_df = dd.simhash_pairs_chunked(docs, max_hamming=6)
+    ch = {tuple(r) for r in ch_df.collect()}
+    assert ap == ch
+    plan = ch_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -74,3 +74,12 @@ def test_partition_prune_reaches_listing(spark, sf_dir):
     pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
     # the year filter prunes at directory listing, not post-scan
     assert pf and "ship_year" in pf[0] and "1997" in pf[0], p
+
+
+def test_q9_broadcasts_part_supplier_nation(spark, sf_dir):
+    """Round-3 verdict #1: the 'red'-filtered part, supplier, and nation
+    must all reach lineitem as broadcast joins — only the fact-fact
+    lineitem-orders join may shuffle."""
+    p = plan_of(spark, qt.q_tpch_q9(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "CartesianProduct" not in p
