@@ -249,10 +249,15 @@ def mixture_rebalance(
     Construction: with per-source counts ``c_s``, integer target
     weights ``w_s`` (sum ``W``), the largest achievable mixture total
     is ``T = min_s floor(c_s * W / w_s)`` (the scarcest source binds).
-    Each source keeps rows where ``hash % R  <  r_s * R`` with
-    ``r_s = w_s * T / (W * c_s)`` — evaluated as the integer
-    comparison ``h * W * c_s < w_s * T * R`` so both engines agree
-    exactly. Sources missing from ``target_weights`` are dropped.
+    Each source keeps rows where ``h < thr_s`` with the per-source
+    integer threshold ``thr_s = ceil(w_s * T * R / (W * c_s))`` —
+    equivalent to the rational keep-rate comparison but computed ONCE
+    per source on the tiny rate table (decimal-exact there), so the
+    per-row filter is a plain int64 comparison that cannot overflow no
+    matter how large the per-source counts grow. Sources missing from
+    ``target_weights`` are dropped; a TARGET source absent from the
+    corpus binds the mixture at zero (cap 0 → empty result) rather
+    than silently vanishing from the mix.
 
     Scale shape: per-source counts are a partial-agg groupBy over the
     (few) sources; the tiny rate table joins back BROADCAST, and the
@@ -261,24 +266,47 @@ def mixture_rebalance(
     """
     from ..functions.hashing import affine_hash
 
+    if not target_weights or any(v <= 0 for v in target_weights.values()):
+        raise ValueError("target_weights must be non-empty with positive weights")
     w_total = sum(target_weights.values())
-    weights = F.create_map(
-        *[x for k, v in target_weights.items() for x in (F.lit(k), F.lit(v))]
+    spark = df.sparkSession
+    # Weights as a table (not a map lookup on counts): a target source
+    # with ZERO corpus rows then still contributes a cap_s = 0 row.
+    wdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in target_weights.items()],
+        f"{source_col} string, _mr_w bigint",
     )
     counts = (
-        df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("c_s"))
-        .withColumn("w_s", weights[F.col(source_col)])
-        .filter(F.col("w_s").isNotNull())
-        .withColumn("cap_s", F.expr(f"c_s * {w_total} div w_s"))
+        wdf.join(
+            df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_mr_c")),
+            source_col,
+            "left",
+        )
+        .withColumn("_mr_c", F.coalesce("_mr_c", F.lit(0)))
+        .withColumn("_mr_cap", F.expr(f"_mr_c * {w_total} div _mr_w"))
     )
-    t_bind = counts.agg(F.min("cap_s").alias("t_total"))
-    rates = counts.crossJoin(F.broadcast(t_bind))
+    t_bind = counts.agg(F.min("_mr_cap").alias("_mr_t"))
+    # thr = ceil(w_s*T*R / (W*c_s)), decimal-exact on the few-row rate
+    # table; thr <= R by construction (w_s*T <= W*c_s), so it is a small
+    # int and the per-row comparison h < thr stays in int64 trivially.
+    rates = counts.crossJoin(F.broadcast(t_bind)).withColumn(
+        "_mr_thr",
+        F.expr(
+            "CASE WHEN _mr_c = 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"  CAST(_mr_w AS DECIMAL(38,0)) * _mr_t * {SPLIT_RESOLUTION}"
+            f"    div (CAST({w_total} AS DECIMAL(38,0)) * _mr_c)"
+            "  + CASE WHEN "
+            f"    CAST(_mr_w AS DECIMAL(38,0)) * _mr_t * {SPLIT_RESOLUTION}"
+            f"      % (CAST({w_total} AS DECIMAL(38,0)) * _mr_c) = 0"
+            "    THEN 0 ELSE 1 END "
+            "END",
+        ),
+    )
     h = F.pmod(affine_hash(F.col(id_col), F.lit(salt)), F.lit(SPLIT_RESOLUTION))
     return (
-        df.join(F.broadcast(rates), source_col)
-        .filter(h * w_total * F.col("c_s") < F.col("w_s") * F.col("t_total") * SPLIT_RESOLUTION)
-        .drop("c_s", "w_s", "cap_s", "t_total")
+        df.join(F.broadcast(rates.select(source_col, "_mr_thr")), source_col)
+        .filter(h < F.col("_mr_thr"))
+        .drop("_mr_thr")
     )
 
 
@@ -297,21 +325,25 @@ def chunk_documents(
     retrieval/RAG indexing verb (and the long-document splitter ahead
     of embedding). Chunk starts step by ``chunk_size - overlap``; the
     final chunk may be short (never empty), and empty documents emit
-    no chunks.
+    no chunks. A tail start whose chunk would be ≤ ``overlap`` tokens
+    is suppressed: that chunk is a pure suffix of the previous one and
+    would duplicate content in a RAG index (kept only when start is 0,
+    i.e. the document itself is that short).
 
     Scale shape: sequence + explode + slice are all codegen'd array
     expressions — one narrow map stage, zero shuffles, and the output
     inherits the input partitioning (chunks of a doc stay on its
     partition for the downstream embed step).
     """
-    if overlap >= chunk_size:
-        raise ValueError("overlap must be smaller than chunk_size")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
     toks = tokens_col(text_col)
     out = (
         df.select(id_col, toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
         .withColumn("start", F.explode(F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))))
+        .filter(F.expr(f"start = 0 OR start + {overlap} < size(_toks)"))
         .withColumn("chunk_id", F.expr(f"start div {stride}").cast("int"))
         .withColumn("chunk_toks", F.slice(F.col("_toks"), F.col("start") + 1, chunk_size))
     )

@@ -975,16 +975,25 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_H = f"(({affine_hash_sql('doc_id', '13')}) % 10000)"
 ORACLE_MIXTURE_REBALANCE = f"""
 WITH w(source, w_s) AS (VALUES ('src0', 50), ('src1', 30), ('src2', 20)),
+counts0 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source),
 counts AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS c_s FROM documents GROUP BY source),
+  SELECT w.source, w_s, COALESCE(c, 0) AS c_s FROM w LEFT JOIN counts0 USING (source)),
 rates AS (
-  SELECT counts.source, c_s, w_s, c_s * 100 // w_s AS cap_s
-  FROM counts JOIN w USING (source)),
+  SELECT source, c_s, w_s, c_s * 100 // w_s AS cap_s FROM counts),
 t AS (SELECT min(cap_s) AS t_total FROM rates),
+thr AS (
+  SELECT source,
+         CASE WHEN c_s = 0 THEN 0 ELSE
+           (CAST(w_s AS HUGEINT) * t_total * 10000) // (CAST(100 AS HUGEINT) * c_s)
+           + CASE WHEN (CAST(w_s AS HUGEINT) * t_total * 10000)
+                       % (CAST(100 AS HUGEINT) * c_s) = 0 THEN 0 ELSE 1 END
+         END AS thr_s
+  FROM rates CROSS JOIN t),
 kept AS (
   SELECT d.source
-  FROM documents d JOIN rates ON d.source = rates.source CROSS JOIN t
-  WHERE {_MIX_H} * 100 * c_s < w_s * t_total * 10000)
+  FROM documents d JOIN thr ON d.source = thr.source
+  WHERE {_MIX_H} < thr_s)
 SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY source
 """
 
@@ -1009,7 +1018,8 @@ _CHUNK_SLICE = "list_slice(toks, start + 1, start + 64)"
 ORACLE_CHUNK_DOCS = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 nz AS (SELECT * FROM t WHERE len(toks) > 0),
-s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM nz)
+s0 AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM nz),
+s AS (SELECT * FROM s0 WHERE start = 0 OR start + 16 < len(toks))
 SELECT doc_id,
        CAST(start // 48 AS INTEGER) AS chunk_id,
        CAST(len({_CHUNK_SLICE}) AS INTEGER) AS n_chunk_tokens,

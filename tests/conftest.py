@@ -13,9 +13,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="aces-tests", master="local[*]", shuffle_partitions=8,
-                      driver_memory="8g")
+    spark = get_spark(
+        app_name="aces-tests", master="local[*]", shuffle_partitions=8,
+        driver_memory="8g",
+        # keep embedded Derby's log out of the repo root (round-3
+        # verdict #9); applied at JVM launch via spark-submit
+        extra_conf={"spark.driver.extraJavaOptions": "-Dderby.stream.error.file=/tmp/derby.log"},
+    )
     yield spark
+    # Teardown (round-3 verdict #9): drop this run's bucketed scratch
+    # tables and sweep any aces_bkt_* warehouse dirs (incl. orphans a
+    # crashed past session left), so pytest leaves no root-level litter.
+    import glob
+    import shutil
+
+    try:
+        for r in spark.sql("SHOW TABLES").collect():
+            if r.tableName.startswith("aces_bkt_"):
+                spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+        for d in glob.glob(os.path.join(wh, "aces_bkt_*")):
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass  # cleanup is best-effort; never fail the suite over it
+    for f in ("derby.log",):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
 
 
 @pytest.fixture(scope="session")

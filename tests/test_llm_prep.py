@@ -127,20 +127,51 @@ def test_mixture_rebalance_hits_target_and_binds_on_scarcest(spark):
     assert kept2.filter("source = 'junk'").count() == 0
 
 
+def test_mixture_rebalance_missing_target_source_binds_at_zero(spark):
+    """A target source with zero corpus rows caps the mixture at zero
+    (empty result) instead of silently vanishing from the mix."""
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(100)], "doc_id long, source string"
+    )
+    kept = lp.mixture_rebalance(df, {"web": 60, "books": 40})
+    assert kept.count() == 0
+
+
+def test_mixture_rebalance_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "web")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        lp.mixture_rebalance(df, {"web": 0})
+    with pytest.raises(ValueError):
+        lp.mixture_rebalance(df, {})
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lp.chunk_documents(df, chunk_size=8, overlap=-1)
+
+
 def test_chunk_documents_covers_text_losslessly(spark):
     text = " ".join(f"w{i}" for i in range(150))
     df = spark.createDataFrame([(1, text), (2, "short doc"), (3, "")], "doc_id long, text string")
     chunks = lp.chunk_documents(df, chunk_size=64, overlap=16)
     rows = sorted(chunks.collect(), key=lambda r: (r.doc_id, r.chunk_id))
     d1 = [r for r in rows if r.doc_id == 1]
-    # starts step by 48; 150 tokens -> starts 0,48,96,144 -> 4 chunks
-    assert [r.chunk_id for r in d1] == [0, 1, 2, 3]
-    assert [r.n_chunk_tokens for r in d1] == [64, 64, 54, 6]
-    # stitching non-overlap prefixes reconstructs the document exactly
+    # starts step by 48; 150 tokens -> starts 0,48,96 (the 144 start
+    # would be a 6-token pure suffix of chunk 2 — suppressed)
+    assert [r.chunk_id for r in d1] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in d1] == [64, 64, 54]
+    # stitching non-overlap prefixes (full tail for the last chunk)
+    # reconstructs the document exactly
     stride = 48
     rebuilt = []
-    for r in d1:
+    for r in d1[:-1]:
         rebuilt.extend(r.chunk_text.split(" ")[:stride])
+    rebuilt.extend(d1[-1].chunk_text.split(" "))
     assert rebuilt == text.split(" ")
     # consecutive chunks share exactly the overlap
     assert d1[0].chunk_text.split(" ")[48:] == d1[1].chunk_text.split(" ")[:16]
