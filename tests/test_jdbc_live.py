@@ -71,3 +71,47 @@ def test_s6_partitioned_parallel_read(spark, derby_url):
     assert df.rdd.getNumPartitions() == 4  # parallel range scan
     assert df.count() == 1000
     assert df.agg(F.sum("v")).collect()[0][0] == 999 * 1000
+
+
+def test_k8_merge_upsert_update_live(spark, derby_url):
+    """LIVE update-on-conflict (round-3 verdict #4): initial load, then
+    a conflicting re-load with changed values — read-back must show
+    last-writer-wins, with no duplicate keys."""
+    from airflow_crypto_etl_spark.sinks.jdbc_upsert import merge_upsert_jdbc
+
+    first = spark.createDataFrame(
+        [(1, "btc", 100.0), (2, "eth", 50.0), (3, "sol", 10.0)],
+        "k long, name string, price double",
+    )
+    append_jdbc(first, derby_url, "serve_upd", driver=DRIVER)  # creates target
+    second = spark.createDataFrame(
+        [(2, "eth", 75.0), (3, "sol", 12.5), (4, "ada", 1.0)],
+        "k long, name string, price double",
+    )
+    merge_upsert_jdbc(
+        second, derby_url, "serve_upd", conflict_cols=["k"], update=True, driver=DRIVER
+    )
+    back = read_jdbc(spark, url=derby_url, table="serve_upd", driver=DRIVER)
+    got = {int(r[0]): (r[1], float(r[2])) for r in back.collect()}
+    assert got == {
+        1: ("btc", 100.0),   # untouched
+        2: ("eth", 75.0),    # updated in place
+        3: ("sol", 12.5),    # updated in place
+        4: ("ada", 1.0),     # inserted
+    }
+
+
+def test_k7_merge_upsert_ignore_live(spark, derby_url):
+    """LIVE insert-if-absent: conflicting rows are ignored, new keys
+    land — the DO NOTHING twin."""
+    from airflow_crypto_etl_spark.sinks.jdbc_upsert import merge_upsert_jdbc
+
+    first = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    append_jdbc(first, derby_url, "serve_ign", driver=DRIVER)
+    second = spark.createDataFrame([(2, 999.0), (3, 30.0)], "k long, v double")
+    merge_upsert_jdbc(
+        second, derby_url, "serve_ign", conflict_cols=["k"], update=False, driver=DRIVER
+    )
+    back = read_jdbc(spark, url=derby_url, table="serve_ign", driver=DRIVER)
+    got = {int(r[0]): float(r[1]) for r in back.collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0}  # 2 kept its original value
