@@ -762,6 +762,35 @@ FROM geo
 """
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (round-3 verdict #5): every doc gets a
+    spec-conformant PNG (8-bit RGB, per-row filter cycling through all
+    five PNG filter types, split IDAT, real CRCs) whose raw pixel byte
+    i is (doc_id+i) mod 256; ``decode_png`` walks chunks, inflates, and
+    de-filters with only the stdlib. The oracle predicts the decode
+    output from the generation formulas — any chunk/inflate/filter bug
+    surfaces as a value mismatch."""
+    d = mm.attach_png_payload(_docs(spark, sf_dir))
+    return mm.decode_png(d)
+
+
+ORACLE_MULTIMODAL_PNG = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST(2 AS INTEGER) AS color_type,
+       CAST(width * height * 3 AS INTEGER) AS n_px_bytes,
+       CAST(list_sum(list_transform(range(0, width * height * 3),
+                                    i -> (doc_id + i) % 256)) AS DOUBLE)
+         / (width * height * 3) AS px_mean
+FROM geo
+"""
+
+
 QUERIES_EXT = {
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
@@ -785,6 +814,7 @@ QUERIES_EXT = {
     "q_stream_dedup": q_stream_dedup,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
+    "q_multimodal_png": q_multimodal_png,
     "q_pii_scrub": q_pii_scrub,
     "q_repetition_stats": q_repetition_stats,
     "q_contamination": q_contamination,
@@ -814,6 +844,7 @@ ORACLE_EXT = {
     # q_stream_session: rows-only by design (append-mode emission)
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
     "q_multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "q_multimodal_png": ORACLE_MULTIMODAL_PNG,
     "q_pii_scrub": ORACLE_PII_SCRUB,
     "q_repetition_stats": ORACLE_REPETITION_STATS,
     "q_contamination": ORACLE_CONTAMINATION,

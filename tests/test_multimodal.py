@@ -94,3 +94,68 @@ def test_decode_ppm_rejects_garbage(spark):
     pdf = spark.createDataFrame([(1, bytearray(b"JFIF...."))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="not a P6|PythonException|Py4J"):
         mm.decode_ppm(pdf).collect()
+
+
+def test_make_png_roundtrip_decode(spark):
+    """The PNG generator cycles scanline filters 0-4, so a correct
+    round-trip proves Sub/Up/Average/Paeth de-filtering, multi-chunk
+    IDAT reassembly, and CRC verification all at once."""
+    pdf = spark.createDataFrame([(i,) for i in (0, 3, 7, 11, 42)], "doc_id long")
+    out = {r.doc_id: r for r in mm.decode_png(mm.attach_png_payload(pdf)).collect()}
+    for i in (0, 3, 7, 11, 42):
+        w, h = 4 + i % 5, 3 + i % 4
+        n = w * h * 3
+        r = out[i]
+        assert (r.width, r.height, r.bit_depth, r.color_type, r.n_px_bytes) == (w, h, 8, 2, n)
+        assert r.px_mean == sum((i + j) % 256 for j in range(n)) / n
+
+
+def test_decode_png_grayscale_and_rgba(spark):
+    """Gray (bpp=1) and RGBA (bpp=4) change the filter byte-distance —
+    decode must honor the per-color-type bpp."""
+    import struct
+    import zlib
+
+    def png(ctype, bpp, w, h, seed):
+        stride = w * bpp
+        raw = bytes((seed + i) % 256 for i in range(stride * h))
+        body = bytearray()
+        prev = bytes(stride)
+        for r in range(h):
+            row = raw[r * stride : (r + 1) * stride]
+            body.append(1)  # Sub filter everywhere: exercises bpp offset
+            for x, v in enumerate(row):
+                a = row[x - bpp] if x >= bpp else 0
+                body.append((v - a) % 256)
+            prev = row
+
+        def chunk(tag, data):
+            return struct.pack(">I", len(data)) + tag + data + struct.pack(
+                ">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(body))) + chunk(b"IEND", b""))
+
+    # doc_id doubles as the color type for easy assertion lookup
+    rows = [(0, bytearray(png(0, 1, 5, 4, 9))), (6, bytearray(png(6, 4, 3, 2, 20)))]
+    pdf = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_png(pdf).collect()}
+    assert (got[0].color_type, got[0].n_px_bytes) == (0, 20)
+    assert got[0].px_mean == sum((9 + i) % 256 for i in range(20)) / 20
+    assert (got[6].color_type, got[6].n_px_bytes) == (6, 24)
+    assert got[6].px_mean == sum((20 + i) % 256 for i in range(24)) / 24
+
+
+def test_decode_png_rejects_bad_crc_and_unsupported(spark):
+    import pytest as _pytest
+
+    good = mm.make_png(1, 4, 3)
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # flip a CRC byte of IEND
+    pdf = spark.createDataFrame([(1, corrupt)], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="bad CRC|PythonException|Py4J"):
+        mm.decode_png(pdf).collect()
+    pdf2 = spark.createDataFrame([(1, bytearray(b"JFIF....xxxx"))], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="not a PNG|PythonException|Py4J"):
+        mm.decode_png(pdf2).collect()
