@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from airflow_crypto_etl_spark.operators import aggregate as agg_ops
 from airflow_crypto_etl_spark.operators import dedup as dd
 from airflow_crypto_etl_spark.operators import joins as join_ops
+from airflow_crypto_etl_spark.operators import llm_prep as lp
 from airflow_crypto_etl_spark.session import get_spark
 from airflow_crypto_etl_spark.sources.tables import load_table
 
@@ -79,6 +80,11 @@ def main() -> None:
         # defect. (The pair join itself is an equi-join on buckets —
         # test_plans asserts the shape.)
         "minhash_signatures": lambda d: dd.minhash_signatures(d),
+        # bucketed running-sum packing: per-bucket windows, linear rows
+        "pack_sequences": lambda d: lp.pack_sequences(d, capacity=512),
+        # broadcast benchmark shingle index: corpus-side map join,
+        # linear in corpus rows (benchmark fixed at 50 docs)
+        "contamination": lambda d: lp.contamination(d, docs.limit(50)),
     }
 
     ev = load_table(spark, SF_DIR, "events")
@@ -114,6 +120,37 @@ def main() -> None:
         t0 = time.perf_counter(); fn(ev).count(); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
+
+    # Incremental-dedup lookup: the BATCH stays fixed while the corpus
+    # INDEX inflates N× — the daily-ingest shape. The index is read from
+    # its persisted parquet form (as in production: built once, appended
+    # after accepted batches), so the timed work is the lookup only:
+    # batch shingling, the bands equi-join (batch side broadcast against
+    # a linear index scan), and the per-minhash estimate over matches.
+    # The ratio should stay far below N — the index is scanned (cheap,
+    # id+sig columns only), never re-shingled and never shuffled.
+    import shutil
+    import tempfile
+
+    batch = docs.limit(500).select(
+        (F.col("doc_id") + 5_000_000_000).alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="aces_probe_index_")
+    try:
+        for tag, corpus in (("1", docs), ("N", inflate(docs, ["doc_id"], INFLATE))):
+            dd.minhash_signatures(corpus).write.mode("overwrite").parquet(f"{tmp}/sig{tag}")
+            sig = spark.read.parquet(f"{tmp}/sig{tag}")
+            dd.minhash_bands(sig).write.mode("overwrite").parquet(f"{tmp}/bands{tag}")
+        s1, b1 = spark.read.parquet(f"{tmp}/sig1"), spark.read.parquet(f"{tmp}/bands1")
+        sN, bN = spark.read.parquet(f"{tmp}/sigN"), spark.read.parquet(f"{tmp}/bandsN")
+        dd.minhash_lookup(batch, s1, b1).count()  # warm
+        t0 = time.perf_counter(); dd.minhash_lookup(batch, s1, b1).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); dd.minhash_lookup(batch, sN, bN).count(); tn = time.perf_counter() - t0
+        results["minhash_lookup_fixed_batch"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     print(json.dumps({"inflate": INFLATE, "queries": results}))
 

@@ -13,14 +13,21 @@ from __future__ import annotations
 
 import datetime as dt
 import decimal
+import json
 import math
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])  # optional subset of query names
+_args = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2 :]
+SF = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])  # optional subset of query names
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -73,14 +80,23 @@ def main() -> int:
         return 2
     names = [n for n in sorted(qs) if not ONLY or n in ONLY]
     n_pass = n_fail = n_rows_only = 0
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         try:
             df = qs[name](spark, SF)
             cols = sorted(df.columns)
             rows = sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+            rec["spark_rows"] = len(rows)
             if name not in oracles:
                 n_rows_only += 1
+                rec["mode"] = "rows_only"
+                rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = len(rows) >= 0
                 print(f"ROWSONLY {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
                 continue
             cur = con.execute(oracles[name])
@@ -88,13 +104,17 @@ def main() -> int:
             order = sorted(range(len(onames)), key=lambda i: onames[i])
             orows = sorted(tuple(_norm(row[i]) for i in order) for row in cur.fetchall())
             ocols = sorted(onames)
-            if cols != ocols:
+            rec["oracle_rows"] = len(orows)
+            rec["schema_match"] = cols == ocols
+            rec["rows_match"] = len(rows) == len(orows)
+            rec["hash_match"] = rows == orows
+            if not rec["schema_match"]:
                 n_fail += 1
                 print(f"FAIL {name}: cols {cols} vs {ocols}")
-            elif len(rows) != len(orows):
+            elif not rec["rows_match"]:
                 n_fail += 1
                 print(f"FAIL {name}: rows {len(rows)} vs {len(orows)}")
-            elif rows != orows:
+            elif not rec["hash_match"]:
                 n_fail += 1
                 diff = [(a, b) for a, b in zip(rows, orows) if a != b][:3]
                 print(f"FAIL {name}: value diff {diff}")
@@ -103,8 +123,13 @@ def main() -> int:
                 print(f"ok   {name} ({len(rows)} rows, {time.time()-t0:.1f}s)")
         except Exception as ex:  # noqa: BLE001
             n_fail += 1
-            print(f"FAIL {name}: {type(ex).__name__}: {str(ex)[:200]}")
+            rec["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
+            print(f"FAIL {name}: {rec['err']}")
     print(f"\npass={n_pass} rows_only={n_rows_only} fail={n_fail} of {len(names)}")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {JSON_OUT} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
