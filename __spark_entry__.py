@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_ext as qx
+from airflow_crypto_etl_spark import queries_pipeline as qp
 from airflow_crypto_etl_spark import queries_scale as qs
 from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark import queries_udf as qu
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | dict(qw.QUERIES_WINDOW)
         | dict(qu.QUERIES_UDF)
         | dict(qs.QUERIES_SCALE)
+        | dict(qp.QUERIES_PIPELINE)
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
@@ -68,4 +70,5 @@ def oracle_sql() -> dict[str, str]:
         | dict(qw.ORACLE_WINDOW)
         | dict(qu.ORACLE_UDF)
         | dict(qs.ORACLE_SCALE)
+        | dict(qp.ORACLE_PIPELINE)
     )

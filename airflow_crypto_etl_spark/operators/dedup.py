@@ -531,3 +531,84 @@ def duplicate_clusters(
         F.col("lbl").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (CCNet/Gopher-style repeated-passage removal)
+# ---------------------------------------------------------------------------
+
+PASSAGE_TOKENS = 8
+
+
+def passage_segments_sql(text_col: str, seg_tokens: int = PASSAGE_TOKENS) -> str:
+    """SQL text for a doc's fixed-width token passages: consecutive
+    non-overlapping ``seg_tokens``-token windows re-joined to strings
+    (the last passage may be shorter). Real corpora segment on newline
+    paragraphs; the synthetic corpus is single-line, so the fixed token
+    window is the deterministic segmentation — the dedup algebra
+    downstream is identical either way."""
+    toks = _tokens_sql(text_col)
+    nseg = f"cast(ceil(size({toks}) / {seg_tokens}.0) as int)"
+    return (
+        f"if(size({toks}) = 0, array(), "
+        f"transform(sequence(1, {nseg}), "
+        f"i -> array_join(slice({toks}, (i - 1) * {seg_tokens} + 1, {seg_tokens}), ' ')))"
+    )
+
+
+def passage_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = PASSAGE_TOKENS,
+) -> DataFrame:
+    """Corpus-wide repeated-passage removal: every passage that occurs
+    more than once across the corpus is kept ONLY at its first
+    occurrence (lowest (doc, position)), and each document is
+    reassembled from its surviving passages in order — the
+    CCNet/Gopher "dedup repeated paragraphs" pipeline stage, at
+    passage rather than document granularity.
+
+    Returns (id, n_segments, n_kept, clean_text) for every input doc
+    (fully-duplicated docs surface with n_kept = 0 and empty text).
+
+    Scale design: the winner election shuffles (seg_hash, id, seq)
+    triples — passage TEXT stays map-side until the keep-join, and the
+    reassembly groupBy rides the same (id-keyed) exchange the keep-join
+    produces. The passage table is cached session-scoped (it feeds both
+    the election and the keep-join; lambda-bearing plans defeat
+    exchange-reuse canonicalization — same contract as
+    minhash_lsh_pairs)."""
+    segs = register_cache(
+        _spread(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(passage_segments_sql(text_col, seg_tokens))).alias(
+                "seq", "seg"
+            ),
+        )
+        .withColumn("seg_hash", F.expr(_char_hash_sql("seg")))
+    )
+    winners = segs.groupBy("seg_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("seq"))).alias("_w")
+    )
+    kept = segs.join(winners, "seg_hash").where(
+        (F.col(id_col) == F.col(f"_w.{id_col}")) & (F.col("seq") == F.col("_w.seq"))
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seq, seg))), s -> s.seg), ' ')"
+        ).alias("clean_text"),
+    )
+    toks = _tokens_sql(text_col)
+    totals = docs.select(
+        F.col(id_col),
+        F.expr(f"cast(ceil(size({toks}) / {seg_tokens}.0) as int)").alias("n_segments"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

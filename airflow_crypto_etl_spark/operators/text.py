@@ -14,7 +14,7 @@ exactly (see functions.hashing for the portability rules).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import char_hash
@@ -135,4 +135,60 @@ def subword_stats(df: DataFrame, text_col: str = "text", max_piece: int = 4) -> 
                 F.size(pieces) / F.greatest(F.size(words), F.lit(1)), 4
             ),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary and TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+def term_frequencies(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, term, tf): one row per distinct term per doc. The explode is
+    map-side; the single shuffle keys on (id, term) with map-side
+    partial counting."""
+    terms = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    return terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary: the k most frequent terms with occurrence and
+    document counts — the vocabulary-construction pass of tokenizer
+    training. Two partial-aggregable shuffles (doc-term, then term) and
+    a TakeOrdered top-k; ties broken by term so the result is total."""
+    tf = term_frequencies(df, text_col, id_col)
+    by_term = tf.groupBy("term").agg(
+        F.sum("tf").alias("n_occurrences"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return by_term.orderBy(F.col("n_occurrences").desc(), F.col("term").asc()).limit(k)
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-k distinctive terms by TF-IDF.
+
+    The IDF is the BM25 rational form (N - df + 0.5) / (df + 0.5) — an
+    algebraic function of integer counts, so Spark and the DuckDB
+    oracle produce bit-identical doubles (ln() would hang parity on
+    libm rounding). Ranking ties break on the term string, making the
+    top-k total and engine-stable.
+
+    Scale: doc-term counts and the per-term doc frequency are both
+    partial-aggregable; the df join keys on term (AQE broadcasts it
+    when the vocabulary is small enough); the final top-k window keys
+    on the doc — no global sort anywhere."""
+    tf = term_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.col("_n") - F.col("df_term") + F.lit(0.5)) / (F.col("df_term") + F.lit(0.5)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "df_term", "tfidf", "term_rank")
     )

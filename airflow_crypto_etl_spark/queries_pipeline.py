@@ -1,0 +1,271 @@
+"""Round-4 pipeline-query registry: passage-level dedup, CDC apply,
+deterministic sampling, corpus vocabulary / TF-IDF, and Z-order layout
+stats — the data-management operators that sit AROUND the core engine
+in a production training-data pipeline (snapshot maintenance, auditable
+sampling, keyword extraction, scan-pruning layout).
+
+Every oracle is built from the same deterministic integer / rational-
+double arithmetic as the Spark implementation (functions.hashing
+docstring has the portability rules), so values are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import char_hash_sql
+from .operators import cdc
+from .operators import dedup as dd
+from .operators import layout as lo
+from .operators import sampling as sp
+from .operators import text as tx
+from .queries import _t
+from .queries_ext import _DUP_CORPUS_SQL, _TOKS, _docs, _dup_corpus
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup (repeated-passage removal over a corpus with
+# known duplicates — the doc-copy corpus the exact-dedup query uses)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dd.passage_dedup(_dup_corpus(spark, sf_dir))
+    return out.select("doc_id", "n_segments", "n_kept", "clean_text")
+
+
+_SEG = dd.PASSAGE_TOKENS
+
+ORACLE_DEDUP_PASSAGE = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+segd AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, CAST(ceil(len(toks) / {_SEG}.0) AS INT) + 1),
+                i -> struct_pack(seq := i - 1,
+                                 seg := array_to_string(list_slice(toks, (i - 1) * {_SEG} + 1, i * {_SEG}), ' '))),
+                recursive := true)
+  FROM toks WHERE len(toks) > 0),
+hashed AS (SELECT doc_id, seq, seg, {char_hash_sql('seg')} AS h FROM segd),
+kept AS (
+  SELECT doc_id, seq, seg FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, seq) AS rn FROM hashed)
+  WHERE rn = 1),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seq) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(ceil(len(t.toks) / {_SEG}.0) AS INT) AS n_segments,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: fold a deterministic change feed onto the orders snapshot.
+# The feed is synthesized from the orders table itself (updates for
+# keys ≡0 mod 7, deletes for ≡0 mod 13 — deletes carry the higher
+# sequence and win the overlap — inserts cloned to fresh keys for
+# ≡0 mod 11), so the oracle can replay it exactly.
+# ---------------------------------------------------------------------------
+
+_CDC_PAYLOAD = ["o_totalprice", "o_orderstatus"]
+_CDC_INSERT_SHIFT = 100_000_000
+
+
+def _cdc_feed(o: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    upd = o.where(k % 7 == 0).select(
+        k.alias("o_orderkey"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit("P").alias("o_orderstatus"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = o.where(k % 13 == 0).select(
+        k.alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+        F.lit(2).cast("bigint").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = o.where(k % 11 == 0).select(
+        (k + _CDC_INSERT_SHIFT).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1).cast("bigint").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", *_CDC_PAYLOAD)
+    snap = cdc.apply_changes(base, _cdc_feed(base), key="o_orderkey")
+    return snap.select("o_orderkey", "o_totalprice", "o_orderstatus", "version")
+
+
+ORACLE_CDC_APPLY = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(0 AS BIGINT) AS seq, 'I' AS op
+  FROM orders),
+feed AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 100.0, 'P', CAST(1 AS BIGINT), 'U'
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(2 AS BIGINT), 'D'
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + {_CDC_INSERT_SHIFT}, o_totalprice, 'N', CAST(1 AS BIGINT), 'I'
+  FROM orders WHERE o_orderkey % 11 = 0),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn,
+         max(seq) OVER (PARTITION BY o_orderkey) AS version
+  FROM feed)
+SELECT o_orderkey, o_totalprice, o_orderstatus, version
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: exactly 10 docs per source, the
+# 10 with the smallest sampling hash — reproducible across engines.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_N = 10
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sp.sample_bottomk_stratified(
+        _docs(spark, sf_dir), stratum_col="source", key_col="doc_id", n=_SAMPLE_N
+    )
+    return out.select("doc_id", "source", "sample_rank")
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY {sp.sample_hash_sql('doc_id')}, doc_id) AS INT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {_SAMPLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary and per-doc TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+_TFIDF_K = 3
+
+_ORACLE_TF = f"""
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+  GROUP BY doc_id, term
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.vocab_topk(_docs(spark, sf_dir), k=_VOCAB_K)
+    return out.select("term", "n_occurrences", "n_docs")
+
+
+ORACLE_VOCAB_TOPK = f"""
+WITH tf AS ({_ORACLE_TF})
+SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences, CAST(count(*) AS BIGINT) AS n_docs
+FROM tf GROUP BY term
+ORDER BY n_occurrences DESC, term ASC
+LIMIT {_VOCAB_K}
+"""
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tx.tfidf_topk(_docs(spark, sf_dir), k=_TFIDF_K)
+    return out.select("doc_id", "term", "tf", "df_term", "tfidf", "term_rank")
+
+
+ORACLE_TFIDF = f"""
+WITH tf AS ({_ORACLE_TF}),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_term FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS _n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df_term,
+         (t.tf * ((n._n - d.df_term) + 0.5)) / (d.df_term + 0.5) AS tfidf
+  FROM tf t JOIN dfq d ON t.term = d.term CROSS JOIN n)
+SELECT doc_id, term, tf, df_term, tfidf, term_rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS term_rank
+  FROM scored)
+WHERE term_rank <= {_TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout stats: Morton-interleave (custkey, order-day), bucket
+# by Z-prefix, and report each bucket's (custkey, day) envelope — the
+# per-file min/max rectangle a Z-ordered write would give the scan
+# planner for two-dimensional pruning.
+# ---------------------------------------------------------------------------
+
+_Z_EPOCH = "1992-01-01"
+_Z_SHIFT = 18  # 2^24 max zval / 2^18 → ≤ 64 buckets at any SF
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_day", F.expr(f"datediff(cast(o_orderdate as date), date'{_Z_EPOCH}')")
+    )
+    z = lo.with_zvalue(o, "o_custkey", "o_day")
+    return (
+        z.withColumn("z_bucket", F.expr(f"shiftright(zval, {_Z_SHIFT})"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("o_day").alias("min_day"),
+            F.max("o_day").alias("max_day"),
+        )
+    )
+
+
+_Z_DUCK = lo.zvalue_duck_sql(
+    "o_custkey", f"date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE))"
+)
+
+ORACLE_ZORDER_STATS = f"""
+WITH z AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS INT) AS o_day,
+         ({_Z_DUCK} >> {_Z_SHIFT}) AS z_bucket
+  FROM orders)
+SELECT z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       min(o_day) AS min_day, max(o_day) AS max_day
+FROM z GROUP BY z_bucket
+"""
+
+
+QUERIES_PIPELINE = {
+    "q_dedup_passage": q_dedup_passage,
+    "q_cdc_apply": q_cdc_apply,
+    "q_sample_stratified": q_sample_stratified,
+    "q_vocab_topk": q_vocab_topk,
+    "q_tfidf": q_tfidf,
+    "q_zorder_stats": q_zorder_stats,
+}
+
+ORACLE_PIPELINE = {
+    "q_dedup_passage": ORACLE_DEDUP_PASSAGE,
+    "q_cdc_apply": ORACLE_CDC_APPLY,
+    "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "q_vocab_topk": ORACLE_VOCAB_TOPK,
+    "q_tfidf": ORACLE_TFIDF,
+    "q_zorder_stats": ORACLE_ZORDER_STATS,
+}

@@ -88,10 +88,11 @@ def test_release_caches_leaves_no_persistent_rdds(spark, sf_dir):
     reclaimable — after consuming each dedup query and calling
     release_caches, no cached RDD may remain pinned."""
     from airflow_crypto_etl_spark import queries_ext as qx
+    from airflow_crypto_etl_spark import queries_pipeline as qp
 
-    for q in (qx.q_dedup_minhash, qx.q_dedup_incremental):
+    for q in (qx.q_dedup_minhash, qx.q_dedup_incremental, qp.q_dedup_passage):
         q(spark, sf_dir).count()
-    assert dd.release_caches() >= 2
+    assert dd.release_caches() >= 3
     jsc = spark.sparkContext._jsc
     assert jsc.getPersistentRDDs().size() == 0
 
