@@ -41,6 +41,20 @@ def _finalized(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkS
     return run
 
 
+def _merge_unique(*dicts):
+    """Merge registry dicts, REFUSING silent name collisions: a later
+    module shadowing an earlier query would swap its semantics under the
+    driver's nose (round-4: a new q_cdc_* nearly overrode the existing
+    one — caught only by doc review)."""
+    out: dict = {}
+    for d in dicts:
+        dup = out.keys() & d.keys()
+        if dup:
+            raise ValueError(f"duplicate query registrations: {sorted(dup)}")
+        out |= d
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, plus the
     training-data extension set (dedup/similarity/text/windows).

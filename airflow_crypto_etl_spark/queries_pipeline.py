@@ -64,7 +64,10 @@ FROM toks t LEFT JOIN perdoc p USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
-# CDC apply: fold a deterministic change feed onto the orders snapshot.
+# CDC snapshot merge: fold a deterministic change feed onto the orders
+# snapshot. Complements queries_scale.q_cdc_apply (latest-EVENT
+# compaction of a single feed): this one merges a BASE SNAPSHOT with an
+# explicit I/U/D feed and publishes per-key versions.
 # The feed is synthesized from the orders table itself (updates for
 # keys ≡0 mod 7, deletes for ≡0 mod 13 — deletes carry the higher
 # sequence and win the overlap — inserts cloned to fresh keys for
@@ -101,13 +104,13 @@ def _cdc_feed(o: DataFrame) -> DataFrame:
     return upd.unionByName(dele).unionByName(ins)
 
 
-def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "orders").select("o_orderkey", *_CDC_PAYLOAD)
     snap = cdc.apply_changes(base, _cdc_feed(base), key="o_orderkey")
     return snap.select("o_orderkey", "o_totalprice", "o_orderstatus", "version")
 
 
-ORACLE_CDC_APPLY = f"""
+ORACLE_CDC_MERGE = f"""
 WITH base AS (
   SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(0 AS BIGINT) AS seq, 'I' AS op
   FROM orders),
@@ -132,21 +135,23 @@ FROM r WHERE rn = 1 AND op <> 'D'
 
 
 # ---------------------------------------------------------------------------
-# Deterministic stratified sampling: exactly 10 docs per source, the
-# 10 with the smallest sampling hash — reproducible across engines.
+# Deterministic bottom-k stratified sampling: exactly 10 docs per
+# source, the 10 with the smallest sampling hash — reproducible across
+# engines. Complements queries_scale.q_stratified_sample (per-stratum
+# RATE filter): bottom-k gives an exact sample SIZE.
 # ---------------------------------------------------------------------------
 
 _SAMPLE_N = 10
 
 
-def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sample_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sp.sample_bottomk_stratified(
         _docs(spark, sf_dir), stratum_col="source", key_col="doc_id", n=_SAMPLE_N
     )
     return out.select("doc_id", "source", "sample_rank")
 
 
-ORACLE_SAMPLE_STRATIFIED = f"""
+ORACLE_SAMPLE_BOTTOMK = f"""
 SELECT doc_id, source, sample_rank FROM (
   SELECT doc_id, source,
          CAST(row_number() OVER (
@@ -254,8 +259,8 @@ FROM z GROUP BY z_bucket
 
 QUERIES_PIPELINE = {
     "q_dedup_passage": q_dedup_passage,
-    "q_cdc_apply": q_cdc_apply,
-    "q_sample_stratified": q_sample_stratified,
+    "q_cdc_merge": q_cdc_merge,
+    "q_sample_bottomk": q_sample_bottomk,
     "q_vocab_topk": q_vocab_topk,
     "q_tfidf": q_tfidf,
     "q_zorder_stats": q_zorder_stats,
@@ -263,8 +268,8 @@ QUERIES_PIPELINE = {
 
 ORACLE_PIPELINE = {
     "q_dedup_passage": ORACLE_DEDUP_PASSAGE,
-    "q_cdc_apply": ORACLE_CDC_APPLY,
-    "q_sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "q_cdc_merge": ORACLE_CDC_MERGE,
+    "q_sample_bottomk": ORACLE_SAMPLE_BOTTOMK,
     "q_vocab_topk": ORACLE_VOCAB_TOPK,
     "q_tfidf": ORACLE_TFIDF,
     "q_zorder_stats": ORACLE_ZORDER_STATS,

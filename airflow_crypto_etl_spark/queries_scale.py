@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .operators import layout as lo
 from .queries import _t
 
 # ---------------------------------------------------------------------------
@@ -114,18 +115,13 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 # Z-order — Morton clustering key for multi-dimensional layout
 # ---------------------------------------------------------------------------
 
+# The Morton interleave itself lives in operators.layout (one canonical
+# implementation, round-4: the dual-dialect generator replaced the
+# arithmetic div/mod form that used to live here). Operand order: the
+# price bucket rides layout's FIRST operand (odd/upper bit of each
+# pair), p_size the second — the same bit assignment (and therefore the
+# same zkey values) as the original arithmetic form.
 _MORTON_BITS = 6
-
-
-def _morton_expr(x: str, y: str, intdiv: str) -> str:
-    """Bit-interleave two 6-bit values with integer arithmetic only
-    (no engine-specific bitwise operators): z = Σ bit_i(x)·4^i + bit_i(y)·2·4^i."""
-    terms = []
-    for i in range(_MORTON_BITS):
-        p = 2**i
-        terms.append(f"(({x} {intdiv} {p}) % 2) * {4 ** i}")
-        terms.append(f"(({y} {intdiv} {p}) % 2) * {2 * 4 ** i}")
-    return " + ".join(terms)
 
 
 _ZX = "(p_size % 64)"
@@ -144,13 +140,13 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
-        F.expr(_morton_expr(_ZX, _ZY_SPARK, "div")).cast("long").alias("zkey"),
+        F.expr(lo.zvalue_sql(_ZY_SPARK, _ZX, bits=_MORTON_BITS)).cast("long").alias("zkey"),
     )
 
 
 ORACLE_ZORDER = f"""
 SELECT p_partkey,
-       CAST({_morton_expr(_ZX, _ZY_DUCK, "//")} AS BIGINT) AS zkey
+       CAST({lo.zvalue_duck_sql(_ZY_DUCK, _ZX, bits=_MORTON_BITS)} AS BIGINT) AS zkey
 FROM part
 """
 

@@ -163,14 +163,15 @@ def test_zorder_layout_prunes_2d_box(spark, sf_dir, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from airflow_crypto_etl_spark.queries_scale import _ZX, _ZY_SPARK, _morton_expr
+    from airflow_crypto_etl_spark.operators.layout import zvalue_sql
+    from airflow_crypto_etl_spark.queries_scale import _MORTON_BITS, _ZX, _ZY_SPARK
     from airflow_crypto_etl_spark.sources.tables import load_table
 
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_size",
         F.expr(_ZY_SPARK).alias("pbucket"),
-        F.expr(_morton_expr(_ZX, _ZY_SPARK, "div")).cast("long").alias("zkey"),
+        F.expr(zvalue_sql(_ZY_SPARK, _ZX, bits=_MORTON_BITS)).cast("long").alias("zkey"),
     )
     layouts = {
         "by_size": part.orderBy("p_size", "p_partkey").toPandas(),
