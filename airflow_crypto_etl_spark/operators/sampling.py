@@ -17,13 +17,12 @@ Scale design
 ------------
 bottom-k uses one shuffle keyed on the stratum. Per-stratum state is a
 size-n heap (Spark's WindowExec sort buffer); for a HEAVILY skewed
-stratum at 100 TB, pre-filter with an approximate threshold first:
-keep rows with hash < t where t bounds the k-th statistic from a
-coarse per-partition bottom-k (`mapPartitions` local heaps union'd),
-then run the exact window on the survivors — the filter drops
-(1 - n/N) of the stratum map-side. The direct form below is the
-correct plan whenever n × strata fits executor memory, which covers
-sampling-for-eval at any corpus size.
+stratum at 100 TB use :func:`sample_bottomk_twophase`, which
+pre-filters with a per-stratum approximate hash threshold so only
+~O(n) candidate rows per stratum reach the exact window — the
+(1 - n/N) bulk of each stratum is dropped map-side. The direct form
+is the right plan whenever n × strata fits executor memory, which
+covers sampling-for-eval at any corpus size.
 """
 
 from __future__ import annotations
@@ -71,6 +70,72 @@ def sample_bottomk_stratified(
     )
 
 
+def sample_bottomk_twophase(
+    df: DataFrame, stratum_col: str, key_col: str, n: int, safety: float = 2.0
+) -> DataFrame:
+    """Bottom-k per stratum for skewed/huge strata: identical output to
+    :func:`sample_bottomk_stratified`, different physical plan.
+
+    Phase 1 is just a per-stratum COUNT (one partial-aggregable
+    shuffle of (stratum) keys — never the payload). Because the
+    sampling hash is uniform on [0, P), the n-th smallest hash in a
+    stratum of size c concentrates at ≈ n/c · P, so the candidate
+    threshold ``safety · n · P / c`` needs no quantile sketch at all —
+    integer arithmetic on the count. Phase 2 broadcasts that tiny
+    threshold table, drops everything above the threshold MAP-SIDE,
+    and runs the exact rank window on the ~safety·n expected survivors
+    per stratum — the window's sort buffer is O(n), not O(|stratum|).
+
+    The estimate may undershoot (hash clustering is possible, just
+    exponentially unlikely at safety ≥ 2); any stratum whose candidate
+    set comes up short of min(n, |stratum|) falls back to the direct
+    window, so correctness never depends on the uniformity assumption.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    h = sample_hash(F.col(key_col))
+    with_h = df.withColumn("_h", h)
+    stats = with_h.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt")).withColumn(
+        "_thresh",
+        F.least(
+            F.lit(float(MERSENNE_P)),
+            F.lit(float(safety) * n * MERSENNE_P) / F.col("_cnt"),
+        ),
+    )
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    candidates = (
+        with_h.join(F.broadcast(stats), stratum_col)
+        .where((F.col("_h") <= F.col("_thresh")) | (F.col("_cnt") <= n))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )
+    # Undershoot guard: strata where the thresholded candidate set came
+    # up short re-run through the direct window. With safety ≥ 2 this
+    # is rare (Greenwald-Khanna error is bounded), so the fallback scan
+    # is almost always empty — but correctness never depends on the
+    # sketch.
+    # LEFT join from stats: a stratum whose candidate set is EMPTY has
+    # no group row at all and an inner join would lose it — the
+    # missing-group trap.
+    short = (
+        stats.join(
+            candidates.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_got")),
+            stratum_col,
+            "left",
+        )
+        .where(F.coalesce("_got", F.lit(0)) < F.least(F.lit(n), F.col("_cnt")))
+        .select(stratum_col)
+    )
+    direct = (
+        with_h.join(F.broadcast(short), stratum_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )
+    keep = [*df.columns, "sample_rank"]
+    rescued = candidates.join(F.broadcast(short), stratum_col, "left_anti")
+    return rescued.select(*keep).unionByName(direct.select(*keep))
+
+
 def sample_hash_sql(key_expr: str) -> str:
     """DuckDB twin of :func:`sample_hash` (same value, same key)."""
     from ..functions.hashing import affine_hash_sql
@@ -82,6 +147,7 @@ __all__ = [
     "MERSENNE_P",
     "SAMPLE_HASH_SEED",
     "sample_bottomk_stratified",
+    "sample_bottomk_twophase",
     "sample_fraction",
     "sample_hash",
     "sample_hash_sql",

@@ -23,10 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, functions as F
 
 from airflow_crypto_etl_spark.operators import aggregate as agg_ops
+from airflow_crypto_etl_spark.operators import cdc as cdc_ops
 from airflow_crypto_etl_spark.operators import dedup as dd
 from airflow_crypto_etl_spark.operators import joins as join_ops
 from airflow_crypto_etl_spark.operators import llm_prep as lp
 from airflow_crypto_etl_spark.session import get_spark
+from airflow_crypto_etl_spark.queries_pipeline import _cdc_feed
 from airflow_crypto_etl_spark.sources.tables import load_table
 
 INFLATE = int(os.environ.get("SPARK_GRAFT_INFLATE", "4"))
@@ -85,6 +87,19 @@ def main() -> None:
         # broadcast benchmark shingle index: corpus-side map join,
         # linear in corpus rows (benchmark fixed at 50 docs)
         "contamination": lambda d: lp.contamination(d, docs.limit(50)),
+        # passage dedup: segment-level election + keep-join + doc
+        # reassembly — every stage keyed, linear in total passages
+        # (r4; caches released per rep below)
+        "passage_dedup": lambda d: dd.passage_dedup(d),
+    }
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    or_cases = {
+        # CDC snapshot merge: base ∪ synthesized I/U/D feed folded by
+        # ONE max_by aggregate — linear rows, one key shuffle (r4)
+        "cdc_merge": lambda d: cdc_ops.apply_changes(d, _cdc_feed(d), key="o_orderkey"),
     }
 
     ev = load_table(spark, SF_DIR, "events")
@@ -110,8 +125,16 @@ def main() -> None:
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
     for name, fn in doc_cases.items():
         big = inflate(docs, ["doc_id"], INFLATE)
-        fn(docs).count()
+        fn(docs).count(); dd.release_caches()
         t0 = time.perf_counter(); fn(docs).count(); t1 = time.perf_counter() - t0
+        dd.release_caches()
+        t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
+        dd.release_caches()
+        results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
+    for name, fn in or_cases.items():
+        big = inflate(orders, ["o_orderkey"], INFLATE)
+        fn(orders).count()
+        t0 = time.perf_counter(); fn(orders).count(); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
     for name, fn in ev_cases.items():

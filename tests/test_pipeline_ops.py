@@ -226,3 +226,40 @@ def test_zorder_layout_tightens_file_envelopes(spark, tmp_path):
     assert sum(z_rows) == total
     assert sum(z_areas) / len(z_areas) < 0.25 * total
     assert sum(r_areas) / len(r_areas) > 0.8 * total
+
+
+def test_bottomk_twophase_matches_direct(spark):
+    """The two-phase (sketch-thresholded) sampler must return EXACTLY
+    the direct window's sample — including on skewed strata and strata
+    smaller than n."""
+    rows = (
+        [Row(id=i, stratum="big") for i in range(500)]
+        + [Row(id=1000 + i, stratum="mid") for i in range(40)]
+        + [Row(id=2000 + i, stratum="tiny") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows)
+    direct = {
+        (r.stratum, r.id, r.sample_rank)
+        for r in sp.sample_bottomk_stratified(df, "stratum", "id", 8).collect()
+    }
+    twophase = {
+        (r.stratum, r.id, r.sample_rank)
+        for r in sp.sample_bottomk_twophase(df, "stratum", "id", 8).collect()
+    }
+    assert twophase == direct
+    assert len({(s, r) for s, _, r in direct if s == "tiny"}) == 3
+
+
+def test_bottomk_twophase_survives_tight_safety(spark):
+    """With safety < 1 the sketch threshold deliberately undershoots:
+    the fallback path must still deliver the exact sample."""
+    df = spark.createDataFrame([Row(id=i, stratum=f"s{i % 2}") for i in range(200)])
+    direct = {
+        (r.stratum, r.id)
+        for r in sp.sample_bottomk_stratified(df, "stratum", "id", 10).collect()
+    }
+    tight = {
+        (r.stratum, r.id)
+        for r in sp.sample_bottomk_twophase(df, "stratum", "id", 10, safety=0.1).collect()
+    }
+    assert tight == direct
