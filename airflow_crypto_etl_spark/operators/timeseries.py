@@ -1,0 +1,282 @@
+"""Market time-series operators: OHLC candles, VWAP, moving averages,
+RSI, Bollinger bands, gap-fill with linear interpolation, and rolling
+z-score anomaly detection.
+
+The reference is a crypto-market ETL (its DAGs pull coin tickers and
+publish daily price rollups — ``/root/reference/dags/
+coin_data_pipeline_optimized.py``, ``crypto_etl_datawarehouse_day10.py``);
+these operators are the analytics a user of that pipeline computes
+downstream of the Silver price table, re-expressed as Spark built-ins.
+
+Scale design
+------------
+* Candles are ONE ``groupBy(symbol, bucket)`` with ``min(struct(...))``
+  / ``max(struct(...))`` for open/close — lexicographic struct min is a
+  partial-aggregatable map-side combine, so the fact table shuffles
+  once, already reduced to per-(symbol, bucket) partials. No window
+  sort over raw ticks.
+* The indicator operators (SMA / RSI / Bollinger / z-score) run over
+  the CANDLE series, not the tick stream — cardinality symbols ×
+  buckets, tiny relative to the input — with ``ROWS BETWEEN`` frames
+  partitioned by symbol: one shuffle on symbol, sequential frame scan.
+* Numeric portability follows the repo's decimal discipline: prices are
+  cast to exact DECIMAL on entry, every multi-row sum happens in
+  decimal (order-insensitive), and only single final expressions (one
+  division, sqrt, interpolation) run in IEEE double with a fixed
+  operation order mirrored verbatim by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Exact price decimal: the source `value` column carries 2dp prices in
+# a double; cast-to-decimal(18,4) round-trips them exactly on both
+# engines (the stored double is never at a half-ulp rounding boundary
+# of the 4dp grid).
+PRICE_DEC = "decimal(18,4)"
+ROUND_DP = 6  # final-double publication rounding
+
+
+def with_market_cols(
+    ev: DataFrame,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    symbol_col: str = "event_type",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Normalize a tick table to (symbol, bucket, ts, tick_id, price,
+    volume). Volume is synthesized deterministically from the tick id
+    (the test tables carry no volume column); real feeds pass their own
+    volume through by pre-naming it ``volume``."""
+    out = ev.select(
+        F.col(symbol_col).alias("symbol"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        F.col(ts_col).alias("tick_ts"),
+        F.col(id_col).alias("tick_id"),
+        F.col(price_col).cast(PRICE_DEC).alias("price"),
+    )
+    if "volume" in ev.columns:
+        return out.join(ev.select(F.col(id_col).alias("tick_id"), "volume"), "tick_id")
+    return out.withColumn("volume", (F.col("tick_id") % F.lit(7) + F.lit(1)).cast("bigint"))
+
+
+def ohlc(ticks: DataFrame) -> DataFrame:
+    """OHLC candles + VWAP per (symbol, bucket) in ONE aggregation.
+
+    Open/close are the price fields of the lexicographic min/max of
+    struct(tick_ts, tick_id, price) — an argmin/argmax that partial-
+    aggregates map-side (tick_id breaks timestamp ties
+    deterministically). VWAP divides two exact decimal sums once, in
+    double.
+    """
+    pv = (F.col("price") * F.col("volume")).alias("pv")
+    first_s = F.min(F.struct("tick_ts", "tick_id", "price"))
+    last_s = F.max(F.struct("tick_ts", "tick_id", "price"))
+    out = ticks.groupBy("symbol", "bucket").agg(
+        first_s.alias("_f"),
+        last_s.alias("_l"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.sum("volume").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+    )
+    vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
+    return out.select(
+        "symbol",
+        "bucket",
+        F.col("_f.price").alias("open"),
+        "high",
+        "low",
+        F.col("_l.price").alias("close"),
+        "volume",
+        "n_trades",
+        vwap.alias("vwap"),
+    )
+
+
+def hourly_close(ticks: DataFrame) -> DataFrame:
+    """Per-(symbol, bucket) close series — the indicator input."""
+    return ticks.groupBy("symbol", "bucket").agg(
+        F.max(F.struct("tick_ts", "tick_id", "price")).alias("_l")
+    ).select("symbol", "bucket", F.col("_l.price").alias("close"))
+
+
+def _series_window() -> Window:
+    return Window.partitionBy("symbol").orderBy("bucket")
+
+
+def sma_crossover(closes: DataFrame, fast: int = 5, slow: int = 20) -> DataFrame:
+    """Fast/slow simple moving averages over the close series plus the
+    golden-cross signal. Frame sums stay decimal (order-insensitive);
+    each SMA is one double division, published rounded."""
+    base = _series_window()
+    w_fast = base.rowsBetween(-(fast - 1), 0)
+    w_slow = base.rowsBetween(-(slow - 1), 0)
+    rn = F.row_number().over(base)
+
+    def _sma(w: Window, n: int) -> Column:
+        return F.round(F.sum("close").over(w).cast("double") / F.lit(n).cast("double"), ROUND_DP)
+
+    out = (
+        closes.withColumn("rn", rn)
+        .withColumn("sma_fast", _sma(w_fast, fast))
+        .withColumn("sma_slow", _sma(w_slow, slow))
+        .filter(F.col("rn") >= slow)  # full frames only: partial-frame rows differ per engine width
+    )
+    return out.select(
+        "symbol",
+        "bucket",
+        F.col("close").alias("close"),
+        "sma_fast",
+        "sma_slow",
+        (F.col("sma_fast") > F.col("sma_slow")).cast("int").alias("golden"),
+    )
+
+
+def rsi_cutler(closes: DataFrame, periods: int = 14) -> DataFrame:
+    """Cutler's RSI: simple (not Wilder-smoothed) averages of gains and
+    losses over the trailing `periods` deltas — SMA-based RSI is exact
+    under decimal sums, where the recursive Wilder EMA is not portable
+    bit-for-bit across engines. Published RSI is one double expression:
+    round(100 * g / (g + l), 6)."""
+    base = _series_window()
+    zero = F.lit("0").cast(PRICE_DEC)
+    delta = F.col("close") - F.lag("close", 1).over(base)
+    frame = base.rowsBetween(-(periods - 1), 0)
+    rn = F.row_number().over(base)
+    out = (
+        closes.withColumn("rn", rn)
+        .withColumn("delta", delta)
+        .withColumn("gain", F.when(F.col("delta") > 0, F.col("delta")).otherwise(zero))
+        .withColumn("loss", F.when(F.col("delta") < 0, -F.col("delta")).otherwise(zero))
+        .withColumn("sum_gain", F.sum("gain").over(frame))
+        .withColumn("sum_loss", F.sum("loss").over(frame))
+        # first row's delta is NULL → gains/losses well-defined from row 2;
+        # full frames start at rn = periods + 1
+        .filter(F.col("rn") >= periods + 1)
+    )
+    g = F.col("sum_gain").cast("double")
+    lo = F.col("sum_loss").cast("double")
+    rsi = F.when(g + lo == 0.0, None).otherwise(F.round(F.lit(100.0) * g / (g + lo), ROUND_DP))
+    return out.select(
+        "symbol", "bucket", "close",
+        F.col("sum_gain").alias("sum_gain"),
+        F.col("sum_loss").alias("sum_loss"),
+        rsi.alias("rsi"),
+    )
+
+
+def bollinger(closes: DataFrame, periods: int = 20, width: float = 2.0) -> DataFrame:
+    """Bollinger bands over the close series. Sum and sum-of-squares
+    accumulate in decimal (exact, order-free); mean / variance / sqrt
+    are a fixed-order double epilogue. Variance uses the n·Σx² form
+    guarded by greatest(·, 0) against negative epsilon."""
+    base = _series_window()
+    frame = base.rowsBetween(-(periods - 1), 0)
+    rn = F.row_number().over(base)
+    n = F.lit(float(periods))
+    out = (
+        closes.withColumn("rn", rn)
+        .withColumn("_s1", F.sum("close").over(frame))
+        .withColumn("_s2", F.sum(F.col("close") * F.col("close")).over(frame))
+        .filter(F.col("rn") >= periods)
+    )
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    var = F.greatest((s2 - s1 * s1 / n) / F.lit(float(periods - 1)), F.lit(0.0))
+    sd = F.sqrt(var)
+    return out.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round(mean, ROUND_DP).alias("mid"),
+        F.round(mean + F.lit(width) * sd, ROUND_DP).alias("upper"),
+        F.round(mean - F.lit(width) * sd, ROUND_DP).alias("lower"),
+    )
+
+
+def gapfill_linear(closes: DataFrame, step_seconds: int = 3600) -> DataFrame:
+    """Densify the candle series to a complete per-symbol bucket spine
+    and fill missing closes by linear interpolation between the nearest
+    real observations (edges forward/backward-fill).
+
+    The spine is sequence(min_bucket, max_bucket) exploded per symbol —
+    spine cardinality is symbols × buckets, never tick-scale. Neighbor
+    lookup is last/first IGNORE NULLS over unbounded frames: one
+    shuffle on symbol, two sequential scans, no self-join.
+    """
+    bounds = closes.groupBy("symbol").agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    spine = bounds.select(
+        "symbol",
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr(f"INTERVAL {step_seconds} SECOND"))
+        ).alias("bucket"),
+    )
+    joined = spine.join(closes, ["symbol", "bucket"], "left")
+    hseq = (F.unix_timestamp("bucket") / F.lit(step_seconds)).cast("bigint")
+    base = _series_window()
+    w_prev = base.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = base.rowsBetween(0, Window.unboundedFollowing)
+    known_seq = F.when(F.col("close").isNotNull(), F.col("hseq"))
+    out = (
+        joined.withColumn("hseq", hseq)
+        .withColumn("prev_v", F.last("close", ignorenulls=True).over(w_prev))
+        .withColumn("prev_t", F.last(known_seq, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("close", ignorenulls=True).over(w_next))
+        .withColumn("next_t", F.first(known_seq, ignorenulls=True).over(w_next))
+    )
+    pv = F.col("prev_v").cast("double")
+    nv = F.col("next_v").cast("double")
+    frac = (F.col("hseq") - F.col("prev_t")).cast("double") / (
+        F.col("next_t") - F.col("prev_t")
+    ).cast("double")
+    filled = (
+        F.when(F.col("close").isNotNull(), F.col("close").cast("double"))
+        .when(F.col("prev_v").isNull(), nv)
+        .when(F.col("next_v").isNull(), pv)
+        .otherwise(F.round(pv + (nv - pv) * frac, ROUND_DP))
+    )
+    return out.select(
+        "symbol",
+        "bucket",
+        F.col("close").isNull().cast("int").alias("is_gap"),
+        filled.alias("px"),
+    )
+
+
+def rolling_zscore(counts: DataFrame, value_col: str, trailing: int = 24) -> DataFrame:
+    """Rolling z-score of an integer measure against its trailing
+    window (current row EXCLUDED — the anomaly must not dilute its own
+    baseline). Integer sums are exact; mean/variance/sqrt are the same
+    fixed-order double epilogue as `bollinger`."""
+    base = _series_window()
+    frame = base.rowsBetween(-trailing, -1)
+    rn = F.row_number().over(base)
+    n = F.lit(float(trailing))
+    out = (
+        counts.withColumn("rn", rn)
+        .withColumn("_s1", F.sum(value_col).over(frame))
+        .withColumn("_s2", F.sum(F.col(value_col) * F.col(value_col)).over(frame))
+        .filter(F.col("rn") >= trailing + 1)
+    )
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s1 / n
+    sd = F.sqrt(F.greatest((s2 - s1 * s1 / n) / F.lit(float(trailing - 1)), F.lit(0.0)))
+    z = F.when(sd == 0.0, None).otherwise(
+        F.round((F.col(value_col).cast("double") - mean) / sd, ROUND_DP)
+    )
+    return out.select(
+        "symbol",
+        "bucket",
+        F.col(value_col).alias("obs"),
+        F.round(mean, ROUND_DP).alias("mu"),
+        z.alias("z"),
+    )

@@ -24,31 +24,31 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..session import apply_runtime_confs
-
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) arrives as epoch-nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..sources.tables import _restore_nanos_timestamps
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as an unbounded stream (file source, explicit schema)."""
+    """events as an unbounded stream (file source).
+
+    readStream requires an explicit schema; rather than hardcoding one,
+    it is inferred from a batch footer read of the same file, so the
+    stream tracks whatever physical layout the generator used — the
+    `ts` column has shipped both as TIMESTAMP(NANOS) (arrives as
+    epoch-nanos long, needs the nanos→ntz conversion) and as a plain
+    microsecond timestamp (needs none). `_restore_nanos_timestamps`
+    branches on the actual type, identically to the batch path."""
     apply_runtime_confs(spark)
+    import os
+
+    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    return _restore_nanos_timestamps(raw)
 
 
 def run_available_now(
