@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_ext as qx
+from airflow_crypto_etl_spark import queries_market as qm
 from airflow_crypto_etl_spark import queries_pipeline as qp
 from airflow_crypto_etl_spark import queries_scale as qs
 from airflow_crypto_etl_spark import queries_tpch as qt
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         | dict(qu.QUERIES_UDF)
         | dict(qs.QUERIES_SCALE)
         | dict(qp.QUERIES_PIPELINE)
+        | dict(qm.QUERIES_MARKET)
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
@@ -85,4 +87,5 @@ def oracle_sql() -> dict[str, str]:
         | dict(qu.ORACLE_UDF)
         | dict(qs.ORACLE_SCALE)
         | dict(qp.ORACLE_PIPELINE)
+        | dict(qm.ORACLE_MARKET)
     )

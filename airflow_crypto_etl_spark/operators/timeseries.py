@@ -51,16 +51,19 @@ def with_market_cols(
     volume). Volume is synthesized deterministically from the tick id
     (the test tables carry no volume column); real feeds pass their own
     volume through by pre-naming it ``volume``."""
-    out = ev.select(
+    vol = (
+        F.col("volume").cast("bigint")
+        if "volume" in ev.columns
+        else (F.col(id_col) % F.lit(7) + F.lit(1)).cast("bigint")
+    )
+    return ev.select(
         F.col(symbol_col).alias("symbol"),
         F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
         F.col(ts_col).alias("tick_ts"),
         F.col(id_col).alias("tick_id"),
         F.col(price_col).cast(PRICE_DEC).alias("price"),
+        vol.alias("volume"),
     )
-    if "volume" in ev.columns:
-        return out.join(ev.select(F.col(id_col).alias("tick_id"), "volume"), "tick_id")
-    return out.withColumn("volume", (F.col("tick_id") % F.lit(7) + F.lit(1)).cast("bigint"))
 
 
 def ohlc(ticks: DataFrame) -> DataFrame:
@@ -71,18 +74,23 @@ def ohlc(ticks: DataFrame) -> DataFrame:
     aggregates map-side (tick_id breaks timestamp ties
     deterministically). VWAP divides two exact decimal sums once, in
     double.
+
+    Plan note: struct min/max is a declarative aggregate over a non-
+    mutable buffer type, so Spark picks SortAggregate (min_by/max_by
+    land on the same plan) — the pre-shuffle sort is per-partition,
+    spillable, and the exchange still carries only per-(symbol, bucket)
+    partials, which is the standard distributed argmin shape; the
+    shuffle, not the local sort, is the scale bound.
     """
-    pv = (F.col("price") * F.col("volume")).alias("pv")
-    first_s = F.min(F.struct("tick_ts", "tick_id", "price"))
-    last_s = F.max(F.struct("tick_ts", "tick_id", "price"))
+    pv = F.col("price") * F.col("volume").cast("decimal(8,0)")
     out = ticks.groupBy("symbol", "bucket").agg(
-        first_s.alias("_f"),
-        last_s.alias("_l"),
+        F.min(F.struct("tick_ts", "tick_id", "price")).alias("_f"),
+        F.max(F.struct("tick_ts", "tick_id", "price")).alias("_l"),
         F.max("price").alias("high"),
         F.min("price").alias("low"),
         F.sum("volume").alias("volume"),
         F.count(F.lit(1)).alias("n_trades"),
-        F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+        F.sum(pv).alias("_pv"),
     )
     vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
     return out.select(
@@ -220,7 +228,11 @@ def gapfill_linear(closes: DataFrame, step_seconds: int = 3600) -> DataFrame:
         ).alias("bucket"),
     )
     joined = spine.join(closes, ["symbol", "bucket"], "left")
-    hseq = (F.unix_timestamp("bucket") / F.lit(step_seconds)).cast("bigint")
+    # bucket may be ntz or ltz depending on the parquet layout; the cast
+    # is wall-clock-preserving under the pinned UTC session timezone
+    hseq = (
+        F.unix_timestamp(F.col("bucket").cast("timestamp")) / F.lit(step_seconds)
+    ).cast("bigint")
     base = _series_window()
     w_prev = base.rowsBetween(Window.unboundedPreceding, 0)
     w_next = base.rowsBetween(0, Window.unboundedFollowing)

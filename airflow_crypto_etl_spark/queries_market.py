@@ -1,0 +1,303 @@
+"""Market time-series query registry: OHLC candles + VWAP, SMA
+crossover, Cutler RSI, Bollinger bands, linear-interpolation gap-fill,
+and rolling z-score anomaly detection over the `events` tick table.
+
+These are the downstream analytics a user of the reference crypto ETL
+(`/root/reference/dags/coin_data_pipeline_optimized.py` — hourly coin
+prices into a warehouse) computes from the Silver price table; here
+they are first-class distributed operators (operators/timeseries.py).
+
+Portability: every multi-row accumulation is an exact DECIMAL (or
+integer) sum — order-insensitive, so Spark's partial aggregation and
+DuckDB's sequential scan agree bit-for-bit — and each published metric
+is ONE fixed-order IEEE-double epilogue (a division, a sqrt, an
+interpolation), rounded at 6dp. 6dp half-boundaries (odd multiples of
+5e-7) are never dyadic, so no double sits exactly on one and Spark
+HALF_UP vs DuckDB rounding cannot disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import timeseries as ts
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (mirror operators/timeseries.with_market_cols
+# and hourly_close)
+# ---------------------------------------------------------------------------
+
+_TICKS_SQL = """
+SELECT event_type AS symbol,
+       date_trunc('hour', ts) AS bucket,
+       ts AS tick_ts,
+       event_id AS tick_id,
+       CAST(value AS DECIMAL(18,4)) AS price,
+       CAST(event_id % 7 + 1 AS BIGINT) AS volume
+FROM events
+"""
+
+_CLOSES_SQL = f"""
+SELECT symbol, bucket,
+       (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close
+FROM ({_TICKS_SQL}) t
+GROUP BY symbol, bucket
+"""
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.with_market_cols(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# OHLC candles + VWAP
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles with volume and VWAP per symbol — one
+    partial-aggregatable groupBy over the ticks (argmin/argmax via
+    lexicographic struct min/max), no window sort."""
+    return ts.ohlc(_ticks(spark, sf_dir))
+
+
+ORACLE_OHLC_CANDLES = f"""
+WITH t AS ({_TICKS_SQL}),
+agg AS (
+  SELECT symbol, bucket,
+         (min(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS open_d,
+         max(price) AS high_d,
+         min(price) AS low_d,
+         (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close_d,
+         CAST(sum(volume) AS BIGINT) AS volume,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         sum(price * CAST(volume AS DECIMAL(8,0))) AS pv
+  FROM t GROUP BY symbol, bucket)
+SELECT symbol, bucket,
+       CAST(open_d AS DOUBLE)  AS open,
+       CAST(high_d AS DOUBLE)  AS high,
+       CAST(low_d AS DOUBLE)   AS low,
+       CAST(close_d AS DOUBLE) AS close,
+       volume, n_trades,
+       round(CAST(pv AS DOUBLE) / CAST(volume AS DOUBLE), 6) AS vwap
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# SMA crossover
+# ---------------------------------------------------------------------------
+
+_SMA_FAST, _SMA_SLOW = 5, 20
+
+
+def q_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow simple moving averages over the hourly close series
+    with the golden-cross signal; full frames only."""
+    return ts.sma_crossover(
+        ts.hourly_close(_ticks(spark, sf_dir)), fast=_SMA_FAST, slow=_SMA_SLOW
+    )
+
+
+ORACLE_SMA_CROSSOVER = f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         round(CAST(sum(close) OVER wf AS DOUBLE) / CAST({_SMA_FAST} AS DOUBLE), 6) AS sma_fast,
+         round(CAST(sum(close) OVER ws AS DOUBLE) / CAST({_SMA_SLOW} AS DOUBLE), 6) AS sma_slow
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_SMA_FAST - 1} PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_SMA_SLOW - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close, sma_fast, sma_slow,
+       CAST(sma_fast > sma_slow AS INT) AS golden
+FROM x WHERE rn >= {_SMA_SLOW}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cutler RSI
+# ---------------------------------------------------------------------------
+
+_RSI_N = 14
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (SMA of gains/losses — exact under decimal sums,
+    unlike the recursive Wilder EMA) over the hourly close series."""
+    return ts.rsi_cutler(ts.hourly_close(_ticks(spark, sf_dir)), periods=_RSI_N)
+
+
+ORACLE_RSI = f"""
+WITH closes AS ({_CLOSES_SQL}),
+d AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         close - lag(close, 1) OVER wo AS delta
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket)),
+g AS (
+  SELECT symbol, bucket, close, rn,
+         sum(CASE WHEN delta > 0 THEN delta ELSE CAST('0' AS DECIMAL(18,4)) END) OVER wf AS sum_gain_d,
+         sum(CASE WHEN delta < 0 THEN -delta ELSE CAST('0' AS DECIMAL(18,4)) END) OVER wf AS sum_loss_d
+  FROM d
+  WINDOW wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close,
+       CAST(sum_gain_d AS DOUBLE) AS sum_gain,
+       CAST(sum_loss_d AS DOUBLE) AS sum_loss,
+       CASE WHEN CAST(sum_gain_d AS DOUBLE) + CAST(sum_loss_d AS DOUBLE) = 0.0 THEN NULL
+            ELSE round(100.0 * CAST(sum_gain_d AS DOUBLE)
+                       / (CAST(sum_gain_d AS DOUBLE) + CAST(sum_loss_d AS DOUBLE)), 6)
+       END AS rsi
+FROM g WHERE rn >= {_RSI_N + 1}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands
+# ---------------------------------------------------------------------------
+
+_BB_N = 20
+_BB_W = 2.0
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-period, 2σ) over the hourly close series —
+    decimal sum / sum-of-squares, double epilogue."""
+    return ts.bollinger(ts.hourly_close(_ticks(spark, sf_dir)), periods=_BB_N, width=_BB_W)
+
+
+ORACLE_BOLLINGER = f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         CAST(sum(close) OVER wf AS DOUBLE) AS s1,
+         CAST(sum(close * close) OVER wf AS DOUBLE) AS s2
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_BB_N - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close,
+       round(s1 / {float(_BB_N)}, 6) AS mid,
+       round(s1 / {float(_BB_N)} + {_BB_W} * sqrt(greatest((s2 - s1 * s1 / {float(_BB_N)}) / {float(_BB_N - 1)}, 0.0)), 6) AS upper,
+       round(s1 / {float(_BB_N)} - {_BB_W} * sqrt(greatest((s2 - s1 * s1 / {float(_BB_N)}) / {float(_BB_N - 1)}, 0.0)), 6) AS lower
+FROM x WHERE rn >= {_BB_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each symbol's hourly close series onto a complete bucket
+    spine; interior gaps are linearly interpolated between the nearest
+    real closes, edges forward/backward-fill."""
+    return ts.gapfill_linear(ts.hourly_close(_ticks(spark, sf_dir)))
+
+
+ORACLE_GAPFILL_INTERP = f"""
+WITH closes AS ({_CLOSES_SQL}),
+bounds AS (SELECT symbol, min(bucket) AS mn, max(bucket) AS mx FROM closes GROUP BY symbol),
+spine AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 3600 SECOND)) AS bucket
+  FROM bounds),
+j AS (
+  SELECT s.symbol, s.bucket, c.close,
+         CAST(floor(epoch(s.bucket) / 3600) AS BIGINT) AS hseq
+  FROM spine s LEFT JOIN closes c ON s.symbol = c.symbol AND s.bucket = c.bucket),
+n AS (
+  SELECT symbol, bucket, close, hseq,
+         last_value(close IGNORE NULLS) OVER wp AS prev_v,
+         last_value(CASE WHEN close IS NOT NULL THEN hseq END IGNORE NULLS) OVER wp AS prev_t,
+         first_value(close IGNORE NULLS) OVER wn AS next_v,
+         first_value(CASE WHEN close IS NOT NULL THEN hseq END IGNORE NULLS) OVER wn AS next_t
+  FROM j
+  WINDOW wp AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT symbol, bucket,
+       CAST(close IS NULL AS INT) AS is_gap,
+       CASE WHEN close IS NOT NULL THEN CAST(close AS DOUBLE)
+            WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+            WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+            ELSE round(CAST(prev_v AS DOUBLE)
+                       + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                         * (CAST(hseq - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE)), 6)
+       END AS px
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_Z_TRAIL = 24
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score of hourly tick counts per symbol against the
+    trailing 24 hours (current hour excluded from its own baseline)."""
+    ticks = _ticks(spark, sf_dir)
+    counts = ticks.groupBy("symbol", "bucket").count().withColumnRenamed("count", "n_ticks")
+    return ts.rolling_zscore(counts, "n_ticks", trailing=_Z_TRAIL)
+
+
+ORACLE_ANOMALY_ZSCORE = f"""
+WITH t AS ({_TICKS_SQL}),
+counts AS (SELECT symbol, bucket, CAST(count(*) AS BIGINT) AS n_ticks FROM t GROUP BY symbol, bucket),
+x AS (
+  SELECT symbol, bucket, n_ticks,
+         row_number() OVER wo AS rn,
+         CAST(sum(n_ticks) OVER wf AS DOUBLE) AS s1,
+         CAST(sum(n_ticks * n_ticks) OVER wf AS DOUBLE) AS s2
+  FROM counts
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_Z_TRAIL} PRECEDING AND 1 PRECEDING))
+SELECT symbol, bucket, n_ticks AS obs,
+       round(s1 / {float(_Z_TRAIL)}, 6) AS mu,
+       CASE WHEN sqrt(greatest((s2 - s1 * s1 / {float(_Z_TRAIL)}) / {float(_Z_TRAIL - 1)}, 0.0)) = 0.0 THEN NULL
+            ELSE round((CAST(n_ticks AS DOUBLE) - s1 / {float(_Z_TRAIL)})
+                       / sqrt(greatest((s2 - s1 * s1 / {float(_Z_TRAIL)}) / {float(_Z_TRAIL - 1)}, 0.0)), 6)
+       END AS z
+FROM x WHERE rn >= {_Z_TRAIL + 1}
+"""
+
+
+QUERIES_MARKET = {
+    "q_ohlc_candles": q_ohlc_candles,
+    "q_sma_crossover": q_sma_crossover,
+    "q_rsi": q_rsi,
+    "q_bollinger": q_bollinger,
+    "q_gapfill_interp": q_gapfill_interp,
+    "q_anomaly_zscore": q_anomaly_zscore,
+}
+
+ORACLE_MARKET = {
+    "q_ohlc_candles": ORACLE_OHLC_CANDLES,
+    "q_sma_crossover": ORACLE_SMA_CROSSOVER,
+    "q_rsi": ORACLE_RSI,
+    "q_bollinger": ORACLE_BOLLINGER,
+    "q_gapfill_interp": ORACLE_GAPFILL_INTERP,
+    "q_anomaly_zscore": ORACLE_ANOMALY_ZSCORE,
+}
+
+
+# ---------------------------------------------------------------------------
+# Streaming candles: the same OHLC aggregation executed by the
+# streaming engine (bounded availableNow replay in complete mode emits
+# exactly the batch result, so the batch oracle applies verbatim).
+# ---------------------------------------------------------------------------
+
+
+def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import streaming_candles
+
+    return streaming_candles(spark, sf_dir)
+
+
+QUERIES_MARKET["q_stream_candles"] = q_stream_candles
+ORACLE_MARKET["q_stream_candles"] = ORACLE_OHLC_CANDLES

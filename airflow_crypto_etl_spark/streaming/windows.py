@@ -226,3 +226,17 @@ def streaming_stream_join(
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+def streaming_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles computed BY THE STREAMING ENGINE — the
+    operators/timeseries.ohlc aggregation (lexicographic struct
+    min/max for open/close) run as a streaming groupBy in complete
+    mode, so the bounded replay emits exactly the batch candles. In
+    production this runs with a watermark + append mode and a
+    foreachBatch sink publishing closed candles per micro-batch."""
+    from ..operators.timeseries import ohlc, with_market_cols
+
+    ticks = with_market_cols(stream_events(spark, sf_dir))
+    out = run_available_now(ohlc(ticks), "complete")
+    return out

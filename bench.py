@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_ext as qx
+from airflow_crypto_etl_spark import queries_market as qm
 from airflow_crypto_etl_spark import queries_scale as qs
 from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark.session import get_spark
@@ -32,6 +33,7 @@ ALL_QUERIES = (
     | dict(qx.QUERIES_EXT)
     | dict(qt.QUERIES_TPCH)
     | dict(qs.QUERIES_SCALE)
+    | dict(qm.QUERIES_MARKET)
 )
 
 HEADLINE = [
@@ -60,6 +62,9 @@ HEADLINE = [
     "q_tpch_q9",
     "q_tpch_q18",
     "q_tpch_q21",
+    # market time-series battery (the reference's domain)
+    "q_ohlc_candles",
+    "q_gapfill_interp",
     # warehouse modeling / streaming join
     "q_scd2_intervals",
     "q_stream_stream_join",

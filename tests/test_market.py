@@ -1,0 +1,179 @@
+"""Invariant tests for the market time-series battery
+(operators/timeseries.py, queries_market.py). Exact cross-engine value
+parity is covered by test_oracle_parity; these tests pin the SEMANTIC
+invariants the oracle comparison can't see (candle ordering bounds,
+interpolation monotonicity, baseline exclusion) on hand-built frames
+where the expected numbers are computable by eye.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_crypto_etl_spark.operators import timeseries as ts
+
+
+def _tick_df(spark, rows):
+    """rows: (symbol, ts_str, tick_id, price, volume)"""
+    return spark.createDataFrame(
+        [
+            (s, dt.datetime.fromisoformat(t), int(i), float(p), int(v))
+            for s, t, i, p, v in rows
+        ],
+        "symbol string, tick_ts timestamp, tick_id long, price_raw double, volume long",
+    ).select(
+        "symbol",
+        F.date_trunc("hour", "tick_ts").alias("bucket"),
+        "tick_ts",
+        "tick_id",
+        F.col("price_raw").cast(ts.PRICE_DEC).alias("price"),
+        "volume",
+    )
+
+
+def test_ohlc_open_close_follow_time_not_value(spark):
+    # open is the EARLIEST tick's price even though it is neither min
+    # nor max; tick_id breaks the deliberate timestamp tie at 10:30.
+    t = _tick_df(
+        spark,
+        [
+            ("btc", "2024-01-01T10:00:00", 1, 50.0, 2),
+            ("btc", "2024-01-01T10:15:00", 2, 99.0, 1),
+            ("btc", "2024-01-01T10:30:00", 3, 10.0, 1),
+            ("btc", "2024-01-01T10:30:00", 4, 70.0, 3),
+        ],
+    )
+    row = ts.ohlc(t).collect()[0]
+    assert float(row.open) == 50.0
+    assert float(row.high) == 99.0
+    assert float(row.low) == 10.0
+    assert float(row.close) == 70.0  # tie on ts → higher tick_id wins max(struct)
+    assert row.volume == 7
+    assert row.n_trades == 4
+    # vwap = (50*2 + 99*1 + 10*1 + 70*3) / 7
+    assert row.vwap == pytest.approx((100 + 99 + 10 + 210) / 7, abs=1e-6)
+
+
+def test_ohlc_candle_bounds_on_real_data(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_market import q_ohlc_candles
+
+    rows = q_ohlc_candles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert float(r.low) <= float(r.open) <= float(r.high)
+        assert float(r.low) <= float(r.close) <= float(r.high)
+        assert float(r.low) - 1e-9 <= r.vwap <= float(r.high) + 1e-9
+        assert r.n_trades >= 1
+
+
+def test_sma_flat_series_equals_price(spark):
+    rows = [("eth", f"2024-01-01T{h:02d}:30:00", h, 25.0, 1) for h in range(24)]
+    out = ts.sma_crossover(ts.hourly_close(_tick_df(spark, rows)), fast=3, slow=6).collect()
+    assert len(out) == 24 - 5  # full slow frames only
+    for r in out:
+        assert r.sma_fast == pytest.approx(25.0)
+        assert r.sma_slow == pytest.approx(25.0)
+        assert r.golden == 0  # equal SMAs are not a golden cross
+
+
+def test_rsi_extremes(spark):
+    # strictly rising closes → RSI 100; strictly falling → RSI 0
+    up = [("up", f"2024-01-01T{h:02d}:00:00", h, 10.0 + h, 1) for h in range(20)]
+    down = [("dn", f"2024-01-01T{h:02d}:00:00", h, 50.0 - h, 1) for h in range(20)]
+    out = {
+        (r.symbol, r.bucket): r
+        for r in ts.rsi_cutler(
+            ts.hourly_close(_tick_df(spark, up + down)), periods=14
+        ).collect()
+    }
+    assert out
+    for (sym, _), r in out.items():
+        assert r.rsi == pytest.approx(100.0 if sym == "up" else 0.0)
+
+
+def test_bollinger_flat_series_bands_collapse(spark):
+    rows = [
+        ("ada", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 7.5, 1) for h in range(25)
+    ]
+    out = ts.bollinger(ts.hourly_close(_tick_df(spark, rows)), periods=20).collect()
+    assert out
+    for r in out:
+        assert r.mid == pytest.approx(7.5)
+        assert r.upper == pytest.approx(7.5)
+        assert r.lower == pytest.approx(7.5)
+
+
+def test_gapfill_linear_interpolation_exact(spark):
+    # closes at hour 0 (10.0) and hour 4 (30.0); hours 1-3 are gaps →
+    # interpolated 15, 20, 25.
+    rows = [
+        ("sol", "2024-01-01T00:10:00", 1, 10.0, 1),
+        ("sol", "2024-01-01T04:20:00", 2, 30.0, 1),
+    ]
+    out = sorted(
+        ts.gapfill_linear(ts.hourly_close(_tick_df(spark, rows))).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.is_gap for r in out] == [0, 1, 1, 1, 0]
+    assert [r.px for r in out] == pytest.approx([10.0, 15.0, 20.0, 25.0, 30.0])
+
+
+def test_gapfill_edges_extend_nearest(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_market import q_gapfill_interp
+
+    out = q_gapfill_interp(spark, sf_dir)
+    assert out.filter(F.col("px").isNull()).count() == 0
+    # spine is dense: per symbol, row count == span hours + 1
+    spans = (
+        out.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                (F.unix_timestamp(F.max("bucket").cast("timestamp"))
+                 - F.unix_timestamp(F.min("bucket").cast("timestamp"))) / 3600 + 1
+            ).cast("long").alias("expect"),
+        )
+        .collect()
+    )
+    for r in spans:
+        assert r.n == r.expect
+
+
+def test_zscore_excludes_current_row_from_baseline(spark):
+    # 30 flat hours then a spike: the spike's own hour must not inflate
+    # its baseline, so sd stays 0-free and z is well-defined and large.
+    rows = [("btc", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 5.0, 1) for h in range(30)]
+    counts = (
+        ts.with_market_cols(
+            _tick_df(spark, rows).select(
+                F.col("tick_ts").alias("ts"),
+                F.col("tick_id").alias("event_id"),
+                F.col("symbol").alias("event_type"),
+                F.col("price").cast("double").alias("value"),
+            )
+        )
+        .groupBy("symbol", "bucket")
+        .count()
+        .withColumnRenamed("count", "n_ticks")
+    )
+    # make hour 29 a spike of 5 ticks by unioning 4 extra rows
+    spike = counts.withColumn(
+        "n_ticks", F.when(F.col("bucket") == dt.datetime(2024, 1, 2, 5), F.lit(5)).otherwise(F.col("n_ticks"))
+    )
+    out = ts.rolling_zscore(spike, "n_ticks", trailing=24).collect()
+    by_bucket = {r.bucket: r for r in out}
+    spike_row = by_bucket[dt.datetime(2024, 1, 2, 5)]
+    # baseline is the 24 flat hours before it: mu == 1.0, z is NULL only
+    # if sd == 0 — which it is here (flat baseline), so z is None...
+    assert spike_row.mu == pytest.approx(1.0)
+    assert spike_row.z is None  # flat baseline: sd == 0 → z undefined, not inf
+    # ...and a non-degenerate baseline yields a finite z on real data
+    from airflow_crypto_etl_spark.queries_market import q_anomaly_zscore
+
+    assert q_anomaly_zscore(spark, SF_DIR_FALLBACK).filter(F.col("z").isNotNull()).count() > 0
+
+
+SF_DIR_FALLBACK = "/root/testdata/sf0.001"
