@@ -292,3 +292,81 @@ def rolling_zscore(counts: DataFrame, value_col: str, trailing: int = 24) -> Dat
         F.round(mean, ROUND_DP).alias("mu"),
         z.alias("z"),
     )
+
+
+def drawdown(closes: DataFrame) -> DataFrame:
+    """Running peak and drawdown-from-peak per symbol. The peak is a
+    window max over the unbounded-preceding frame — decimal, exact,
+    order-free; the drawdown ratio is one double division of exact
+    operands. One shuffle on symbol, sequential scan."""
+    base = _series_window()
+    w_all = base.rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("close").over(w_all)
+    out = closes.withColumn("peak", peak)
+    dd = F.round(
+        (F.col("peak").cast("double") - F.col("close").cast("double"))
+        / F.col("peak").cast("double"),
+        ROUND_DP,
+    )
+    return out.select("symbol", "bucket", "close", "peak", dd.alias("dd"))
+
+
+def ema_fir(closes: DataFrame, periods: int = 10, taps: int = 30) -> DataFrame:
+    """EMA with an explicit finite impulse response: the recursive EMA
+    truncated at `taps` lags. The infinite tail below float precision is
+    dropped, which (a) makes the operator exact and portable — each tap
+    weight w^i is a double power, each term one multiply, summed in a
+    FIXED left-to-right fold via aggregate() over collect_list — and
+    (b) is how a shuffle-free windowed EMA is actually computed at
+    scale: a length-`taps` ROWS frame instead of an unbounded recursive
+    dependency, so partitions stay independent.
+
+    alpha = 2/(periods+1); weights w_i = alpha * (1-alpha)^i, i = 0..taps-1
+    (current row first), normalized by their own partial sum so the
+    truncated kernel still averages to 1.
+    """
+    # Tap weights are computed ONCE, driver-side, in Python floats and
+    # inlined as identical double literals into both the Spark plan and
+    # the oracle SQL — no engine-side pow(), whose last-ulp behavior
+    # differs between the JVM and libm. repr() round-trips doubles
+    # exactly, so both engines parse bit-identical weights.
+    ws, den = ema_fir_weights(periods, taps)
+    base = _series_window()
+    frame = base.rowsBetween(-(taps - 1), 0)
+    rn = F.row_number().over(base)
+    # collect_list over a ROWS frame preserves frame order (oldest →
+    # newest); reverse() puts the current row first so weight index ==
+    # lag distance.
+    lags = F.reverse(F.collect_list(F.col("close").cast("double")).over(frame))
+    out = (
+        closes.withColumn("rn", rn)
+        .withColumn("_lags", lags)
+        .filter(F.col("rn") >= taps)
+    )
+    weights = F.array(*[F.lit(w) for w in ws])
+    # left-to-right fold: the oracle mirrors it with list_reduce, so the
+    # double accumulation order is pinned on both engines
+    num = F.aggregate(
+        F.zip_with("_lags", weights, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return out.select(
+        "symbol", "bucket", "close", F.round(num / F.lit(den), ROUND_DP).alias("ema")
+    )
+
+
+def ema_fir_weights(periods: int, taps: int) -> tuple[list[float], float]:
+    """The FIR kernel: w_i = alpha*(1-alpha)^i by repeated Python-float
+    multiplication, plus the left-fold normalizer. Shared by the Spark
+    operator and the oracle generator so both inline the same bits."""
+    alpha = 2.0 / (periods + 1.0)
+    ws: list[float] = []
+    w = alpha
+    for _ in range(taps):
+        ws.append(w)
+        w = w * (1.0 - alpha)
+    den = 0.0
+    for x in ws:
+        den = den + x
+    return ws, den

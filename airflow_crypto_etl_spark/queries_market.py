@@ -301,3 +301,143 @@ def q_stream_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_MARKET["q_stream_candles"] = q_stream_candles
 ORACLE_MARKET["q_stream_candles"] = ORACLE_OHLC_CANDLES
+
+
+# ---------------------------------------------------------------------------
+# Running-peak drawdown
+# ---------------------------------------------------------------------------
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak and drawdown-from-peak per symbol (window max over
+    the unbounded frame — exact decimal; one double division)."""
+    return ts.drawdown(ts.hourly_close(_ticks(spark, sf_dir)))
+
+
+ORACLE_DRAWDOWN = f"""
+WITH closes AS ({_CLOSES_SQL})
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close,
+       CAST(max(close) OVER wp AS DOUBLE) AS peak,
+       round((CAST(max(close) OVER wp AS DOUBLE) - CAST(close AS DOUBLE))
+             / CAST(max(close) OVER wp AS DOUBLE), 6) AS dd
+FROM closes
+WINDOW wp AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# FIR-truncated EMA
+# ---------------------------------------------------------------------------
+
+_EMA_P, _EMA_TAPS = 10, 30
+
+
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA as an explicit 30-tap FIR kernel over the hourly closes —
+    the shuffle-free, partition-independent form of the recursive EMA
+    (tail below float precision truncated). Tap weights are inlined as
+    identical double literals into both engines; the fold order is
+    pinned (Spark aggregate ↔ DuckDB list_reduce)."""
+    return ts.ema_fir(ts.hourly_close(_ticks(spark, sf_dir)), periods=_EMA_P, taps=_EMA_TAPS)
+
+
+def _ema_oracle() -> str:
+    ws, den = ts.ema_fir_weights(_EMA_P, _EMA_TAPS)
+    wlist = "[" + ", ".join(repr(w) for w in ws) + "]"
+    return f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         list_reverse(list(CAST(close AS DOUBLE)) OVER wf) AS lags
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_EMA_TAPS - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close,
+       round(list_reduce(
+               list_transform(range(1, {_EMA_TAPS + 1}),
+                              i -> lags[i] * (CAST({wlist} AS DOUBLE[]))[i]),
+               (acc, v) -> acc + v) / {den!r}, 6) AS ema
+FROM x WHERE rn >= {_EMA_TAPS}
+"""
+
+
+ORACLE_EMA = _ema_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Daily top movers
+# ---------------------------------------------------------------------------
+
+_MOVERS_K = 3
+
+
+def q_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k daily movers: per-day ranking of symbols by close-over-
+    close percent change (daily candles via the same struct-argmax
+    close; deterministic (pct DESC, symbol) tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = ts.hourly_close(
+        ts.with_market_cols(_t(spark, sf_dir, "events"), bucket="day")
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close", 1).over(w)
+    pct = F.round(
+        (F.col("close").cast("double") - F.col("prev").cast("double"))
+        / F.col("prev").cast("double"),
+        ts.ROUND_DP,
+    )
+    ranked = (
+        daily.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull())
+        .withColumn("pct", pct)
+        .withColumn(
+            "mrank",
+            F.row_number()
+            .over(Window.partitionBy("bucket").orderBy(F.col("pct").desc(), F.col("symbol")))
+            .cast("int"),
+        )
+        .filter(F.col("mrank") <= _MOVERS_K)
+    )
+    # day-granularity bucket publishes as DATE (DuckDB's
+    # date_trunc('day', ts) is a DATE; Spark's is a timestamp)
+    return ranked.select(
+        F.to_date("bucket").alias("bucket"), "symbol", "close", "prev", "pct", "mrank"
+    )
+
+
+_DAILY_TICKS_SQL = _TICKS_SQL.replace("date_trunc('hour', ts)", "date_trunc('day', ts)")
+
+_DAILY_CLOSES_SQL = f"""
+SELECT symbol, bucket,
+       (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close
+FROM ({_DAILY_TICKS_SQL}) t
+GROUP BY symbol, bucket
+"""
+
+ORACLE_DAILY_MOVERS = f"""
+WITH closes AS ({_DAILY_CLOSES_SQL}),
+d AS (
+  SELECT symbol, bucket, close,
+         lag(close, 1) OVER (PARTITION BY symbol ORDER BY bucket) AS prev
+  FROM closes),
+p AS (
+  SELECT CAST(bucket AS DATE) AS bucket, symbol,
+         CAST(close AS DOUBLE) AS close, CAST(prev AS DOUBLE) AS prev,
+         round((CAST(close AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 6) AS pct
+  FROM d WHERE prev IS NOT NULL)
+SELECT bucket, symbol, close, prev, pct, mrank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY pct DESC, symbol) AS INT) AS mrank
+  FROM p)
+WHERE mrank <= {_MOVERS_K}
+"""
+
+
+QUERIES_MARKET["q_drawdown"] = q_drawdown
+ORACLE_MARKET["q_drawdown"] = ORACLE_DRAWDOWN
+QUERIES_MARKET["q_ema"] = q_ema
+ORACLE_MARKET["q_ema"] = ORACLE_EMA
+QUERIES_MARKET["q_daily_movers"] = q_daily_movers
+ORACLE_MARKET["q_daily_movers"] = ORACLE_DAILY_MOVERS

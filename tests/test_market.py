@@ -177,3 +177,52 @@ def test_zscore_excludes_current_row_from_baseline(spark):
 
 
 SF_DIR_FALLBACK = "/root/testdata/sf0.001"
+
+
+def test_drawdown_running_peak(spark):
+    rows = [
+        ("btc", "2024-01-01T00:00:00", 1, 100.0, 1),
+        ("btc", "2024-01-01T01:00:00", 2, 80.0, 1),
+        ("btc", "2024-01-01T02:00:00", 3, 120.0, 1),
+        ("btc", "2024-01-01T03:00:00", 4, 90.0, 1),
+    ]
+    out = sorted(
+        ts.drawdown(ts.hourly_close(_tick_df(spark, rows))).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [float(r.peak) for r in out] == [100.0, 100.0, 120.0, 120.0]
+    assert [r.dd for r in out] == pytest.approx([0.0, 0.2, 0.0, 0.25])
+
+
+def test_ema_flat_series_equals_price(spark):
+    rows = [
+        ("eth", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 40.0, 1)
+        for h in range(35)
+    ]
+    out = ts.ema_fir(ts.hourly_close(_tick_df(spark, rows)), periods=10, taps=30).collect()
+    assert len(out) == 35 - 29
+    for r in out:
+        assert r.ema == pytest.approx(40.0)
+
+
+def test_ema_weights_normalized_and_decreasing(spark):
+    ws, den = ts.ema_fir_weights(10, 30)
+    assert len(ws) == 30
+    assert all(a > b for a, b in zip(ws, ws[1:]))
+    assert den == pytest.approx(1.0 - (1.0 - 2.0 / 11.0) ** 30)
+
+
+def test_daily_movers_rank_and_k(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_market import _MOVERS_K, q_daily_movers
+
+    rows = q_daily_movers(spark, sf_dir).collect()
+    assert rows
+    by_day: dict = {}
+    for r in rows:
+        by_day.setdefault(r.bucket, []).append(r)
+    for day, rs in by_day.items():
+        rs.sort(key=lambda r: r.mrank)
+        assert 1 <= len(rs) <= _MOVERS_K
+        assert [r.mrank for r in rs] == list(range(1, len(rs) + 1))
+        pcts = [r.pct for r in rs]
+        assert pcts == sorted(pcts, reverse=True)
