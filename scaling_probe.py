@@ -27,6 +27,7 @@ from airflow_crypto_etl_spark.operators import cdc as cdc_ops
 from airflow_crypto_etl_spark.operators import dedup as dd
 from airflow_crypto_etl_spark.operators import joins as join_ops
 from airflow_crypto_etl_spark.operators import llm_prep as lp
+from airflow_crypto_etl_spark.operators import timeseries as tsx
 from airflow_crypto_etl_spark.session import get_spark
 from airflow_crypto_etl_spark.queries_pipeline import _cdc_feed
 from airflow_crypto_etl_spark.sources.tables import load_table
@@ -115,6 +116,11 @@ def main() -> None:
         ),
     }
 
+    # Market candles: ticks inflate N× into the SAME (symbol, hour)
+    # groups — the "more trades per candle" scale-up. One partial-agg
+    # shuffle of per-group partials, so the ratio must stay ~N.
+    ev_cases["ohlc_candles"] = lambda d: tsx.ohlc(tsx.with_market_cols(d))
+
     results = {}
     for name, fn in cases.items():
         small = li
@@ -174,6 +180,31 @@ def main() -> None:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+    # Window-indicator family: the SERIES lengthens N× (disjoint bucket
+    # ranges per copy) while symbols stay fixed — each symbol partition
+    # deepens N×, so the per-partition sort bounds the ratio at
+    # ~N·log N; a super-linear blow-up would mean the frame scan is
+    # being re-evaluated per row.
+    closes = tsx.hourly_close(tsx.with_market_cols(ev))
+
+    def lengthen(cl: DataFrame, n: int) -> DataFrame:
+        parts = [
+            cl.withColumn("bucket", F.col("bucket") + F.expr(f"INTERVAL {i * 100000} HOUR"))
+            for i in range(n)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    long_closes = lengthen(closes, INFLATE)
+    tsx.bollinger(closes).count()  # warm
+    t0 = time.perf_counter(); tsx.bollinger(closes).count(); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); tsx.bollinger(long_closes).count(); tn = time.perf_counter() - t0
+    results["bollinger_long_series"] = {
+        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+    }
 
     print(json.dumps({"inflate": INFLATE, "queries": results}))
 
