@@ -370,3 +370,43 @@ def ema_fir_weights(periods: int, taps: int) -> tuple[list[float], float]:
     for x in ws:
         den = den + x
     return ws, den
+
+
+def pairwise_corr(closes: DataFrame) -> DataFrame:
+    """Cross-series Pearson correlation and OLS beta for every symbol
+    pair, over the buckets where BOTH symbols traded (inner time join).
+
+    Shape: self-equi-join on bucket (sym_a < sym_b keeps each unordered
+    pair once) → one groupBy(pair) carrying six exact sums → double
+    epilogue. For S symbols a bucket fans out to S(S-1)/2 pair rows —
+    the inherent cost of a correlation matrix; the shuffle is on
+    (pair), never on the raw tick stream, and the sums are DECIMAL so
+    the merge order of partial aggregates cannot perturb the result
+    (native corr()/covar merge co-moments in partition order — fp-
+    nondeterministic under AQE; this form hashes identically
+    everywhere).
+    """
+    a = closes.select("bucket", F.col("symbol").alias("sym_a"), F.col("close").alias("xa"))
+    b = closes.select("bucket", F.col("symbol").alias("sym_b"), F.col("close").alias("xb"))
+    pairs = a.join(b, "bucket").filter(F.col("sym_a") < F.col("sym_b"))
+    g = pairs.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("_sx"),
+        F.sum("xb").alias("_sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("_sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("_syy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    corr = F.when((dx <= 0.0) | (dy <= 0.0), None).otherwise(
+        F.round(num / F.sqrt(dx * dy), ROUND_DP)
+    )
+    beta = F.when(dx <= 0.0, None).otherwise(F.round(num / dx, ROUND_DP))
+    return g.select("sym_a", "sym_b", "n", corr.alias("corr"), beta.alias("beta"))

@@ -441,3 +441,47 @@ QUERIES_MARKET["q_ema"] = q_ema
 ORACLE_MARKET["q_ema"] = ORACLE_EMA
 QUERIES_MARKET["q_daily_movers"] = q_daily_movers
 ORACLE_MARKET["q_daily_movers"] = ORACLE_DAILY_MOVERS
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation matrix
+# ---------------------------------------------------------------------------
+
+
+def q_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise symbol correlation + OLS beta from exact decimal power
+    sums over co-traded hours (bucket self-join, one pair groupBy)."""
+    return ts.pairwise_corr(ts.hourly_close(_ticks(spark, sf_dir)))
+
+
+ORACLE_CORR_PAIRS = f"""
+WITH closes AS ({_CLOSES_SQL}),
+pairs AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.close AS xa, b.close AS xb
+  FROM closes a JOIN closes b ON a.bucket = b.bucket
+  WHERE a.symbol < b.symbol),
+g AS (
+  SELECT sym_a, sym_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xa) AS DOUBLE) AS sx,
+         CAST(sum(xb) AS DOUBLE) AS sy,
+         CAST(sum(xa * xa) AS DOUBLE) AS sxx,
+         CAST(sum(xb * xb) AS DOUBLE) AS syy,
+         CAST(sum(xa * xb) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY sym_a, sym_b)
+SELECT sym_a, sym_b, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) <= 0.0
+              OR (CAST(n AS DOUBLE) * syy - sy * sy) <= 0.0 THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+       END AS corr,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) <= 0.0 THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+       END AS beta
+FROM g
+"""
+
+QUERIES_MARKET["q_corr_pairs"] = q_corr_pairs
+ORACLE_MARKET["q_corr_pairs"] = ORACLE_CORR_PAIRS

@@ -226,3 +226,26 @@ def test_daily_movers_rank_and_k(spark, sf_dir):
         assert [r.mrank for r in rs] == list(range(1, len(rs) + 1))
         pcts = [r.pct for r in rs]
         assert pcts == sorted(pcts, reverse=True)
+
+
+def test_corr_pairs_bounds_and_identity(spark):
+    # xb = 2*xa + 1 exactly → corr 1, beta 2; xc anti-correlated → corr -1
+    rows = []
+    for h in range(10):
+        t = f"2024-01-01T{h:02d}:00:00"
+        rows += [
+            ("aaa", t, 3 * h, float(10 + h), 1),
+            ("bbb", t, 3 * h + 1, float(2 * (10 + h) + 1), 1),
+            ("ccc", t, 3 * h + 2, float(100 - h), 1),
+        ]
+    out = {
+        (r.sym_a, r.sym_b): r
+        for r in ts.pairwise_corr(ts.hourly_close(_tick_df(spark, rows))).collect()
+    }
+    assert set(out) == {("aaa", "bbb"), ("aaa", "ccc"), ("bbb", "ccc")}
+    assert out[("aaa", "bbb")].corr == pytest.approx(1.0)
+    assert out[("aaa", "bbb")].beta == pytest.approx(2.0)
+    assert out[("aaa", "ccc")].corr == pytest.approx(-1.0)
+    for r in out.values():
+        assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
+        assert r.n == 10
