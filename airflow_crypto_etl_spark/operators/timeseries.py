@@ -410,3 +410,32 @@ def pairwise_corr(closes: DataFrame) -> DataFrame:
     )
     beta = F.when(dx <= 0.0, None).otherwise(F.round(num / dx, ROUND_DP))
     return g.select("sym_a", "sym_b", "n", corr.alias("corr"), beta.alias("beta"))
+
+
+def backtest_crossover(closes: DataFrame, fast: int = 5, slow: int = 20) -> DataFrame:
+    """Vectorized long/flat backtest of the SMA crossover: hold while
+    the PREVIOUS bar's fast SMA is above the slow (lag avoids lookahead
+    bias), earn that bar's close-to-close delta while long. Per-bar PnL
+    and its running total are decimal-exact window sums over the signal
+    series — the whole backtest is two window passes over candle-
+    cardinality data, no Python loop, no state."""
+    sig = sma_crossover(closes, fast=fast, slow=slow)
+    base = _series_window()
+    pos = F.lag("golden", 1).over(base)
+    ret = F.col("close") - F.lag("close", 1).over(base)
+    zero = F.lit("0").cast("decimal(19,4)")
+    out = (
+        sig.withColumn("pos", pos)
+        .withColumn("ret", ret)
+        .filter(F.col("pos").isNotNull())
+        .withColumn("pnl", F.when(F.col("pos") == 1, F.col("ret")).otherwise(zero))
+    )
+    w_cum = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "symbol",
+        "bucket",
+        "close",
+        "pos",
+        F.col("pnl").alias("pnl"),
+        F.sum("pnl").over(w_cum).alias("cum_pnl"),
+    )

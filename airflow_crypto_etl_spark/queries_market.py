@@ -485,3 +485,66 @@ FROM g
 
 QUERIES_MARKET["q_corr_pairs"] = q_corr_pairs
 ORACLE_MARKET["q_corr_pairs"] = ORACLE_CORR_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# SMA-crossover backtest
+# ---------------------------------------------------------------------------
+
+
+def q_backtest_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long/flat SMA-crossover backtest: lagged signal (no lookahead),
+    decimal-exact per-bar PnL and running total."""
+    return ts.backtest_crossover(
+        ts.hourly_close(_ticks(spark, sf_dir)), fast=_SMA_FAST, slow=_SMA_SLOW
+    )
+
+
+ORACLE_BACKTEST_SMA = f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         round(CAST(sum(close) OVER wf AS DOUBLE) / CAST({_SMA_FAST} AS DOUBLE), 6) AS sma_fast,
+         round(CAST(sum(close) OVER ws AS DOUBLE) / CAST({_SMA_SLOW} AS DOUBLE), 6) AS sma_slow
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_SMA_FAST - 1} PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_SMA_SLOW - 1} PRECEDING AND CURRENT ROW)),
+sig AS (
+  SELECT symbol, bucket, close,
+         CAST(sma_fast > sma_slow AS INT) AS golden
+  FROM x WHERE rn >= {_SMA_SLOW}),
+p AS (
+  SELECT symbol, bucket, close,
+         lag(golden, 1) OVER wo AS pos,
+         close - lag(close, 1) OVER wo AS ret
+  FROM sig
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket)),
+q AS (
+  SELECT symbol, bucket, close, pos,
+         CASE WHEN pos = 1 THEN ret ELSE CAST('0' AS DECIMAL(19,4)) END AS pnl
+  FROM p WHERE pos IS NOT NULL)
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close, pos,
+       CAST(pnl AS DOUBLE) AS pnl,
+       CAST(sum(pnl) OVER (PARTITION BY symbol ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_pnl
+FROM q
+"""
+
+QUERIES_MARKET["q_backtest_sma"] = q_backtest_sma
+ORACLE_MARKET["q_backtest_sma"] = ORACLE_BACKTEST_SMA
+
+
+def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive per-symbol EMA with cross-batch streaming state —
+    rows-only check (the recursive fold is deliberately not offered as
+    an oracle-SQL query; the batch engine ships the portable FIR form
+    as q_ema, and the streaming test pins this one against a single-
+    process pandas reference)."""
+    from .streaming.windows import streaming_ema_per_symbol
+
+    return streaming_ema_per_symbol(spark, sf_dir)
+
+
+QUERIES_MARKET["q_stream_ema"] = q_stream_ema

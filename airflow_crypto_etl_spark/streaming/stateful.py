@@ -140,3 +140,66 @@ def event_type_counts_per_user(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming EMA (Wilder / recursive form)
+# ---------------------------------------------------------------------------
+#
+# The batch engine deliberately ships the FIR-truncated EMA
+# (operators/timeseries.ema_fir) because the recursive form is not
+# cross-engine portable. In STREAMING the recursive form is the natural
+# one: per-symbol state carries yesterday's EMA and each micro-batch
+# folds its ticks in event order — exactly the accumulator
+# applyInPandasWithState exists for. The fold itself is vectorized
+# (pandas ewm(adjust=False) seeded by prepending the carried state), so
+# the per-batch cost is one Arrow transfer + one C-loop, not a Python
+# per-row loop.
+
+EMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("n_ticks", T.LongType()),
+        T.StructField("ema", T.DoubleType()),
+    ]
+)
+
+EMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ema", T.DoubleType()),
+    ]
+)
+
+EMA_PERIODS = 10
+
+
+def _update_ema(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    alpha = 2.0 / (EMA_PERIODS + 1.0)
+    n, ema = state.get if state.exists else (0, None)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["tick_ts", "tick_id"])
+        prices = pdf["price"].astype("float64")
+        seed = [] if ema is None else [ema]
+        series = pd.concat([pd.Series(seed, dtype="float64"), prices], ignore_index=True)
+        ema = float(series.ewm(alpha=alpha, adjust=False).mean().iloc[-1])
+        n += len(pdf)
+    state.update((n, ema if ema is not None else 0.0))
+    yield pd.DataFrame({"symbol": [key[0]], "n_ticks": [n], "ema": [ema]})
+
+
+def streaming_ema(ticks_stream: DataFrame) -> DataFrame:
+    """Per-symbol recursive EMA over a tick stream with cross-batch
+    state (update mode; checkpoint-recovered). Input: the
+    with_market_cols tick shape with price pre-cast to double."""
+    return ticks_stream.groupBy("symbol").applyInPandasWithState(
+        _update_ema,
+        outputStructType=EMA_OUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -240,3 +240,15 @@ def streaming_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks = with_market_cols(stream_events(spark, sf_dir))
     out = run_available_now(ohlc(ticks), "complete")
     return out
+
+
+def streaming_ema_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive per-symbol EMA via applyInPandasWithState over the
+    replayed tick stream (see streaming.stateful.streaming_ema)."""
+    from ..operators.timeseries import with_market_cols
+    from .stateful import streaming_ema
+
+    ticks = with_market_cols(stream_events(spark, sf_dir)).withColumn(
+        "price", F.col("price").cast("double")
+    )
+    return run_available_now(streaming_ema(ticks), "update")

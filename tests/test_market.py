@@ -249,3 +249,33 @@ def test_corr_pairs_bounds_and_identity(spark):
     for r in out.values():
         assert -1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9
         assert r.n == 10
+
+
+def test_backtest_always_long_on_rising_series(spark):
+    # strictly rising closes → golden from the first retained bar, so
+    # the strategy is long every bar: cum_pnl at T == close_T - close
+    # at the first bar where a position exists minus one step
+    rows = [
+        ("btc", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 100.0 + h, 1)
+        for h in range(30)
+    ]
+    out = sorted(
+        ts.backtest_crossover(ts.hourly_close(_tick_df(spark, rows)), fast=3, slow=6).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert out
+    assert all(r.pos == 1 for r in out)
+    assert all(float(r.pnl) == pytest.approx(1.0) for r in out)
+    assert float(out[-1].cum_pnl) == pytest.approx(len(out) * 1.0)
+
+
+def test_backtest_flat_when_no_signal(spark):
+    # strictly falling closes → fast SMA below slow → never long → zero PnL
+    rows = [
+        ("dn", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 500.0 - h, 1)
+        for h in range(30)
+    ]
+    out = ts.backtest_crossover(ts.hourly_close(_tick_df(spark, rows)), fast=3, slow=6).collect()
+    assert out
+    assert all(r.pos == 0 for r in out)
+    assert all(float(r.cum_pnl) == 0.0 for r in out)

@@ -55,3 +55,25 @@ def test_foreachbatch_parquet_sink_equals_batch(spark, sf_dir, tmp_path):
     # partition layout is the medallion dt= shape
     import os
     assert any(d.startswith("event_date=") for d in os.listdir(out))
+
+
+def test_streaming_ema_matches_pandas_reference(spark, sf_dir):
+    """The stateful streaming EMA over the bounded replay must equal a
+    single-process pandas ewm over the full per-symbol tick series —
+    same kernel, so equality is exact, not approximate."""
+    import pandas as pd
+
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.stateful import EMA_PERIODS
+    from airflow_crypto_etl_spark.streaming.windows import streaming_ema_per_symbol
+
+    got = {r.symbol: r for r in streaming_ema_per_symbol(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value").toPandas()
+    alpha = 2.0 / (EMA_PERIODS + 1.0)
+    for sym, grp in ev.groupby("event_type"):
+        grp = grp.sort_values(["ts", "event_id"])
+        prices = grp["value"].round(4).astype("float64")  # PRICE_DEC quantization
+        ref = prices.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        assert got[sym].n_ticks == len(grp)
+        assert got[sym].ema == ref
