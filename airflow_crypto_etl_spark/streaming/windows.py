@@ -252,3 +252,44 @@ def streaming_ema_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price", F.col("price").cast("double")
     )
     return run_available_now(streaming_ema(ticks), "update")
+
+
+def ticker_candles(
+    spark: SparkSession, max_polls: int = 36, poll_seconds: int = 600
+) -> DataFrame:
+    """End-to-end reference shape: the custom REST-ticker streaming
+    source → OHLC candles. Event time derives from the poll sequence
+    (one poll per `poll_seconds`), so the checkpointable offset IS the
+    clock; the poll number is the tie-break tick id. Complete-mode
+    bounded replay materializes the candle table the reference's daily
+    job would publish."""
+    from ..operators.timeseries import ohlc, with_market_cols
+    from ..sources.ticker_stream import register_ticker_source
+
+    if not register_ticker_source(spark):  # pragma: no cover - PySpark < 4
+        raise RuntimeError("ticker streaming source requires PySpark 4")
+    raw = (
+        spark.readStream.format("ticker").option("maxPolls", str(max_polls)).load()
+    )
+    ev = raw.select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("poll") * F.lit(poll_seconds)).alias("ts"),
+        F.col("poll").alias("event_id"),
+        F.col("symbol").alias("event_type"),
+        F.col("price").alias("value"),
+    )
+    agg = ohlc(with_market_cols(ev))
+    # the simple-reader source advances POLLS_PER_BATCH offsets per
+    # micro-batch, so drain with processAllAvailable (availableNow
+    # would stop after the offsets known at start)
+    name = f"ticker_candles_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -44,3 +44,34 @@ def test_ticker_stream_bounded_replay(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == 7 * len(ts.SYMBOLS)
+
+
+def test_ticker_candles_end_to_end(spark):
+    """Custom streaming source → OHLC candles, checked against a pure-
+    python recomputation from the same deterministic quote function."""
+    from collections import defaultdict
+
+    from airflow_crypto_etl_spark.sources.ticker_stream import SYMBOLS, _quotes
+    from airflow_crypto_etl_spark.streaming.windows import ticker_candles
+
+    got = {
+        (r.symbol, r.bucket): r for r in ticker_candles(spark, max_polls=36).collect()
+    }
+    # reference: 6 polls per hour (600s), bucket by poll // 6
+    buckets = defaultdict(list)
+    for p in range(36):
+        for poll, sym, price in _quotes(p):
+            buckets[(sym, p // 6)].append((p, round(price, 4)))
+    assert len(got) == len(buckets)  # 5 symbols x 6 hours
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    for (sym, hb), ticks in buckets.items():
+        bucket_ts = base + dt.timedelta(hours=hb)
+        row = got[(sym, bucket_ts)]
+        prices = [px for _, px in ticks]
+        assert float(row.open) == prices[0]
+        assert float(row.close) == prices[-1]
+        assert float(row.high) == max(prices)
+        assert float(row.low) == min(prices)
+        assert row.n_trades == len(ticks)
