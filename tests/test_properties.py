@@ -259,3 +259,82 @@ def test_lsh_near_pairs_subset_of_exact(spark, sf_dir):
     lsh = sim.lsh_near_pairs(E, threshold=0.4, dim=EMB_DIM).collect()
     assert {(r.vec_a, r.vec_b) for r in lsh} <= exact
     assert all(r.cos >= 0.4 for r in lsh)
+
+
+# ---------------------------------------------------------------------------
+# Market time-series operators vs an independent pandas reference
+# ---------------------------------------------------------------------------
+
+TICK = st.tuples(
+    st.integers(min_value=0, max_value=2),     # symbol index
+    st.integers(min_value=0, max_value=5000),  # minutes offset
+    st.integers(min_value=1, max_value=10_000),  # price cents
+)
+TICKS = st.lists(TICK, min_size=1, max_size=40, unique=True)
+
+
+def _market_df(spark, ticks):
+    import datetime as dt
+
+    from airflow_crypto_etl_spark.operators import timeseries as tso
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            f"s{si}",
+            base + dt.timedelta(minutes=mins),
+            i,
+            cents / 100.0,
+        )
+        for i, (si, mins, cents) in enumerate(ticks)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    ), tso
+
+
+@given(ticks=TICKS)
+@_SETTINGS
+def test_ohlc_agrees_with_pandas_groupby(spark, ticks):
+    import pandas as pd
+
+    df, tso = _market_df(spark, ticks)
+    got = {
+        (r.symbol, r.bucket): r
+        for r in tso.ohlc(tso.with_market_cols(df)).collect()
+    }
+    pdf = df.toPandas()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    pdf["volume"] = pdf["event_id"] % 7 + 1
+    ref_groups = pdf.sort_values(["ts", "event_id"]).groupby(["event_type", "bucket"])
+    assert len(got) == len(ref_groups)
+    for (sym, bucket), grp in ref_groups:
+        r = got[(sym, bucket.to_pydatetime())]
+        assert float(r.open) == grp["value"].iloc[0]
+        assert float(r.close) == grp["value"].iloc[-1]
+        assert float(r.high) == grp["value"].max()
+        assert float(r.low) == grp["value"].min()
+        assert r.volume == int(grp["volume"].sum())
+        assert r.n_trades == len(grp)
+
+
+@given(ticks=TICKS)
+@_SETTINGS
+def test_gapfill_spine_is_dense_and_anchored(spark, ticks):
+    df, tso = _market_df(spark, ticks)
+    closes = tso.hourly_close(tso.with_market_cols(df))
+    out = tso.gapfill_linear(closes).toPandas()
+    closes_pd = closes.toPandas()
+    for sym, grp in out.groupby("symbol"):
+        grp = grp.sort_values("bucket")
+        # dense hourly spine
+        deltas = grp["bucket"].diff().dropna()
+        assert (deltas == deltas.iloc[0]).all() if len(deltas) else True
+        # real observations pass through unchanged; no NULL px anywhere
+        assert grp["px"].notna().all()
+        real = closes_pd[closes_pd.symbol == sym]
+        merged = grp.merge(real, on="bucket")
+        assert (merged["px"] == merged["close"].astype(float)).all()
+        # interpolated values stay inside the series' observed range
+        lo, hi = float(real["close"].min()), float(real["close"].max())
+        assert grp["px"].between(lo - 1e-9, hi + 1e-9).all()
