@@ -218,6 +218,13 @@ def gapfill_linear(closes: DataFrame, step_seconds: int = 3600) -> DataFrame:
     lookup is last/first IGNORE NULLS over unbounded frames: one
     shuffle on symbol, two sequential scans, no self-join.
     """
+    # the spine bounds and the spine join both consume `closes`; without
+    # a materialization point Spark executes the candle aggregation
+    # TWICE (two full tick scans — plan-audited). The candle series is
+    # symbols × buckets (tiny), so a lazy localCheckpoint pins it once;
+    # unlike cache(), checkpoint blocks are reclaimed by ContextCleaner
+    # when the result DataFrame is dropped — no unpersist obligation.
+    closes = closes.localCheckpoint(eager=False)
     bounds = closes.groupBy("symbol").agg(
         F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
     )
@@ -386,6 +393,9 @@ def pairwise_corr(closes: DataFrame) -> DataFrame:
     nondeterministic under AQE; this form hashes identically
     everywhere).
     """
+    # self-join: materialize the candle series once (lazy checkpoint)
+    # or the tick aggregation runs once PER SIDE (plan-audited)
+    closes = closes.localCheckpoint(eager=False)
     a = closes.select("bucket", F.col("symbol").alias("sym_a"), F.col("close").alias("xa"))
     b = closes.select("bucket", F.col("symbol").alias("sym_b"), F.col("close").alias("xb"))
     pairs = a.join(b, "bucket").filter(F.col("sym_a") < F.col("sym_b"))
