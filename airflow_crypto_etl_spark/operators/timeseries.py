@@ -66,7 +66,7 @@ def with_market_cols(
     )
 
 
-def ohlc(ticks: DataFrame) -> DataFrame:
+def ohlc(ticks: DataFrame, keep_pv: bool = False) -> DataFrame:
     """OHLC candles + VWAP per (symbol, bucket) in ONE aggregation.
 
     Open/close are the price fields of the lexicographic min/max of
@@ -93,17 +93,22 @@ def ohlc(ticks: DataFrame) -> DataFrame:
         F.sum(pv).alias("_pv"),
     )
     vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
-    return out.select(
-        "symbol",
-        "bucket",
+    cols = [
+        F.col("symbol"),
+        F.col("bucket"),
         F.col("_f.price").alias("open"),
-        "high",
-        "low",
+        F.col("high"),
+        F.col("low"),
         F.col("_l.price").alias("close"),
-        "volume",
-        "n_trades",
+        F.col("volume"),
+        F.col("n_trades"),
         vwap.alias("vwap"),
-    )
+    ]
+    if keep_pv:
+        # exact decimal Σ(price·volume) — the mergeable partial a
+        # coarser rollup needs to recompute VWAP losslessly
+        cols.append(F.col("_pv").alias("pv"))
+    return out.select(*cols)
 
 
 def hourly_close(ticks: DataFrame) -> DataFrame:
@@ -448,4 +453,47 @@ def backtest_crossover(closes: DataFrame, fast: int = 5, slow: int = 20) -> Data
         "pos",
         F.col("pnl").alias("pnl"),
         F.sum("pnl").over(w_cum).alias("cum_pnl"),
+    )
+
+
+def ohlc_rollup(candles: DataFrame, step_seconds: int = 14400) -> DataFrame:
+    """Coarser candles composed from finer candle PARTIALS — open/close
+    via struct-argmin/argmax over the fine buckets, high/low/volume/
+    trades by direct merge, VWAP recomputed losslessly from the carried
+    exact decimal pv sums (requires ``ohlc(..., keep_pv=True)`` input).
+
+    This is the hypertable/continuous-aggregate maintenance shape: a
+    day's candles roll up from hourly partials (symbols × 24 rows per
+    symbol-day), never rescanning the tick table. Chained rollups
+    (1h → 4h → 1d) each merge the previous level's partials.
+    """
+    coarse = F.timestamp_seconds(
+        (F.unix_timestamp(F.col("bucket").cast("timestamp")) / F.lit(step_seconds))
+        .cast("bigint")
+        * F.lit(step_seconds)
+    )
+    g = (
+        candles.withColumn("bucket4", coarse)
+        .groupBy("symbol", "bucket4")
+        .agg(
+            F.min(F.struct("bucket", "open")).alias("_f"),
+            F.max(F.struct("bucket", "close")).alias("_l"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_trades").alias("n_trades"),
+            F.sum("pv").alias("_pv"),
+        )
+    )
+    vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
+    return g.select(
+        "symbol",
+        F.col("bucket4").alias("bucket"),
+        F.col("_f.open").alias("open"),
+        "high",
+        "low",
+        F.col("_l.close").alias("close"),
+        "volume",
+        "n_trades",
+        vwap.alias("vwap"),
     )

@@ -548,3 +548,55 @@ def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_MARKET["q_stream_ema"] = q_stream_ema
+
+
+# ---------------------------------------------------------------------------
+# Candle rollup (hourly partials → 4-hour candles)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_STEP = 14400
+
+
+def q_candle_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hour candles merged from hourly candle partials (pv carried
+    exactly, so rollup VWAP is lossless) — the continuous-aggregate
+    maintenance shape: no tick rescan."""
+    hourly = ts.ohlc(_ticks(spark, sf_dir), keep_pv=True)
+    return ts.ohlc_rollup(hourly, step_seconds=_ROLLUP_STEP)
+
+
+ORACLE_CANDLE_ROLLUP = f"""
+WITH t AS ({_TICKS_SQL}),
+h AS (
+  SELECT symbol, bucket,
+         (min(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS open_d,
+         max(price) AS high_d,
+         min(price) AS low_d,
+         (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close_d,
+         CAST(sum(volume) AS BIGINT) AS volume,
+         CAST(count(*) AS BIGINT) AS n_trades,
+         sum(price * CAST(volume AS DECIMAL(8,0))) AS pv
+  FROM t GROUP BY symbol, bucket),
+r AS (
+  SELECT symbol,
+         CAST(to_timestamp(CAST(floor(epoch(bucket) / {_ROLLUP_STEP}) AS BIGINT) * {_ROLLUP_STEP}) AS TIMESTAMP) AS bucket4,
+         (min(struct_pack(b := bucket, o := open_d))).o AS open_d,
+         max(high_d) AS high_d,
+         min(low_d) AS low_d,
+         (max(struct_pack(b := bucket, c := close_d))).c AS close_d,
+         CAST(sum(volume) AS BIGINT) AS volume,
+         CAST(sum(n_trades) AS BIGINT) AS n_trades,
+         sum(pv) AS pv
+  FROM h GROUP BY symbol, bucket4)
+SELECT symbol, bucket4 AS bucket,
+       CAST(open_d AS DOUBLE)  AS open,
+       CAST(high_d AS DOUBLE)  AS high,
+       CAST(low_d AS DOUBLE)   AS low,
+       CAST(close_d AS DOUBLE) AS close,
+       volume, n_trades,
+       round(CAST(pv AS DOUBLE) / CAST(volume AS DOUBLE), 6) AS vwap
+FROM r
+"""
+
+QUERIES_MARKET["q_candle_rollup"] = q_candle_rollup
+ORACLE_MARKET["q_candle_rollup"] = ORACLE_CANDLE_ROLLUP

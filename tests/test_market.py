@@ -279,3 +279,33 @@ def test_backtest_flat_when_no_signal(spark):
     assert out
     assert all(r.pos == 0 for r in out)
     assert all(float(r.cum_pnl) == 0.0 for r in out)
+
+
+def test_candle_rollup_equals_direct_computation(spark, sf_dir):
+    """Algebraic law: 4h candles merged from hourly partials must equal
+    4h candles computed directly from the ticks — partial-aggregate
+    mergeability is what makes the continuous-aggregate maintenance
+    shape correct."""
+    from airflow_crypto_etl_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ts.ohlc(ts.with_market_cols(ev), keep_pv=True)
+    rolled = {
+        (r.symbol, r.bucket): r for r in ts.ohlc_rollup(hourly, 14400).collect()
+    }
+    # direct: bucket ticks straight into 4h windows
+    direct_ticks = ts.with_market_cols(ev).withColumn(
+        "bucket",
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.col("bucket").cast("timestamp")) / 14400).cast("bigint") * 14400
+        ),
+    )
+    direct = {(r.symbol, r.bucket): r for r in ts.ohlc(direct_ticks).collect()}
+    assert rolled.keys() == direct.keys()
+    for k, r in rolled.items():
+        d = direct[k]
+        assert (float(r.open), float(r.high), float(r.low), float(r.close)) == (
+            float(d.open), float(d.high), float(d.low), float(d.close)
+        )
+        assert (r.volume, r.n_trades) == (d.volume, d.n_trades)
+        assert r.vwap == d.vwap  # lossless: both divide the same exact pv sum
