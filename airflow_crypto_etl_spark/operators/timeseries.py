@@ -66,7 +66,7 @@ def with_market_cols(
     )
 
 
-def ohlc(ticks: DataFrame, keep_pv: bool = False) -> DataFrame:
+def ohlc(ticks: DataFrame, keep_pv: bool = False, mergeable: bool = False) -> DataFrame:
     """OHLC candles + VWAP per (symbol, bucket) in ONE aggregation.
 
     Open/close are the price fields of the lexicographic min/max of
@@ -104,10 +104,14 @@ def ohlc(ticks: DataFrame, keep_pv: bool = False) -> DataFrame:
         F.col("n_trades"),
         vwap.alias("vwap"),
     ]
-    if keep_pv:
+    if keep_pv or mergeable:
         # exact decimal Σ(price·volume) — the mergeable partial a
         # coarser rollup needs to recompute VWAP losslessly
         cols.append(F.col("_pv").alias("pv"))
+    if mergeable:
+        # full argmin/argmax structs (extreme tick keys + price): the
+        # provenance a same-bucket cross-batch merge re-elects from
+        cols += [F.col("_f").alias("open_s"), F.col("_l").alias("close_s")]
     return out.select(*cols)
 
 
@@ -496,4 +500,44 @@ def ohlc_rollup(candles: DataFrame, step_seconds: int = 14400) -> DataFrame:
         "volume",
         "n_trades",
         vwap.alias("vwap"),
+    )
+
+
+def merge_candles(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Incremental candle maintenance: fold a new batch's candle
+    partials into a persisted candle table (both in the
+    ``ohlc(..., mergeable=True)`` shape). Same-bucket rows from
+    different batches re-elect open/close by min/max over the carried
+    argmin/argmax structs — whose leading fields are the extreme TICK
+    keys, so election order is identical to having seen the raw ticks;
+    high/low/volume/trades/pv merge directly. Disjoint buckets pass
+    through. This is the daily-ingest shape: historical ticks are never
+    rescanned and the merge shuffles candle-cardinality rows only. The
+    output stays mergeable, so the fold is associative — any batch
+    split of the ticks produces the same table.
+    """
+    both = existing.unionByName(incoming)
+    g = both.groupBy("symbol", "bucket").agg(
+        F.min("open_s").alias("_f"),
+        F.max("close_s").alias("_l"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.sum("volume").alias("volume"),
+        F.sum("n_trades").alias("n_trades"),
+        F.sum("pv").alias("_pv"),
+    )
+    vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
+    return g.select(
+        "symbol",
+        "bucket",
+        F.col("_f.price").alias("open"),
+        "high",
+        "low",
+        F.col("_l.price").alias("close"),
+        "volume",
+        "n_trades",
+        vwap.alias("vwap"),
+        F.col("_pv").alias("pv"),
+        F.col("_f").alias("open_s"),
+        F.col("_l").alias("close_s"),
     )

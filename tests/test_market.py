@@ -309,3 +309,28 @@ def test_candle_rollup_equals_direct_computation(spark, sf_dir):
         )
         assert (r.volume, r.n_trades) == (d.volume, d.n_trades)
         assert r.vwap == d.vwap  # lossless: both divide the same exact pv sum
+
+
+def test_merge_candles_associative_across_batch_splits(spark, sf_dir):
+    """Incremental maintenance law: splitting the ticks into batches by
+    ANY predicate and merging the per-batch candle partials must equal
+    the candles computed over all ticks at once — exact equality
+    including VWAP (same pv sums) and the re-elected open/close."""
+    from airflow_crypto_etl_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    ticks = ts.with_market_cols(ev)
+    full = {(r.symbol, r.bucket): r for r in ts.ohlc(ticks).collect()}
+
+    # split mid-hour so many buckets straddle both batches
+    a = ts.ohlc(ticks.filter(F.col("tick_id") % 3 != 0), mergeable=True)
+    b = ts.ohlc(ticks.filter(F.col("tick_id") % 3 == 0), mergeable=True)
+    merged = {(r.symbol, r.bucket): r for r in ts.merge_candles(a, b).collect()}
+
+    assert merged.keys() == full.keys()
+    for k, m in merged.items():
+        f = full[k]
+        assert (float(m.open), float(m.high), float(m.low), float(m.close)) == (
+            float(f.open), float(f.high), float(f.low), float(f.close)
+        )
+        assert (m.volume, m.n_trades, m.vwap) == (f.volume, f.n_trades, f.vwap)
