@@ -334,3 +334,28 @@ def test_merge_candles_associative_across_batch_splits(spark, sf_dir):
             float(f.open), float(f.high), float(f.low), float(f.close)
         )
         assert (m.volume, m.n_trades, m.vwap) == (f.volume, f.n_trades, f.vwap)
+
+
+def test_candle_gold_publish_roundtrip(spark, sf_dir, tmp_path):
+    """Gold-layer publish of the candle table through the engine's
+    partitioned writer + sidecar (the reference's daily publish shape):
+    dynamic-overwrite by trade date, row-count sidecar captured during
+    the write, lossless read-back."""
+    from airflow_crypto_etl_spark.queries import _t
+    from airflow_crypto_etl_spark.sinks.writers import read_sidecar, write_with_sidecar
+
+    candles = ts.ohlc(ts.with_market_cols(_t(spark, sf_dir, "events"))).withColumn(
+        "dt", F.to_date("bucket")
+    )
+    n = candles.count()
+    path = str(tmp_path / "gold_candles")
+    meta = write_with_sidecar(candles, path, ["dt"], dataset="gold_candles", source="events")
+    assert meta["row_count"] == n
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert read_sidecar(path)["row_count"] == n
+    # per-candle equality after the partitioned round-trip
+    key = ["symbol", "bucket"]
+    a = {tuple(r[k] for k in key): r.vwap for r in candles.collect()}
+    b = {tuple(r[k] for k in key): r.vwap for r in back.collect()}
+    assert a == b
