@@ -226,6 +226,12 @@ def gapfill_linear(closes: DataFrame, step_seconds: int = 3600) -> DataFrame:
     spine cardinality is symbols × buckets, never tick-scale. Neighbor
     lookup is last/first IGNORE NULLS over unbounded frames: one
     shuffle on symbol, two sequential scans, no self-join.
+
+    Step-size bound: sequence() materializes one array per symbol
+    before exploding, so elements-per-symbol = span/step must stay in
+    the thousands (hourly/daily steps over years — fine). For minute
+    steps over long spans, explode a two-level spine instead (days,
+    then intra-day offsets) to keep each array bounded at 1440.
     """
     # the spine bounds and the spine join both consume `closes`; without
     # a materialization point Spark executes the candle aggregation
@@ -541,3 +547,43 @@ def merge_candles(existing: DataFrame, incoming: DataFrame) -> DataFrame:
         F.col("_f").alias("open_s"),
         F.col("_l").alias("close_s"),
     )
+
+
+def autocorr(closes: DataFrame, lags: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """Autocorrelation of the close series at small lags, per symbol —
+    the same exact-power-sum Pearson machinery as `pairwise_corr`, with
+    the pair (x_t, x_{t-k}) built by a window lag instead of a join.
+    One window pass per lag over candle-cardinality data unioned into a
+    single (symbol, lag) groupBy; n varies per lag (first k rows drop).
+    """
+    base = _series_window()
+    parts = []
+    for k in lags:
+        parts.append(
+            closes.withColumn("y", F.lag("close", k).over(base))
+            .filter(F.col("y").isNotNull())
+            .withColumn("lag", F.lit(k))
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    g = both.groupBy("symbol", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("close").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("close") * F.col("close")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+        F.sum(F.col("close") * F.col("y")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    acf = F.when((dx <= 0.0) | (dy <= 0.0), None).otherwise(
+        F.round(num / F.sqrt(dx * dy), ROUND_DP)
+    )
+    return g.select("symbol", "lag", "n", acf.alias("acf"))

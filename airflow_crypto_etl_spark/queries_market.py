@@ -600,3 +600,47 @@ FROM r
 
 QUERIES_MARKET["q_candle_rollup"] = q_candle_rollup
 ORACLE_MARKET["q_candle_rollup"] = ORACLE_CANDLE_ROLLUP
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (ACF at lags 1-3)
+# ---------------------------------------------------------------------------
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol close-series autocorrelation at lags 1-3 — window-lag
+    pairs through the exact power-sum Pearson epilogue."""
+    return ts.autocorr(ts.hourly_close(_ticks(spark, sf_dir)))
+
+
+ORACLE_AUTOCORR = f"""
+WITH closes AS ({_CLOSES_SQL}),
+pairs AS (
+  SELECT symbol, lag, close AS x, y FROM (
+    SELECT symbol, close,
+           unnest([1, 2, 3]) AS lag,
+           unnest([lag(close, 1) OVER wo, lag(close, 2) OVER wo, lag(close, 3) OVER wo]) AS y
+    FROM closes
+    WINDOW wo AS (PARTITION BY symbol ORDER BY bucket))
+  WHERE y IS NOT NULL),
+g AS (
+  SELECT symbol, lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY symbol, lag)
+SELECT symbol, CAST(lag AS INT) AS lag, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) <= 0.0
+              OR (CAST(n AS DOUBLE) * syy - sy * sy) <= 0.0 THEN NULL
+            ELSE round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+       END AS acf
+FROM g
+"""
+
+QUERIES_MARKET["q_autocorr"] = q_autocorr
+ORACLE_MARKET["q_autocorr"] = ORACLE_AUTOCORR

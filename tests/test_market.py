@@ -359,3 +359,17 @@ def test_candle_gold_publish_roundtrip(spark, sf_dir, tmp_path):
     a = {tuple(r[k] for k in key): r.vwap for r in candles.collect()}
     b = {tuple(r[k] for k in key): r.vwap for r in back.collect()}
     assert a == b
+
+
+def test_autocorr_linear_trend_is_one(spark):
+    # a perfect linear trend is an exact affine map of its own lag →
+    # ACF 1.0 at every lag
+    rows = [
+        ("lin", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 10.0 + 2 * h, 1)
+        for h in range(30)
+    ]
+    out = ts.autocorr(ts.hourly_close(_tick_df(spark, rows)), lags=(1, 2, 3)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.acf == pytest.approx(1.0)
+        assert r.n == 30 - r.lag
