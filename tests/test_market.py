@@ -373,3 +373,30 @@ def test_autocorr_linear_trend_is_one(spark):
     for r in out:
         assert r.acf == pytest.approx(1.0)
         assert r.n == 30 - r.lag
+
+
+def test_market_ops_on_empty_and_singleton_inputs(spark):
+    """Degenerate inputs must flow through every operator without
+    error: empty tick set → empty outputs; a single tick → one candle
+    whose OHLC collapse to the tick, and indicator outputs empty
+    (frames never fill)."""
+    empty = _tick_df(spark, [])
+    one = _tick_df(spark, [("btc", "2024-01-01T00:00:00", 1, 42.0, 3)])
+
+    for ticks, n_candles in ((empty, 0), (one, 1)):
+        closes = ts.hourly_close(ticks)
+        assert ts.ohlc(ticks).count() == n_candles
+        assert ts.sma_crossover(closes).count() == 0
+        assert ts.rsi_cutler(closes).count() == 0
+        assert ts.bollinger(closes).count() == 0
+        assert ts.ema_fir(closes).count() == 0
+        assert ts.gapfill_linear(closes).count() == n_candles
+        assert ts.autocorr(closes).count() == 0
+        assert ts.pairwise_corr(closes).count() == 0
+        assert ts.backtest_crossover(closes).count() == 0
+
+    row = ts.ohlc(one).collect()[0]
+    assert float(row.open) == float(row.high) == float(row.low) == float(row.close) == 42.0
+    assert row.vwap == pytest.approx(42.0)
+    g = ts.gapfill_linear(ts.hourly_close(one)).collect()[0]
+    assert g.is_gap == 0 and g.px == pytest.approx(42.0)
