@@ -82,7 +82,10 @@ def ohlc(ticks: DataFrame, keep_pv: bool = False, mergeable: bool = False) -> Da
     partials, which is the standard distributed argmin shape; the
     shuffle, not the local sort, is the scale bound.
     """
-    pv = F.col("price") * F.col("volume").cast("decimal(8,0)")
+    # decimal(18,0) bounds the product at precision 37 in both engines
+    # while covering real-feed volumes (decimal(8,0) would overflow —
+    # an ANSI ArithmeticException — at volume >= 10^8)
+    pv = F.col("price") * F.col("volume").cast("decimal(18,0)")
     out = ticks.groupBy("symbol", "bucket").agg(
         F.min(F.struct("tick_ts", "tick_id", "price")).alias("_f"),
         F.max(F.struct("tick_ts", "tick_id", "price")).alias("_l"),
@@ -92,7 +95,7 @@ def ohlc(ticks: DataFrame, keep_pv: bool = False, mergeable: bool = False) -> Da
         F.count(F.lit(1)).alias("n_trades"),
         F.sum(pv).alias("_pv"),
     )
-    vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
+    vwap = _safe_vwap()
     cols = [
         F.col("symbol"),
         F.col("bucket"),
@@ -124,6 +127,34 @@ def hourly_close(ticks: DataFrame) -> DataFrame:
 
 def _series_window() -> Window:
     return Window.partitionBy("symbol").orderBy("bucket")
+
+
+def _safe_vwap() -> Column:
+    """VWAP = Σ(price·volume)/Σ(volume), NULL when the bucket's volume
+    is zero (a real feed can deliver zero-volume ticks; an unguarded
+    double division raises under Spark's default ANSI mode)."""
+    return F.when(F.col("volume") == 0, None).otherwise(
+        F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
+    )
+
+
+def _pearson(num: Column, dx: Column, dy: Column) -> Column:
+    """Shared Pearson epilogue: r from the (n·Σxy − ΣxΣy) numerator and
+    the two scaled variance terms, NULL on zero variance."""
+    return F.when((dx <= 0.0) | (dy <= 0.0), None).otherwise(
+        F.round(num / F.sqrt(dx * dy), ROUND_DP)
+    )
+
+
+def _power_sum_terms() -> tuple[Column, Column, Column]:
+    """(num, dx, dy) from the six standard power-sum columns n/_sx/_sy/
+    _sxx/_syy/_sxy — the inputs both correlation operators share."""
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    return n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
 
 
 def sma_crossover(closes: DataFrame, fast: int = 5, slow: int = 20) -> DataFrame:
@@ -232,6 +263,12 @@ def gapfill_linear(closes: DataFrame, step_seconds: int = 3600) -> DataFrame:
     the thousands (hourly/daily steps over years — fine). For minute
     steps over long spans, explode a two-level spine instead (days,
     then intra-day offsets) to keep each array bounded at 1440.
+
+    Precondition: every input bucket must lie ON the step grid
+    (buckets from `hourly_close` with step_seconds=3600 do, by
+    date_trunc construction). An off-grid close matches no spine row in
+    the left join and would silently drop — pass the step that matches
+    the series' truncation granularity.
     """
     # the spine bounds and the spine join both consume `closes`; without
     # a materialization point Spark executes the candle aggregation
@@ -325,10 +362,12 @@ def drawdown(closes: DataFrame) -> DataFrame:
     w_all = base.rowsBetween(Window.unboundedPreceding, 0)
     peak = F.max("close").over(w_all)
     out = closes.withColumn("peak", peak)
-    dd = F.round(
-        (F.col("peak").cast("double") - F.col("close").cast("double"))
-        / F.col("peak").cast("double"),
-        ROUND_DP,
+    dd = F.when(F.col("peak") == 0, None).otherwise(
+        F.round(
+            (F.col("peak").cast("double") - F.col("close").cast("double"))
+            / F.col("peak").cast("double"),
+            ROUND_DP,
+        )
     )
     return out.select("symbol", "bucket", "close", "peak", dd.alias("dd"))
 
@@ -422,17 +461,8 @@ def pairwise_corr(closes: DataFrame) -> DataFrame:
         F.sum(F.col("xb") * F.col("xb")).alias("_syy"),
         F.sum(F.col("xa") * F.col("xb")).alias("_sxy"),
     )
-    n = F.col("n").cast("double")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    syy = F.col("_syy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    num = n * sxy - sx * sy
-    dx = n * sxx - sx * sx
-    dy = n * syy - sy * sy
-    corr = F.when((dx <= 0.0) | (dy <= 0.0), None).otherwise(
-        F.round(num / F.sqrt(dx * dy), ROUND_DP)
-    )
+    num, dx, dy = _power_sum_terms()
+    corr = _pearson(num, dx, dy)
     beta = F.when(dx <= 0.0, None).otherwise(F.round(num / dx, ROUND_DP))
     return g.select("sym_a", "sym_b", "n", corr.alias("corr"), beta.alias("beta"))
 
@@ -477,9 +507,11 @@ def ohlc_rollup(candles: DataFrame, step_seconds: int = 14400) -> DataFrame:
     symbol-day), never rescanning the tick table. Chained rollups
     (1h → 4h → 1d) each merge the previous level's partials.
     """
+    # floor, not cast-truncation: truncation rounds toward zero, which
+    # misbuckets pre-1970 (negative-epoch) timestamps into the bucket
+    # that starts after them (and diverges from SQL floor semantics)
     coarse = F.timestamp_seconds(
-        (F.unix_timestamp(F.col("bucket").cast("timestamp")) / F.lit(step_seconds))
-        .cast("bigint")
+        F.floor(F.unix_timestamp(F.col("bucket").cast("timestamp")) / F.lit(step_seconds))
         * F.lit(step_seconds)
     )
     g = (
@@ -495,7 +527,7 @@ def ohlc_rollup(candles: DataFrame, step_seconds: int = 14400) -> DataFrame:
             F.sum("pv").alias("_pv"),
         )
     )
-    vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
+    vwap = _safe_vwap()
     return g.select(
         "symbol",
         F.col("bucket4").alias("bucket"),
@@ -532,7 +564,7 @@ def merge_candles(existing: DataFrame, incoming: DataFrame) -> DataFrame:
         F.sum("n_trades").alias("n_trades"),
         F.sum("pv").alias("_pv"),
     )
-    vwap = F.round(F.col("_pv").cast("double") / F.col("volume").cast("double"), ROUND_DP)
+    vwap = _safe_vwap()
     return g.select(
         "symbol",
         "bucket",
@@ -556,6 +588,8 @@ def autocorr(closes: DataFrame, lags: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
     One window pass per lag over candle-cardinality data unioned into a
     single (symbol, lag) groupBy; n varies per lag (first k rows drop).
     """
+    if not lags:
+        raise ValueError("autocorr: lags must be a non-empty tuple of positive ints")
     base = _series_window()
     parts = []
     for k in lags:
@@ -575,15 +609,5 @@ def autocorr(closes: DataFrame, lags: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("_syy"),
         F.sum(F.col("close") * F.col("y")).alias("_sxy"),
     )
-    n = F.col("n").cast("double")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxx = F.col("_sxx").cast("double")
-    syy = F.col("_syy").cast("double")
-    sxy = F.col("_sxy").cast("double")
-    num = n * sxy - sx * sy
-    dx = n * sxx - sx * sx
-    dy = n * syy - sy * sy
-    acf = F.when((dx <= 0.0) | (dy <= 0.0), None).otherwise(
-        F.round(num / F.sqrt(dx * dy), ROUND_DP)
-    )
-    return g.select("symbol", "lag", "n", acf.alias("acf"))
+    num, dx, dy = _power_sum_terms()
+    return g.select("symbol", "lag", "n", _pearson(num, dx, dy).alias("acf"))

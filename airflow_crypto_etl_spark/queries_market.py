@@ -28,15 +28,22 @@ from .queries import _t
 # and hourly_close)
 # ---------------------------------------------------------------------------
 
-_TICKS_SQL = """
+def _ticks_sql(granularity: str) -> str:
+    """Oracle twin of with_market_cols at the given bucket granularity
+    (parameterized — a string replace on the hourly SQL would silently
+    no-op if the text ever changed shape)."""
+    return f"""
 SELECT event_type AS symbol,
-       date_trunc('hour', ts) AS bucket,
+       date_trunc('{granularity}', ts) AS bucket,
        ts AS tick_ts,
        event_id AS tick_id,
        CAST(value AS DECIMAL(18,4)) AS price,
        CAST(event_id % 7 + 1 AS BIGINT) AS volume
 FROM events
 """
+
+
+_TICKS_SQL = _ticks_sql("hour")
 
 _CLOSES_SQL = f"""
 SELECT symbol, bucket,
@@ -72,7 +79,7 @@ agg AS (
          (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close_d,
          CAST(sum(volume) AS BIGINT) AS volume,
          CAST(count(*) AS BIGINT) AS n_trades,
-         sum(price * CAST(volume AS DECIMAL(8,0))) AS pv
+         sum(price * CAST(volume AS DECIMAL(18,0))) AS pv
   FROM t GROUP BY symbol, bucket)
 SELECT symbol, bucket,
        CAST(open_d AS DOUBLE)  AS open,
@@ -80,7 +87,8 @@ SELECT symbol, bucket,
        CAST(low_d AS DOUBLE)   AS low,
        CAST(close_d AS DOUBLE) AS close,
        volume, n_trades,
-       round(CAST(pv AS DOUBLE) / CAST(volume AS DOUBLE), 6) AS vwap
+       CASE WHEN volume = 0 THEN NULL
+            ELSE round(CAST(pv AS DOUBLE) / CAST(volume AS DOUBLE), 6) END AS vwap
 FROM agg
 """
 
@@ -318,8 +326,9 @@ ORACLE_DRAWDOWN = f"""
 WITH closes AS ({_CLOSES_SQL})
 SELECT symbol, bucket, CAST(close AS DOUBLE) AS close,
        CAST(max(close) OVER wp AS DOUBLE) AS peak,
-       round((CAST(max(close) OVER wp AS DOUBLE) - CAST(close AS DOUBLE))
-             / CAST(max(close) OVER wp AS DOUBLE), 6) AS dd
+       CASE WHEN max(close) OVER wp = 0 THEN NULL
+            ELSE round((CAST(max(close) OVER wp AS DOUBLE) - CAST(close AS DOUBLE))
+                       / CAST(max(close) OVER wp AS DOUBLE), 6) END AS dd
 FROM closes
 WINDOW wp AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
@@ -391,7 +400,9 @@ def q_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         daily.withColumn("prev", prev)
-        .filter(F.col("prev").isNotNull())
+        # prev = 0 excluded: pct is undefined and the division would
+        # raise under ANSI
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != 0))
         .withColumn("pct", pct)
         .withColumn(
             "mrank",
@@ -408,7 +419,7 @@ def q_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DAILY_TICKS_SQL = _TICKS_SQL.replace("date_trunc('hour', ts)", "date_trunc('day', ts)")
+_DAILY_TICKS_SQL = _ticks_sql("day")
 
 _DAILY_CLOSES_SQL = f"""
 SELECT symbol, bucket,
@@ -427,7 +438,7 @@ p AS (
   SELECT CAST(bucket AS DATE) AS bucket, symbol,
          CAST(close AS DOUBLE) AS close, CAST(prev AS DOUBLE) AS prev,
          round((CAST(close AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE), 6) AS pct
-  FROM d WHERE prev IS NOT NULL)
+  FROM d WHERE prev IS NOT NULL AND prev <> 0)
 SELECT bucket, symbol, close, prev, pct, mrank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY bucket ORDER BY pct DESC, symbol) AS INT) AS mrank
   FROM p)
@@ -575,7 +586,7 @@ h AS (
          (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close_d,
          CAST(sum(volume) AS BIGINT) AS volume,
          CAST(count(*) AS BIGINT) AS n_trades,
-         sum(price * CAST(volume AS DECIMAL(8,0))) AS pv
+         sum(price * CAST(volume AS DECIMAL(18,0))) AS pv
   FROM t GROUP BY symbol, bucket),
 r AS (
   SELECT symbol,
@@ -594,7 +605,8 @@ SELECT symbol, bucket4 AS bucket,
        CAST(low_d AS DOUBLE)   AS low,
        CAST(close_d AS DOUBLE) AS close,
        volume, n_trades,
-       round(CAST(pv AS DOUBLE) / CAST(volume AS DOUBLE), 6) AS vwap
+       CASE WHEN volume = 0 THEN NULL
+            ELSE round(CAST(pv AS DOUBLE) / CAST(volume AS DOUBLE), 6) END AS vwap
 FROM r
 """
 

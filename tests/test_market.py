@@ -400,3 +400,44 @@ def test_market_ops_on_empty_and_singleton_inputs(spark):
     assert row.vwap == pytest.approx(42.0)
     g = ts.gapfill_linear(ts.hourly_close(one)).collect()[0]
     assert g.is_gap == 0 and g.px == pytest.approx(42.0)
+
+
+def test_zero_guards_return_null_not_error(spark):
+    """ANSI-mode hardening (review findings): zero volume, zero peak,
+    and huge volumes must produce NULL metrics / correct sums, never an
+    ArithmeticException."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # volume column present → passed through, including 0 and >= 10^8
+    ticks = spark.createDataFrame(
+        [
+            ("btc", base, 1, 10.0, 0),
+            ("btc", base + dt.timedelta(minutes=5), 2, 20.0, 0),
+            ("eth", base, 3, 5.0, 200_000_000),
+            ("eth", base + dt.timedelta(minutes=5), 4, 15.0, 100_000_000),
+        ],
+        "event_type string, ts timestamp, event_id long, value double, volume long",
+    )
+    rows = {r.symbol: r for r in ts.ohlc(ts.with_market_cols(ticks)).collect()}
+    assert rows["btc"].volume == 0 and rows["btc"].vwap is None
+    assert rows["eth"].volume == 300_000_000
+    assert rows["eth"].vwap == pytest.approx(
+        (5.0 * 2e8 + 15.0 * 1e8) / 3e8
+    )
+    # zero first close → NULL drawdown, not a crash
+    zero_close = _tick_df(spark, [("z", "2024-01-01T00:00:00", 1, 0.0, 1),
+                                  ("z", "2024-01-01T01:00:00", 2, 4.0, 1)])
+    dd = sorted(ts.drawdown(ts.hourly_close(zero_close)).collect(), key=lambda r: r.bucket)
+    assert dd[0].dd is None
+    assert dd[1].dd == pytest.approx(0.0)
+
+
+def test_rollup_floors_negative_epochs(spark):
+    # pre-1970 candle must land in the 4h bucket STARTING BEFORE it
+    import datetime as dt
+
+    t = _tick_df(spark, [("old", "1969-12-31T23:30:00", 1, 9.0, 1)])
+    hourly = ts.ohlc(t, keep_pv=True)
+    r = ts.ohlc_rollup(hourly, 14400).collect()[0]
+    assert r.bucket == dt.datetime(1969, 12, 31, 20, 0)
