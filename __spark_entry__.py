@@ -64,28 +64,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     arithmetic stays internal for exactness, but the published schema
     carries doubles — the driver's DuckDB oracle materializes decimals
     as float64, and each oracle mirrors the cast at its final select."""
-    raw = (
-        dict(q.QUERIES)
-        | dict(qx.QUERIES_EXT)
-        | dict(qt.QUERIES_TPCH)
-        | dict(qw.QUERIES_WINDOW)
-        | dict(qu.QUERIES_UDF)
-        | dict(qs.QUERIES_SCALE)
-        | dict(qp.QUERIES_PIPELINE)
-        | dict(qm.QUERIES_MARKET)
+    raw = _merge_unique(
+        q.QUERIES,
+        qx.QUERIES_EXT,
+        qt.QUERIES_TPCH,
+        qw.QUERIES_WINDOW,
+        qu.QUERIES_UDF,
+        qs.QUERIES_SCALE,
+        qp.QUERIES_PIPELINE,
+        qm.QUERIES_MARKET,
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
-    return (
-        dict(q.ORACLE)
-        | dict(qx.ORACLE_EXT)
-        | dict(qt.ORACLE_TPCH)
-        | dict(qw.ORACLE_WINDOW)
-        | dict(qu.ORACLE_UDF)
-        | dict(qs.ORACLE_SCALE)
-        | dict(qp.ORACLE_PIPELINE)
-        | dict(qm.ORACLE_MARKET)
+    return _merge_unique(
+        q.ORACLE,
+        qx.ORACLE_EXT,
+        qt.ORACLE_TPCH,
+        qw.ORACLE_WINDOW,
+        qu.ORACLE_UDF,
+        qs.ORACLE_SCALE,
+        qp.ORACLE_PIPELINE,
+        qm.ORACLE_MARKET,
     )
