@@ -611,3 +611,29 @@ def autocorr(closes: DataFrame, lags: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
     )
     num, dx, dy = _power_sum_terms()
     return g.select("symbol", "lag", "n", _pearson(num, dx, dy).alias("acf"))
+
+
+def rolling_median_channel(closes: DataFrame, periods: int = 20) -> DataFrame:
+    """Rolling exact median plus Donchian channel over the close
+    series. The median is the sort-based exact percentile evaluated
+    per ROWS frame (both engines interpolate (a+b)/2 on identical
+    doubles — deterministic); channel bounds are decimal frame min/max;
+    the mid is one double average. Full frames only."""
+    base = _series_window()
+    frame = base.rowsBetween(-(periods - 1), 0)
+    rn = F.row_number().over(base)
+    med = F.expr("percentile(cast(close as double), 0.5D)")
+    out = (
+        closes.withColumn("rn", rn)
+        .withColumn("med", F.round(med.over(frame), ROUND_DP))
+        .withColumn("don_hi", F.max("close").over(frame))
+        .withColumn("don_lo", F.min("close").over(frame))
+        .filter(F.col("rn") >= periods)
+    )
+    mid = F.round(
+        (F.col("don_hi").cast("double") + F.col("don_lo").cast("double")) / F.lit(2.0),
+        ROUND_DP,
+    )
+    return out.select(
+        "symbol", "bucket", "close", "med", "don_hi", "don_lo", mid.alias("don_mid")
+    )

@@ -656,3 +656,38 @@ FROM g
 
 QUERIES_MARKET["q_autocorr"] = q_autocorr
 ORACLE_MARKET["q_autocorr"] = ORACLE_AUTOCORR
+
+
+# ---------------------------------------------------------------------------
+# Rolling median + Donchian channel
+# ---------------------------------------------------------------------------
+
+_MED_N = 20
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median and Donchian channel over 20 hourly closes
+    per symbol — sort-based window percentile, decimal channel bounds."""
+    return ts.rolling_median_channel(ts.hourly_close(_ticks(spark, sf_dir)), periods=_MED_N)
+
+
+ORACLE_ROLLING_MEDIAN = f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         round(CAST(quantile_cont(CAST(close AS DOUBLE), 0.5) OVER wf AS DOUBLE), 6) AS med,
+         max(close) OVER wf AS don_hi_d,
+         min(close) OVER wf AS don_lo_d
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_MED_N - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close, med,
+       CAST(don_hi_d AS DOUBLE) AS don_hi,
+       CAST(don_lo_d AS DOUBLE) AS don_lo,
+       round((CAST(don_hi_d AS DOUBLE) + CAST(don_lo_d AS DOUBLE)) / 2.0, 6) AS don_mid
+FROM x WHERE rn >= {_MED_N}
+"""
+
+QUERIES_MARKET["q_rolling_median"] = q_rolling_median
+ORACLE_MARKET["q_rolling_median"] = ORACLE_ROLLING_MEDIAN

@@ -441,3 +441,24 @@ def test_rollup_floors_negative_epochs(spark):
     hourly = ts.ohlc(t, keep_pv=True)
     r = ts.ohlc_rollup(hourly, 14400).collect()[0]
     assert r.bucket == dt.datetime(1969, 12, 31, 20, 0)
+
+
+def test_rolling_median_flat_and_ordering(spark):
+    rows = [
+        ("flat", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 12.5, 1)
+        for h in range(25)
+    ]
+    out = ts.rolling_median_channel(ts.hourly_close(_tick_df(spark, rows)), periods=20).collect()
+    assert out
+    for r in out:
+        assert r.med == pytest.approx(12.5)
+        assert float(r.don_hi) == float(r.don_lo) == 12.5
+        assert r.don_mid == pytest.approx(12.5)
+
+
+def test_rolling_median_bounds_on_real_data(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_market import q_rolling_median
+
+    for r in q_rolling_median(spark, sf_dir).collect():
+        assert float(r.don_lo) <= r.med <= float(r.don_hi)
+        assert float(r.don_lo) <= r.don_mid <= float(r.don_hi)
