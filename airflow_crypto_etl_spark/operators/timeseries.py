@@ -637,3 +637,59 @@ def rolling_median_channel(closes: DataFrame, periods: int = 20) -> DataFrame:
     return out.select(
         "symbol", "bucket", "close", "med", "don_hi", "don_lo", mid.alias("don_mid")
     )
+
+
+def obv(candles: DataFrame) -> DataFrame:
+    """On-balance volume over the candle series: volume signed by the
+    close-over-close direction, accumulated per symbol. Every term is
+    an INTEGER (sign × bigint volume) and the running total is an
+    integer window sum — no floating point anywhere, so the result is
+    exact on any engine and any partitioning."""
+    base = _series_window()
+    prev = F.lag("close", 1).over(base)
+    direction = (
+        F.when(prev.isNull(), 0)
+        .when(F.col("close") > prev, 1)
+        .when(F.col("close") < prev, -1)
+        .otherwise(0)
+    )
+    w_cum = base.rowsBetween(Window.unboundedPreceding, 0)
+    out = candles.withColumn("dirvol", direction * F.col("volume"))
+    return out.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.col("volume").alias("volume"),
+        F.sum("dirvol").over(w_cum).alias("obv"),
+    )
+
+
+def stochastic(closes: DataFrame, periods: int = 14) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − min)/(max − min) over
+    the trailing frame (decimal extremes, one double ratio, NULL on a
+    flat frame), %D = the 3-bar average of %K written as explicit
+    lag adds — NOT a window sum of doubles, whose accumulation order
+    segment-tree implementations may reorder. Full frames only."""
+    base = _series_window()
+    frame = base.rowsBetween(-(periods - 1), 0)
+    rn = F.row_number().over(base)
+    hi = F.max("close").over(frame)
+    lo = F.min("close").over(frame)
+    out = (
+        closes.withColumn("rn", rn)
+        .withColumn("_hi", hi)
+        .withColumn("_lo", lo)
+    )
+    rng = F.col("_hi").cast("double") - F.col("_lo").cast("double")
+    k = F.when(F.col("_hi") == F.col("_lo"), None).otherwise(
+        F.round(
+            F.lit(100.0) * (F.col("close").cast("double") - F.col("_lo").cast("double")) / rng,
+            ROUND_DP,
+        )
+    )
+    out = out.withColumn("k", k)
+    k1, k2 = F.lag("k", 1).over(base), F.lag("k", 2).over(base)
+    d = F.round((F.col("k") + k1 + k2) / F.lit(3.0), ROUND_DP)
+    return out.withColumn("d", d).filter(F.col("rn") >= periods + 2).select(
+        "symbol", "bucket", "close", "k", "d"
+    )

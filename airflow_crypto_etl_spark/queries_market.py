@@ -691,3 +691,73 @@ FROM x WHERE rn >= {_MED_N}
 
 QUERIES_MARKET["q_rolling_median"] = q_rolling_median
 ORACLE_MARKET["q_rolling_median"] = ORACLE_ROLLING_MEDIAN
+
+
+# ---------------------------------------------------------------------------
+# Momentum: OBV and stochastic oscillator
+# ---------------------------------------------------------------------------
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume — all-integer signed cumulative volume."""
+    candles = ts.ohlc(_ticks(spark, sf_dir)).select("symbol", "bucket", "close", "volume")
+    # close here is decimal (pre-finalize) — obv only compares it
+    return ts.obv(candles)
+
+
+ORACLE_OBV = f"""
+WITH t AS ({_TICKS_SQL}),
+c AS (
+  SELECT symbol, bucket,
+         (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close,
+         CAST(sum(volume) AS BIGINT) AS volume
+  FROM t GROUP BY symbol, bucket),
+d AS (
+  SELECT symbol, bucket, close, volume,
+         CASE WHEN lag(close, 1) OVER wo IS NULL THEN 0
+              WHEN close > lag(close, 1) OVER wo THEN 1
+              WHEN close < lag(close, 1) OVER wo THEN -1
+              ELSE 0 END * volume AS dirvol
+  FROM c
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close, volume,
+       CAST(sum(dirvol) OVER (PARTITION BY symbol ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM d
+"""
+
+_STOCH_N = 14
+
+
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over the hourly close series."""
+    return ts.stochastic(ts.hourly_close(_ticks(spark, sf_dir)), periods=_STOCH_N)
+
+
+ORACLE_STOCHASTIC = f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         max(close) OVER wf AS hi,
+         min(close) OVER wf AS lo
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_STOCH_N - 1} PRECEDING AND CURRENT ROW)),
+kk AS (
+  SELECT symbol, bucket, close, rn,
+         CASE WHEN hi = lo THEN NULL
+              ELSE round(100.0 * (CAST(close AS DOUBLE) - CAST(lo AS DOUBLE))
+                         / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)), 6) END AS k
+  FROM x)
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close, k,
+       round((k + lag(k, 1) OVER wo + lag(k, 2) OVER wo) / 3.0, 6) AS d
+FROM kk
+WINDOW wo AS (PARTITION BY symbol ORDER BY bucket)
+QUALIFY rn >= {_STOCH_N + 2}
+"""
+
+QUERIES_MARKET["q_obv"] = q_obv
+ORACLE_MARKET["q_obv"] = ORACLE_OBV
+QUERIES_MARKET["q_stochastic"] = q_stochastic
+ORACLE_MARKET["q_stochastic"] = ORACLE_STOCHASTIC

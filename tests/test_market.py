@@ -462,3 +462,36 @@ def test_rolling_median_bounds_on_real_data(spark, sf_dir):
     for r in q_rolling_median(spark, sf_dir).collect():
         assert float(r.don_lo) <= r.med <= float(r.don_hi)
         assert float(r.don_lo) <= r.don_mid <= float(r.don_hi)
+
+
+def test_obv_rising_series_accumulates_all_volume(spark):
+    rows = [
+        ("up", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 10.0 + h, 1)
+        for h in range(10)
+    ]
+    candles = ts.ohlc(_tick_df(spark, rows)).select("symbol", "bucket", "close", "volume")
+    out = sorted(ts.obv(candles).collect(), key=lambda r: r.bucket)
+    # first bar contributes 0 (no prev); every later bar adds its volume
+    vols = [r.volume for r in out]
+    expect = [0]
+    for v in vols[1:]:
+        expect.append(expect[-1] + v)
+    assert [r.obv for r in out] == expect
+
+
+def test_stochastic_bounds_and_extremes(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_market import q_stochastic
+
+    rows = q_stochastic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.k is not None:
+            assert -1e-9 <= r.k <= 100.0 + 1e-9
+    # strictly rising series: close is always the frame max → %K = 100
+    up = [
+        ("up", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 10.0 + h, 1)
+        for h in range(20)
+    ]
+    for r in ts.stochastic(ts.hourly_close(_tick_df(spark, up)), periods=14).collect():
+        assert r.k == pytest.approx(100.0)
+        assert r.d == pytest.approx(100.0)
