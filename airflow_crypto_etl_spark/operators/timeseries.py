@@ -693,3 +693,33 @@ def stochastic(closes: DataFrame, periods: int = 14) -> DataFrame:
     return out.withColumn("d", d).filter(F.col("rn") >= periods + 2).select(
         "symbol", "bucket", "close", "k", "d"
     )
+
+
+def atr(candles: DataFrame, periods: int = 14) -> DataFrame:
+    """Average True Range over the candle series. True range =
+    greatest(high − low, |high − prev_close|, |low − prev_close|) —
+    every term a decimal difference, so TR is exact; ATR is the
+    `periods`-bar simple average (decimal frame sum, one double
+    division). Wilder's recursive smoothing is deliberately replaced by
+    the SMA form for cross-engine exactness (same trade as rsi_cutler).
+    Full frames only. First bar: greatest() null-skips the prev-close
+    terms on both engines, so TR degrades to high − low — the standard
+    first-bar convention."""
+    base = _series_window()
+    prev = F.lag("close", 1).over(base)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev),
+        F.abs(F.col("low") - prev),
+    )
+    frame = base.rowsBetween(-(periods - 1), 0)
+    rn = F.row_number().over(base)
+    out = (
+        candles.withColumn("rn", rn)
+        .withColumn("tr", tr)
+        .filter(F.col("tr").isNotNull())
+        .withColumn("_s", F.sum("tr").over(frame))
+        .filter(F.col("rn") >= periods + 1)
+    )
+    atr_col = F.round(F.col("_s").cast("double") / F.lit(float(periods)), ROUND_DP)
+    return out.select("symbol", "bucket", "close", F.col("tr").alias("tr"), atr_col.alias("atr"))

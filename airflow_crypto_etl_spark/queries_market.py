@@ -761,3 +761,47 @@ QUERIES_MARKET["q_obv"] = q_obv
 ORACLE_MARKET["q_obv"] = ORACLE_OBV
 QUERIES_MARKET["q_stochastic"] = q_stochastic
 ORACLE_MARKET["q_stochastic"] = ORACLE_STOCHASTIC
+
+
+# ---------------------------------------------------------------------------
+# Average True Range
+# ---------------------------------------------------------------------------
+
+_ATR_N = 14
+
+
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR over hourly candles — decimal-exact true ranges, SMA form."""
+    candles = ts.ohlc(_ticks(spark, sf_dir)).select("symbol", "bucket", "high", "low", "close")
+    return ts.atr(candles, periods=_ATR_N)
+
+
+ORACLE_ATR = f"""
+WITH t AS ({_TICKS_SQL}),
+c AS (
+  SELECT symbol, bucket,
+         max(price) AS high,
+         min(price) AS low,
+         (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close
+  FROM t GROUP BY symbol, bucket),
+d AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         greatest(high - low,
+                  abs(high - lag(close, 1) OVER wo),
+                  abs(low - lag(close, 1) OVER wo)) AS tr
+  FROM c
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket)),
+s AS (
+  SELECT symbol, bucket, close, rn, tr,
+         sum(tr) OVER (PARTITION BY symbol ORDER BY bucket
+              ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW) AS trs
+  FROM d WHERE tr IS NOT NULL)
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close,
+       CAST(tr AS DOUBLE) AS tr,
+       round(CAST(trs AS DOUBLE) / {float(_ATR_N)}, 6) AS atr
+FROM s WHERE rn >= {_ATR_N + 1}
+"""
+
+QUERIES_MARKET["q_atr"] = q_atr
+ORACLE_MARKET["q_atr"] = ORACLE_ATR

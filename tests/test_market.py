@@ -495,3 +495,16 @@ def test_stochastic_bounds_and_extremes(spark, sf_dir):
     for r in ts.stochastic(ts.hourly_close(_tick_df(spark, up)), periods=14).collect():
         assert r.k == pytest.approx(100.0)
         assert r.d == pytest.approx(100.0)
+
+
+def test_atr_flat_and_range_series(spark):
+    # constant price → TR 0 → ATR 0; alternating range shows TR >= high-low
+    flat = [
+        ("f", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 50.0, 1)
+        for h in range(20)
+    ]
+    candles = ts.ohlc(_tick_df(spark, flat)).select("symbol", "bucket", "high", "low", "close")
+    out = ts.atr(candles, periods=14).collect()
+    assert out
+    for r in out:
+        assert float(r.tr) == 0.0 and r.atr == pytest.approx(0.0)
