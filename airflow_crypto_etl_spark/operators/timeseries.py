@@ -723,3 +723,66 @@ def atr(candles: DataFrame, periods: int = 14) -> DataFrame:
     )
     atr_col = F.round(F.col("_s").cast("double") / F.lit(float(periods)), ROUND_DP)
     return out.select("symbol", "bucket", "close", F.col("tr").alias("tr"), atr_col.alias("atr"))
+
+
+def macd(
+    closes: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    taps: int = 30,
+    signal_taps: int = 15,
+) -> DataFrame:
+    """MACD with signal line and histogram, in the FIR form: fast and
+    slow EMAs share ONE collect_list lag window (two weight kernels
+    over the same array), the MACD line is rounded, and the signal EMA
+    folds over the ROUNDED macd series in a second window pass — both
+    folds left-to-right with driver-inlined weight literals, so every
+    intermediate double is bit-identical cross-engine (the ema_fir
+    portability argument, applied twice)."""
+    wf, den_f = ema_fir_weights(fast, taps)
+    ws, den_s = ema_fir_weights(slow, taps)
+    wg, den_g = ema_fir_weights(signal, signal_taps)
+    base = _series_window()
+    frame = base.rowsBetween(-(taps - 1), 0)
+    rn = F.row_number().over(base)
+    lags = F.reverse(F.collect_list(F.col("close").cast("double")).over(frame))
+    step1 = (
+        closes.withColumn("rn", rn)
+        .withColumn("_lags", lags)
+        .filter(F.col("rn") >= taps)
+    )
+
+    def _fir(weights: list[float], den: float):
+        arr = F.array(*[F.lit(w) for w in weights])
+        num = F.aggregate(
+            F.zip_with("_lags", arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v
+        )
+        return num / F.lit(den)
+
+    step1 = step1.withColumn(
+        "macd", F.round(_fir(wf, den_f) - _fir(ws, den_s), ROUND_DP)
+    ).select("symbol", "bucket", "close", "macd")
+    # second pass: signal = FIR-EMA of the rounded macd series
+    base2 = _series_window()
+    frame2 = base2.rowsBetween(-(signal_taps - 1), 0)
+    rn2 = F.row_number().over(base2)
+    mlags = F.reverse(F.collect_list("macd").over(frame2))
+    arr_g = F.array(*[F.lit(w) for w in wg])
+    sig = (
+        F.aggregate(F.zip_with(mlags, arr_g, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
+        / F.lit(den_g)
+    )
+    out = (
+        step1.withColumn("rn2", rn2)
+        .withColumn("signal", F.round(sig, ROUND_DP))
+        .filter(F.col("rn2") >= signal_taps)
+    )
+    return out.select(
+        "symbol",
+        "bucket",
+        "close",
+        "macd",
+        "signal",
+        F.round(F.col("macd") - F.col("signal"), ROUND_DP).alias("histogram"),
+    )

@@ -805,3 +805,68 @@ FROM s WHERE rn >= {_ATR_N + 1}
 
 QUERIES_MARKET["q_atr"] = q_atr
 ORACLE_MARKET["q_atr"] = ORACLE_ATR
+
+
+# ---------------------------------------------------------------------------
+# MACD with signal line
+# ---------------------------------------------------------------------------
+
+_MACD_F, _MACD_S, _MACD_SIG = 12, 26, 9
+_MACD_TAPS, _MACD_SIG_TAPS = 30, 15
+
+
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD line, signal, and histogram in the FIR form — two pinned
+    left-to-right folds with driver-inlined weight literals."""
+    return ts.macd(
+        ts.hourly_close(_ticks(spark, sf_dir)),
+        fast=_MACD_F, slow=_MACD_S, signal=_MACD_SIG,
+        taps=_MACD_TAPS, signal_taps=_MACD_SIG_TAPS,
+    )
+
+
+def _macd_oracle() -> str:
+    wf, den_f = ts.ema_fir_weights(_MACD_F, _MACD_TAPS)
+    ws, den_s = ts.ema_fir_weights(_MACD_S, _MACD_TAPS)
+    wg, den_g = ts.ema_fir_weights(_MACD_SIG, _MACD_SIG_TAPS)
+
+    def lst(ws_):
+        return "CAST([" + ", ".join(repr(w) for w in ws_) + "] AS DOUBLE[])"
+
+    def fir(wlist, den, lags="lags", n=_MACD_TAPS):
+        return (
+            f"list_reduce(list_transform(range(1, {n + 1}),"
+            f" i -> {lags}[i] * ({wlist})[i]), (acc, v) -> acc + v) / {den!r}"
+        )
+
+    return f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         list_reverse(list(CAST(close AS DOUBLE)) OVER wf) AS lags
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_MACD_TAPS - 1} PRECEDING AND CURRENT ROW)),
+m AS (
+  SELECT symbol, bucket, close,
+         round({fir(lst(wf), den_f)} - {fir(lst(ws), den_s)}, 6) AS macd
+  FROM x WHERE rn >= {_MACD_TAPS}),
+s AS (
+  SELECT symbol, bucket, close, macd,
+         row_number() OVER wo AS rn2,
+         list_reverse(list(macd) OVER wg) AS mlags
+  FROM m
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wg AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_MACD_SIG_TAPS - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close, macd,
+       round({fir(lst(wg), den_g, "mlags", _MACD_SIG_TAPS)}, 6) AS signal,
+       round(macd - round({fir(lst(wg), den_g, "mlags", _MACD_SIG_TAPS)}, 6), 6) AS histogram
+FROM s WHERE rn2 >= {_MACD_SIG_TAPS}
+"""
+
+
+ORACLE_MACD = _macd_oracle()
+
+QUERIES_MARKET["q_macd"] = q_macd
+ORACLE_MARKET["q_macd"] = ORACLE_MACD

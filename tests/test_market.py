@@ -508,3 +508,16 @@ def test_atr_flat_and_range_series(spark):
     assert out
     for r in out:
         assert float(r.tr) == 0.0 and r.atr == pytest.approx(0.0)
+
+
+def test_macd_flat_series_is_zero(spark):
+    rows = [
+        ("f", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 75.0, 1)
+        for h in range(50)
+    ]
+    out = ts.macd(ts.hourly_close(_tick_df(spark, rows))).collect()
+    assert out
+    for r in out:
+        assert r.macd == pytest.approx(0.0)
+        assert r.signal == pytest.approx(0.0)
+        assert r.histogram == pytest.approx(0.0)
