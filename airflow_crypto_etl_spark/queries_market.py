@@ -870,3 +870,92 @@ ORACLE_MACD = _macd_oracle()
 
 QUERIES_MARKET["q_macd"] = q_macd
 ORACLE_MARKET["q_macd"] = ORACLE_MACD
+
+
+# ---------------------------------------------------------------------------
+# Realized volatility and hour-of-day seasonality
+# ---------------------------------------------------------------------------
+
+
+def q_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility per symbol: sqrt of the sum of squared
+    hourly close-over-close returns. Each return is one double division
+    rounded at 6dp, then QUANTIZED to decimal(18,6) — exact on both
+    engines — so the squared terms and their per-day sum are
+    order-insensitive decimals; only the final sqrt is a double op.
+    (An unquantized double sum would depend on partial-agg merge
+    order.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    closes = ts.hourly_close(_ticks(spark, sf_dir))
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close", 1).over(w)
+    r = F.when(prev.isNull() | (prev == 0), None).otherwise(
+        F.round(
+            (F.col("close").cast("double") - prev.cast("double")) / prev.cast("double"),
+            ts.ROUND_DP,
+        )
+    )
+    rd = r.cast("decimal(12,6)")  # narrow: the square must fit int64-backed decimals in DuckDB
+    day = F.to_date("bucket")
+    g = (
+        closes.withColumn("rd", rd)
+        .filter(F.col("rd").isNotNull())
+        .groupBy("symbol", day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rets"),
+            F.sum(F.col("rd") * F.col("rd")).alias("_ss"),
+        )
+    )
+    vol = F.round(F.sqrt(F.col("_ss").cast("double")), ts.ROUND_DP)
+    return g.select("symbol", "day", "n_rets", vol.alias("rvol"))
+
+
+ORACLE_REALIZED_VOL = f"""
+WITH closes AS ({_CLOSES_SQL}),
+r AS (
+  SELECT symbol, bucket,
+         CASE WHEN lag(close, 1) OVER wo IS NULL OR lag(close, 1) OVER wo = 0 THEN NULL
+              ELSE CAST(round((CAST(close AS DOUBLE) - CAST(lag(close, 1) OVER wo AS DOUBLE))
+                              / CAST(lag(close, 1) OVER wo AS DOUBLE), 6) AS DECIMAL(12,6))
+         END AS rd
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket))
+SELECT symbol, CAST(bucket AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_rets,
+       round(sqrt(CAST(sum(CAST(rd AS DECIMAL(19,6)) * rd) AS DOUBLE)), 6) AS rvol
+FROM r WHERE rd IS NOT NULL
+GROUP BY symbol, CAST(bucket AS DATE)
+"""
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day trading profile per symbol: tick count, volume, and
+    exact-decimal mean price for each of the 24 clock hours — the
+    intraday seasonality table."""
+    from pyspark.sql import functions as F
+
+    t = _ticks(spark, sf_dir)
+    g = t.groupBy("symbol", F.hour("tick_ts").cast("int").alias("hod")).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("volume").alias("volume"),
+        F.sum("price").alias("_sp"),
+    )
+    mean_px = F.round(F.col("_sp").cast("double") / F.col("n_ticks").cast("double"), ts.ROUND_DP)
+    return g.select("symbol", "hod", "n_ticks", "volume", mean_px.alias("mean_px"))
+
+
+ORACLE_SEASONALITY = f"""
+WITH t AS ({_TICKS_SQL})
+SELECT symbol, CAST(hour(tick_ts) AS INT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       round(CAST(sum(price) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_px
+FROM t GROUP BY symbol, CAST(hour(tick_ts) AS INT)
+"""
+
+QUERIES_MARKET["q_realized_vol"] = q_realized_vol
+ORACLE_MARKET["q_realized_vol"] = ORACLE_REALIZED_VOL
+QUERIES_MARKET["q_seasonality"] = q_seasonality
+ORACLE_MARKET["q_seasonality"] = ORACLE_SEASONALITY

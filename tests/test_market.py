@@ -521,3 +521,17 @@ def test_macd_flat_series_is_zero(spark):
         assert r.macd == pytest.approx(0.0)
         assert r.signal == pytest.approx(0.0)
         assert r.histogram == pytest.approx(0.0)
+
+
+def test_realized_vol_and_seasonality(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_market import q_realized_vol, q_seasonality
+
+    vol = q_realized_vol(spark, sf_dir).collect()
+    assert vol
+    for r in vol:
+        assert r.rvol is not None and r.rvol >= 0.0
+    seas = q_seasonality(spark, sf_dir).collect()
+    assert seas
+    for r in seas:
+        assert 0 <= r.hod <= 23
+        assert r.n_ticks >= 1
