@@ -293,3 +293,48 @@ def ticker_candles(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_candles_watermarked(
+    spark: SparkSession, events_dir: str, schema, lateness: str = "30 minutes"
+) -> DataFrame:
+    """Production-shaped candle stream: watermarked event time, APPEND
+    mode — a candle is emitted exactly once, when the watermark passes
+    its window end, and events arriving later than `lateness` behind
+    the max seen event time are dropped from already-closed candles.
+    Reads every parquet file in `events_dir` one file per micro-batch
+    (maxFilesPerTrigger=1) so cross-batch watermark eviction is
+    actually exercised by the bounded replay."""
+    from ..operators.timeseries import PRICE_DEC
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    ev = raw.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts").cast("timestamp").alias("tick_ts"),
+        F.col("event_id").alias("tick_id"),
+        F.col("value").cast(PRICE_DEC).alias("price"),
+        (F.col("event_id") % F.lit(7) + F.lit(1)).cast("bigint").alias("volume"),
+    ).withWatermark("tick_ts", lateness)
+    agg = ev.groupBy(F.window("tick_ts", "1 hour").alias("w"), "symbol").agg(
+        F.min(F.struct("tick_ts", "tick_id", "price")).alias("_f"),
+        F.max(F.struct("tick_ts", "tick_id", "price")).alias("_l"),
+        F.max("price").alias("high"),
+        F.min("price").alias("low"),
+        F.sum("volume").alias("volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+    out = run_available_now(agg, "append")
+    return out.select(
+        F.col("w.start").alias("bucket"),
+        "symbol",
+        F.col("_f.price").alias("open"),
+        "high",
+        "low",
+        F.col("_l.price").alias("close"),
+        "volume",
+        "n_trades",
+    )

@@ -77,3 +77,76 @@ def test_streaming_ema_matches_pandas_reference(spark, sf_dir):
         ref = prices.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
         assert got[sym].n_ticks == len(grp)
         assert got[sym].ema == ref
+
+
+def test_watermarked_candles_drop_late_events(spark, tmp_path):
+    """Append-mode watermark semantics, exercised across REAL
+    micro-batches (one file per trigger): a candle whose window end is
+    more than the lateness behind the max event time is closed by
+    batch 2's watermark, and batch 2's late event for that hour must
+    NOT reopen or change it."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from airflow_crypto_etl_spark.streaming.windows import streaming_candles_watermarked
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    d = str(tmp_path / "ev")
+    # batch 1: the hour-0 ticks
+    b1 = [(1, base + dt.timedelta(minutes=10), "btc", 10.0),
+          (2, base + dt.timedelta(minutes=40), "btc", 20.0)]
+    # batch 2: a hour-6 tick ADVANCES the watermark (takes effect next
+    # batch); batch 3 (spacer) runs under the advanced watermark and
+    # EVICTS hour 0's state at its end
+    b2 = [(3, base + dt.timedelta(hours=6), "btc", 30.0)]
+    b3 = [(6, base + dt.timedelta(hours=6, minutes=10), "btc", 31.0)]
+    # batch 4: a LATE hour-0 tick arriving after eviction (must be
+    # dropped — a late row merging into still-LIVE state is legal Spark
+    # semantics, verified empirically, which is why the eviction needs
+    # its own spacer batch) plus a fresh hour-7 tick
+    b4 = [(4, base + dt.timedelta(minutes=50), "btc", 99.0),
+          (5, base + dt.timedelta(hours=7), "btc", 40.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d + "/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d + "/f=2")
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(d + "/f=3")
+    spark.createDataFrame(b4, schema).coalesce(1).write.parquet(d + "/f=4")
+    # flatten the two parts into one directory, two files
+    import glob
+    import shutil
+
+    files = sorted(glob.glob(d + "/f=*/part-*.parquet"))
+    out_dir = str(tmp_path / "stream_in")
+    import os
+
+    os.makedirs(out_dir)
+    import time
+
+    now = time.time()
+    for i, f in enumerate(files):
+        dst = f"{out_dir}/{i:02d}.parquet"
+        shutil.copy(f, dst)
+        # distinct mtimes: the file source orders (and therefore
+        # batches) by modification time — equal stamps can collapse
+        # both files into one trigger, defeating the cross-batch test
+        os.utime(dst, (now + i * 60, now + i * 60))
+
+    rows = streaming_candles_watermarked(spark, out_dir, schema).collect()
+    keys = [(r.symbol, r.bucket) for r in rows]
+    assert len(keys) == len(set(keys)), f"duplicate append emission: {keys}"
+    got = {(r.symbol, r.bucket): r for r in rows}
+    hour0 = got.get(("btc", base))
+    # hour-0 candle was closed and evicted at batch 2's end: the late
+    # 99.0 tick from batch 3 must be absent (and no duplicate row for
+    # the hour may appear)
+    assert hour0 is not None
+    assert hour0.n_trades == 2
+    assert float(hour0.high) == 20.0 and float(hour0.close) == 20.0
