@@ -786,3 +786,26 @@ def macd(
         "signal",
         F.round(F.col("macd") - F.col("signal"), ROUND_DP).alias("histogram"),
     )
+
+
+def keltner(
+    candles: DataFrame, periods: int = 20, taps: int = 30, atr_periods: int = 14, width: float = 2.0
+) -> DataFrame:
+    """Keltner channel: FIR-EMA midline over the closes ± width × ATR —
+    a composition of two existing operators joined on (symbol, bucket).
+    Both inputs are published rounded doubles, so the band arithmetic
+    is one deterministic add/subtract per row."""
+    closes = candles.select("symbol", "bucket", "close")
+    mid = ema_fir(closes, periods=periods, taps=taps).select(
+        "symbol", "bucket", F.col("ema").alias("mid")
+    )
+    rng = atr(candles, periods=atr_periods).select("symbol", "bucket", "atr")
+    j = mid.join(rng, ["symbol", "bucket"]).join(closes, ["symbol", "bucket"])
+    return j.select(
+        "symbol",
+        "bucket",
+        "close",
+        "mid",
+        F.round(F.col("mid") + F.lit(width) * F.col("atr"), ROUND_DP).alias("upper"),
+        F.round(F.col("mid") - F.lit(width) * F.col("atr"), ROUND_DP).alias("lower"),
+    )

@@ -959,3 +959,67 @@ QUERIES_MARKET["q_realized_vol"] = q_realized_vol
 ORACLE_MARKET["q_realized_vol"] = ORACLE_REALIZED_VOL
 QUERIES_MARKET["q_seasonality"] = q_seasonality
 ORACLE_MARKET["q_seasonality"] = ORACLE_SEASONALITY
+
+
+# ---------------------------------------------------------------------------
+# Keltner channel (EMA midline ± ATR band)
+# ---------------------------------------------------------------------------
+
+
+def q_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channel over hourly candles — FIR-EMA midline joined
+    with the ATR band on (symbol, bucket)."""
+    candles = ts.ohlc(_ticks(spark, sf_dir)).select("symbol", "bucket", "high", "low", "close")
+    return ts.keltner(candles, periods=_EMA_P, taps=_EMA_TAPS, atr_periods=_ATR_N, width=2.0)
+
+
+def _keltner_oracle() -> str:
+    ws, den = ts.ema_fir_weights(_EMA_P, _EMA_TAPS)
+    wlist = "[" + ", ".join(repr(w) for w in ws) + "]"
+    return f"""
+WITH t AS ({_TICKS_SQL}),
+c AS (
+  SELECT symbol, bucket,
+         max(price) AS high,
+         min(price) AS low,
+         (max(struct_pack(tick_ts := tick_ts, tick_id := tick_id, price := price))).price AS close
+  FROM t GROUP BY symbol, bucket),
+e AS (
+  SELECT symbol, bucket,
+         row_number() OVER wo AS rn,
+         list_reverse(list(CAST(close AS DOUBLE)) OVER wf) AS lags
+  FROM c
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_EMA_TAPS - 1} PRECEDING AND CURRENT ROW)),
+mid AS (
+  SELECT symbol, bucket,
+         round(list_reduce(
+                 list_transform(range(1, {_EMA_TAPS + 1}),
+                                i -> lags[i] * (CAST({wlist} AS DOUBLE[]))[i]),
+                 (acc, v) -> acc + v) / {den!r}, 6) AS mid
+  FROM e WHERE rn >= {_EMA_TAPS}),
+d AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         greatest(high - low,
+                  abs(high - lag(close, 1) OVER wo),
+                  abs(low - lag(close, 1) OVER wo)) AS tr
+  FROM c
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket)),
+a AS (
+  SELECT symbol, bucket, close, rn,
+         round(CAST(sum(tr) OVER (PARTITION BY symbol ORDER BY bucket
+              ROWS BETWEEN {_ATR_N - 1} PRECEDING AND CURRENT ROW) AS DOUBLE) / {float(_ATR_N)}, 6) AS atr
+  FROM d WHERE tr IS NOT NULL)
+SELECT m.symbol, m.bucket, CAST(a.close AS DOUBLE) AS close, m.mid,
+       round(m.mid + 2.0 * a.atr, 6) AS upper,
+       round(m.mid - 2.0 * a.atr, 6) AS lower
+FROM mid m JOIN a ON m.symbol = a.symbol AND m.bucket = a.bucket
+WHERE a.rn >= {_ATR_N + 1}
+"""
+
+
+ORACLE_KELTNER = _keltner_oracle()
+
+QUERIES_MARKET["q_keltner"] = q_keltner
+ORACLE_MARKET["q_keltner"] = ORACLE_KELTNER
