@@ -48,7 +48,9 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
-def _normed_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _normed_base(
+    emb: DataFrame, id_col: str, vec_col: str, spread: bool = True
+) -> DataFrame:
     """(id, double vector, pre-computed norm), spread across cores.
 
     The norm is hoisted to a per-ROW projection column below the join,
@@ -57,15 +59,16 @@ def _normed_base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     as unit-normalization with `transform(v, x -> x/norm(v))`: the norm
     subtree lands inside the per-element lambda and is re-evaluated
     dim× per row — higher-order lambdas are interpreted with no
-    common-subexpression elimination.) The repartition only widens a
-    narrow local scan; on an already well-partitioned corpus it's a
-    no-op."""
+    common-subexpression elimination.) ``spread=False`` skips the
+    widening repartition for a corpus already laid out wide (the 100 TB
+    case); the old ``emb.rdd.getNumPartitions()`` auto-probe forced an
+    RDD-conversion analyzer pass per ANN call and is gone (r4 verdict)."""
     spark = emb.sparkSession
     v = _to_double(F.col(vec_col))
     base = emb.select(F.col(id_col), v.alias("v"), norm2(v).alias("nrm"))
-    nparts = emb.rdd.getNumPartitions()
-    want = spark.sparkContext.defaultParallelism
-    return base.repartition(want) if nparts < want else base
+    if not spread:
+        return base
+    return base.repartition(spark.sparkContext.defaultParallelism)
 
 
 def cosine_pairs(

