@@ -70,11 +70,23 @@ def _ident(name: str) -> str:
 
 
 def build_upsert_sql(
-    table: str, columns: list[str], conflict_cols: list[str], update: bool
+    table: str,
+    columns: list[str],
+    conflict_cols: list[str],
+    update: bool,
+    paramstyle: str = "values",
 ) -> str:
     """The ON CONFLICT statement the executor batches rows into —
     upsert-ignore (`…optimized.py:669`) or upsert-update (`:923-933`).
-    All identifiers are validated against a strict pattern first."""
+    All identifiers are validated against a strict pattern first.
+
+    ``paramstyle`` selects the placeholder dialect:
+
+    - ``"values"`` — psycopg2 ``execute_values`` (one ``%s`` the helper
+      expands into a multi-row VALUES list), the reference's exact shape;
+    - ``"qmark"`` — DBAPI ``executemany`` with one ``?`` per column
+      (DuckDB, SQLite, most JDBC-ish drivers).
+    """
     table = _ident(table)
     columns = [_ident(c) for c in columns]
     conflict_cols = [_ident(c) for c in conflict_cols]
@@ -85,7 +97,13 @@ def build_upsert_sql(
         action = f"DO UPDATE SET {sets}"
     else:
         action = "DO NOTHING"
-    return f"INSERT INTO {table} ({collist}) VALUES %s ON CONFLICT ({conflict}) {action}"
+    if paramstyle == "values":
+        values = "%s"
+    elif paramstyle == "qmark":
+        values = "(" + ", ".join("?" for _ in columns) + ")"
+    else:
+        raise ValueError(f"unknown paramstyle: {paramstyle!r}")
+    return f"INSERT INTO {table} ({collist}) VALUES {values} ON CONFLICT ({conflict}) {action}"
 
 
 def build_merge_sql(
@@ -178,6 +196,24 @@ def merge_upsert_jdbc(
         execute_jdbc_statement(spark, url, f"DROP TABLE {staging}")
 
 
+class DuckDBConnectionFactory:
+    """Zero-arg DBAPI connection factory for
+    :func:`upsert_foreach_partition` targeting a DuckDB file — the
+    in-sandbox live serving database (Postgres-style ON CONFLICT,
+    reachable from Python workers, unlike embedded-JVM Derby). Defined
+    in the package, not the caller's module, so executors unpickle it
+    by reference. DuckDB files take one writer process at a time —
+    pass ``max_parallel=1``."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self):
+        import duckdb
+
+        return duckdb.connect(self.path)
+
+
 def batch_rows(rows: Iterator[Row], page_size: int) -> Iterator[list[tuple]]:
     """Page an iterator of rows into execute_values-sized batches."""
     page: list[tuple] = []
@@ -198,29 +234,54 @@ def upsert_foreach_partition(
     update: bool = False,
     page_size: int = 1000,
     max_parallel: int | None = None,
+    connection_factory=None,
+    paramstyle: str | None = None,
 ) -> None:
     """K7/K8 — executor-side batched upsert. One connection per
     partition; ``max_parallel`` coalesces first so the database sees a
-    bounded connection count regardless of cluster size."""
-    if not HAS_PSYCOPG2:
+    bounded connection count regardless of cluster size.
+
+    Dialect-pluggable (r4 verdict item 1): by default the psycopg2
+    ``execute_values`` path — the reference's exact mechanism
+    (`/root/reference/dags/coin_data_pipeline_optimized.py:578-589,935`).
+    Pass ``connection_factory`` (a picklable zero-arg callable returning
+    a DBAPI connection; it is cloudpickled to the executors) plus
+    ``paramstyle="qmark"`` for any DBAPI target with Postgres-style ON
+    CONFLICT — DuckDB is the in-sandbox live target
+    (`tests/test_jdbc_live.py`). Derby itself can't play this role: it
+    is embedded-JVM-only, unreachable from Python workers — its MERGE
+    twin is exercised live via :func:`merge_upsert_jdbc` instead.
+    """
+    if connection_factory is None and not HAS_PSYCOPG2:
         raise NotImplementedError(
-            "psycopg2 not available in this environment; use the logical upsert "
-            "(operators.upsert) + append_jdbc, or install psycopg2 on executors"
+            "psycopg2 not available in this environment; pass connection_factory "
+            "(DBAPI) or use the logical upsert (operators.upsert) + append_jdbc"
         )
     columns = df.columns
-    sql = build_upsert_sql(table, columns, conflict_cols, update)
+    style = paramstyle or ("values" if connection_factory is None else "qmark")
+    sql = build_upsert_sql(table, columns, conflict_cols, update, paramstyle=style)
     if max_parallel:
         df = df.coalesce(max_parallel)
 
     def write_partition(rows: Iterator[Row]) -> None:
-        import psycopg2
-        from psycopg2.extras import execute_values
+        if connection_factory is None:
+            import psycopg2
+            from psycopg2.extras import execute_values
 
-        conn = psycopg2.connect(dsn)
+            conn = psycopg2.connect(dsn)
+            try:
+                with conn, conn.cursor() as cur:
+                    for page in batch_rows(rows, page_size):
+                        execute_values(cur, sql, page, page_size=page_size)
+            finally:
+                conn.close()
+            return
+        conn = connection_factory()
         try:
-            with conn, conn.cursor() as cur:
-                for page in batch_rows(rows, page_size):
-                    execute_values(cur, sql, page, page_size=page_size)
+            cur = conn.cursor()
+            for page in batch_rows(rows, page_size):
+                cur.executemany(sql, page)
+            conn.commit()
         finally:
             conn.close()
 

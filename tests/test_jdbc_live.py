@@ -115,3 +115,110 @@ def test_k7_merge_upsert_ignore_live(spark, derby_url):
     back = read_jdbc(spark, url=derby_url, table="serve_ign", driver=DRIVER)
     got = {int(r[0]): float(r[1]) for r in back.collect()}
     assert got == {1: 10.0, 2: 20.0, 3: 30.0}  # 2 kept its original value
+
+
+from airflow_crypto_etl_spark.sinks.jdbc_upsert import DuckDBConnectionFactory as _DuckConnect
+
+
+@pytest.fixture()
+def duck_path(tmp_path):
+    return str(tmp_path / "serving.duckdb")
+
+
+def _setup_serving_table(duck_path):
+    import duckdb
+
+    con = duckdb.connect(duck_path)
+    # ON CONFLICT needs a declared conflict target
+    con.execute(
+        "CREATE TABLE coin_price (coin VARCHAR, ts BIGINT, price DOUBLE, "
+        "PRIMARY KEY (coin, ts))"
+    )
+    con.close()
+
+
+def _read_serving(duck_path):
+    import duckdb
+
+    con = duckdb.connect(duck_path)
+    rows = con.execute("SELECT coin, ts, price FROM coin_price ORDER BY coin, ts").fetchall()
+    con.close()
+    return rows
+
+
+def test_k7_foreach_partition_upsert_ignore_live(spark, duck_path):
+    """The executor-side foreachPartition writer — the reference's
+    actual K7 mechanism (`…optimized.py:578-589`) — executed LIVE
+    against a DBAPI database from the Python workers: first load
+    lands, conflicting re-load is ignored (first-writer-wins)."""
+    from airflow_crypto_etl_spark.sinks.jdbc_upsert import upsert_foreach_partition
+
+    _setup_serving_table(duck_path)
+    first = spark.createDataFrame(
+        [("btc", 1, 100.0), ("btc", 2, 101.0), ("eth", 1, 10.0)],
+        "coin string, ts long, price double",
+    )
+    upsert_foreach_partition(
+        first, dsn="", table="coin_price", conflict_cols=["coin", "ts"],
+        update=False, page_size=2, max_parallel=1,
+        connection_factory=_DuckConnect(duck_path),
+    )
+    conflicting = spark.createDataFrame(
+        [("btc", 1, 999.0), ("eth", 2, 11.0)], "coin string, ts long, price double"
+    )
+    upsert_foreach_partition(
+        conflicting, dsn="", table="coin_price", conflict_cols=["coin", "ts"],
+        update=False, page_size=2, max_parallel=1,
+        connection_factory=_DuckConnect(duck_path),
+    )
+    assert _read_serving(duck_path) == [
+        ("btc", 1, 100.0),  # conflict ignored — first writer wins
+        ("btc", 2, 101.0),
+        ("eth", 1, 10.0),
+        ("eth", 2, 11.0),   # novel key from the second batch lands
+    ]
+
+
+def test_k8_foreach_partition_upsert_update_live(spark, duck_path):
+    """K8 (`…optimized.py:923-935`): DO UPDATE — the conflicting
+    re-load overwrites (last-writer-wins), novel keys insert."""
+    from airflow_crypto_etl_spark.sinks.jdbc_upsert import upsert_foreach_partition
+
+    _setup_serving_table(duck_path)
+    first = spark.createDataFrame(
+        [("btc", 1, 100.0), ("eth", 1, 10.0)], "coin string, ts long, price double"
+    )
+    upsert_foreach_partition(
+        first, dsn="", table="coin_price", conflict_cols=["coin", "ts"],
+        update=True, max_parallel=1, connection_factory=_DuckConnect(duck_path),
+    )
+    second = spark.createDataFrame(
+        [("btc", 1, 105.5), ("eth", 2, 12.0)], "coin string, ts long, price double"
+    )
+    upsert_foreach_partition(
+        second, dsn="", table="coin_price", conflict_cols=["coin", "ts"],
+        update=True, max_parallel=1, connection_factory=_DuckConnect(duck_path),
+    )
+    assert _read_serving(duck_path) == [
+        ("btc", 1, 105.5),  # overwritten — last writer wins
+        ("eth", 1, 10.0),
+        ("eth", 2, 12.0),
+    ]
+
+
+def test_foreach_partition_pages_all_rows(spark, duck_path):
+    """page_size smaller than the partition: every page flushes (the
+    tail page too), row count exact across pages."""
+    from airflow_crypto_etl_spark.sinks.jdbc_upsert import upsert_foreach_partition
+
+    _setup_serving_table(duck_path)
+    n = 257  # not a multiple of page_size -> exercises the tail page
+    batch = spark.range(n).selectExpr(
+        "'sol' AS coin", "id AS ts", "CAST(id AS DOUBLE) / 10 AS price"
+    )
+    upsert_foreach_partition(
+        batch, dsn="", table="coin_price", conflict_cols=["coin", "ts"],
+        update=False, page_size=100, max_parallel=1,
+        connection_factory=_DuckConnect(duck_path),
+    )
+    assert len(_read_serving(duck_path)) == n
