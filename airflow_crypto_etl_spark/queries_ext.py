@@ -705,12 +705,34 @@ ORACLE_STREAM_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked session windows in append mode — rows-only check
-    (append emission withholds sessions still open at the final
-    watermark; see streaming.windows.streaming_session)."""
+    """Watermarked session windows in append mode. Oracle-checked
+    (r4 verdict item 2): append emission is exactly the batch
+    session-window result restricted to watermark-closed sessions —
+    sessions whose end (last event + gap) is ≤ final watermark
+    (max event time − 1 h delay). The SQL twin is gaps-and-islands
+    with the SAME break condition Spark uses (new session when
+    ts − prev ≥ gap: a session window is the half-open
+    [start, last+gap)) and the same closed-session filter — verified
+    equal to both the streaming emission and the batch session_window
+    at sf0.01 (9525 sessions)."""
     from .streaming.windows import streaming_session
 
     return streaming_session(spark, sf_dir)
+
+
+ORACLE_STREAM_SESSION = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+m AS (SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT user_id, ts,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+HAVING max(ts) + INTERVAL 30 MINUTE <=
+       (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -850,7 +872,7 @@ ORACLE_EXT = {
     "q_window_sliding": ORACLE_WINDOW_SLIDING,
     "q_stream_tumbling": ORACLE_STREAM_TUMBLING,
     "q_stream_dedup": ORACLE_STREAM_DEDUP,
-    # q_stream_session: rows-only by design (append-mode emission)
+    "q_stream_session": ORACLE_STREAM_SESSION,
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
     "q_multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "q_multimodal_png": ORACLE_MULTIMODAL_PNG,

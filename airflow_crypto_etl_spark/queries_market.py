@@ -548,17 +548,37 @@ ORACLE_MARKET["q_backtest_sma"] = ORACLE_BACKTEST_SMA
 
 
 def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive per-symbol EMA with cross-batch streaming state —
-    rows-only check (the recursive fold is deliberately not offered as
-    an oracle-SQL query; the batch engine ships the portable FIR form
-    as q_ema, and the streaming test pins this one against a single-
-    process pandas reference)."""
+    """Recursive per-symbol EMA with cross-batch streaming state,
+    reduced to the LATEST state per symbol (update-mode memory sinks
+    hold one row per update; max_by(n_ticks) is the serving view and
+    makes the result batching-invariant). Oracle-checked (r4 verdict
+    item 2): the recursion ema_t = α·x_t + (1−α)·ema_{t−1} seeded with
+    x_0 — exactly pandas ewm(adjust=False) — is a left fold, which
+    DuckDB expresses directly as list_reduce over the ts-ordered price
+    list. α is written as the same 2.0/(N+1) float expression on both
+    sides."""
+    from pyspark.sql import functions as F
+
     from .streaming.windows import streaming_ema_per_symbol
 
-    return streaming_ema_per_symbol(spark, sf_dir)
+    upd = streaming_ema_per_symbol(spark, sf_dir)
+    return upd.groupBy("symbol").agg(
+        F.max("n_ticks").alias("n_ticks"),
+        F.max_by("ema", "n_ticks").alias("ema"),
+    )
 
+
+# mirror streaming.stateful: EMA_PERIODS=10, alpha = 2/(10+1) as float
+ORACLE_STREAM_EMA = f"""
+WITH t AS ({_TICKS_SQL})
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_ticks,
+       list_reduce(list(CAST(price AS DOUBLE) ORDER BY tick_ts, tick_id),
+                   (acc, x) -> (2.0/11.0) * x + (1.0 - 2.0/11.0) * acc) AS ema
+FROM t GROUP BY symbol
+"""
 
 QUERIES_MARKET["q_stream_ema"] = q_stream_ema
+ORACLE_MARKET["q_stream_ema"] = ORACLE_STREAM_EMA
 
 
 # ---------------------------------------------------------------------------
