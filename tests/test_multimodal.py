@@ -1,5 +1,5 @@
 """Multimodal binary plumbing: schema, payload/metadata split, and the
-Arrow-batched mapInPandas feature path (decode itself is stubbed)."""
+Arrow-batched mapInPandas feature path (PNG/PPM decode is real; JPEG stays lib-gated)."""
 
 from __future__ import annotations
 
@@ -44,25 +44,55 @@ def test_general_decode_is_gated(payloads):
         mm.decode_payload(payloads)
 
 
-def test_resize_payload_shape_and_determinism(payloads):
-    px = mm.resize_payload(payloads, out_w=4, out_h=4)
-    rows = px.limit(50).collect()
-    assert rows and all(len(r["pixels"]) == 16 for r in rows)
-    assert all(0.0 <= v <= 1.0 for r in rows for v in r["pixels"])
-    again = {r["doc_id"]: r["pixels"] for r in mm.resize_payload(payloads, 4, 4).limit(50).collect()}
-    assert all(again[r["doc_id"]] == r["pixels"] for r in rows)
+def _expected_gray(doc_id, w, h, out_w, out_h):
+    """Mirror of resize_payload's NN sampling on the generator formula
+    (raw pixel byte i = (doc_id + i) mod 256, RGB)."""
+    px = []
+    for y in range(out_h):
+        sy = y * h // out_h
+        for x in range(out_w):
+            sx = x * w // out_w
+            o = (sy * w + sx) * 3
+            px.append(sum((doc_id + o + c) % 256 for c in range(3)) / 3)
+    return px
 
 
-def test_sample_frames_fanout(payloads):
-    frames = mm.sample_frames(payloads, frame_bytes=16, every=4)
-    rows = frames.collect()
-    assert rows and all(len(r["frame"]) == 16 for r in rows)
-    # one doc fans out to multiple ordered frames
+def test_resize_payload_real_pixels(spark):
+    """The resize verb operates on DECODED pixels: its output equals the
+    NN-resample predicted from the PNG generator formula — a byte-slicing
+    stand-in could not reproduce this."""
+    docs = spark.createDataFrame([(7,), (12,), (123,)], "doc_id long")
+    png = mm.attach_png_payload(docs)
+    rows = {r["doc_id"]: r for r in mm.resize_payload(png, out_w=4, out_h=4).collect()}
+    for d in (7, 12, 123):
+        w, h = 4 + d % 5, 3 + d % 4
+        assert rows[d]["pixels"] == _expected_gray(d, w, h, 4, 4)
+    # deterministic across runs
+    again = {r["doc_id"]: r["pixels"] for r in mm.resize_payload(png, 4, 4).collect()}
+    assert all(again[d] == rows[d]["pixels"] for d in again)
+
+
+def test_sample_frames_real_scanlines(spark):
+    """Every sampled frame is a real decoded scanline: bytes equal the
+    generator formula for that row, fan-out ordered per doc."""
+    docs = spark.createDataFrame([(7,), (14,)], "doc_id long")
+    png = mm.attach_png_payload(docs)
+    rows = mm.sample_frames(png, every=2).collect()
+    assert rows
     by_doc = {}
     for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append(r["frame_no"])
-    multi = [v for v in by_doc.values() if len(v) > 1]
-    assert multi and all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        w, h = 4 + d % 5, 3 + d % 4
+        stride = w * 3
+        rs.sort(key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in rs] == list(range(len(rs)))
+        assert [r["row_index"] for r in rs] == list(range(0, h, 2))
+        for r in rs:
+            expect = bytes((d + r["row_index"] * stride + j) % 256 for j in range(stride))
+            assert bytes(r["frame"]) == expect
+            assert r["n_bytes"] == stride
+            assert r["byte_mean"] == sum(expect) / len(expect)
 
 
 def test_make_ppm_roundtrip_decode(spark):
