@@ -64,9 +64,13 @@ HEADLINE = [
     "q_tpch_q9",
     "q_tpch_q18",
     "q_tpch_q21",
-    # market time-series battery (the reference's domain)
+    # market time-series battery (the reference's domain): candles,
+    # gap-fill, and the window-heavy indicator family (r4 verdict #7)
     "q_ohlc_candles",
     "q_gapfill_interp",
+    "q_macd",
+    "q_corr_pairs",
+    "q_backtest_sma",
     # warehouse modeling / streaming join
     "q_scd2_intervals",
     "q_stream_stream_join",
