@@ -218,7 +218,15 @@ def streaming_stream_join(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {within}")),
     )
-    out = run_available_now(joined, "append")
+    # state_partitions=4, not the module default 8: a stream-stream join
+    # holds FOUR state stores per shuffle partition (left/right × keyed/
+    # keyWithIndex), so per-instance open/snapshot/commit cost is 4× a
+    # plain agg's. r5 idle-box medians at sf0.1: 32→7.97 s, 16→4.47 s,
+    # 8→2.51 s, 4→2.34 s, 3→2.09 s, 1→2.39 s — below 4 the curve is
+    # flat (the ~2.1 s floor is the two input scans + join execution,
+    # not store count). Production sizes this to state volume instead;
+    # it is frozen into the checkpoint at first start either way.
+    out = run_available_now(joined, "append", state_partitions=4)
     return out.select(
         F.col("click_user").alias("user_id"),
         "click_id",
