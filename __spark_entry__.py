@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from airflow_crypto_etl_spark import queries as q
+from airflow_crypto_etl_spark import queries_analytics as qa
 from airflow_crypto_etl_spark import queries_ext as qx
 from airflow_crypto_etl_spark import queries_market as qm
 from airflow_crypto_etl_spark import queries_pipeline as qp
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs.QUERIES_SCALE,
         qp.QUERIES_PIPELINE,
         qm.QUERIES_MARKET,
+        qa.QUERIES_ANALYTICS,
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
@@ -88,4 +90,5 @@ def oracle_sql() -> dict[str, str]:
         qs.ORACLE_SCALE,
         qp.ORACLE_PIPELINE,
         qm.ORACLE_MARKET,
+        qa.ORACLE_ANALYTICS,
     )

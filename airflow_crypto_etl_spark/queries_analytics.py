@@ -1,0 +1,344 @@
+"""Event/corpus analytics staples a reference user would reach for
+next: funnel conversion, cohort retention, per-group winsorization,
+quality-aware dedup, domain capping, and PMI collocations. Each query
+has a DuckDB oracle twin built from the same exact-integer /
+fixed-op-order arithmetic as the Spark plan.
+
+Scale notes are per-query; the shared theme is: aggregate small (per
+group / per user / per token) BEFORE any join, broadcast the small
+side, and keep every hot-path expression inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashing import affine_hash_sql
+from .queries import _t
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (signup → click → purchase)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel: a user converts stage k if their first
+    stage-k event is at-or-after their first stage-(k-1) event. One
+    aggregation pass builds per-user first-touch timestamps (partial
+    agg, one shuffle on user_id), the stage counts are a single global
+    rollup of boolean flags — no joins, no window. At 100 TB the
+    per-user frame is the only shuffled state and it is one row per
+    user."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_signup"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") >= F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(s1, 1)).alias("n_signup"),
+        F.count(F.when(s2, 1)).alias("n_signup_click"),
+        F.count(F.when(s3, 1)).alias("n_signup_click_purchase"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT CAST(count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT) AS n_signup,
+       CAST(count(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup THEN 1 END) AS BIGINT)
+         AS n_signup_click,
+       CAST(count(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup
+                        AND t_purchase >= t_click THEN 1 END) AS BIGINT)
+         AS n_signup_click_purchase
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort grid: users grouped by first-seen day, counted on
+    each later active day as (cohort_day, day_offset, n_users). Two
+    aggregations — per-user first day (one row per user), then distinct
+    (user, day) activity joined to it — the join's build side is the
+    per-user cohort map (one row per user; at true scale this is a
+    shuffle-hash join on user_id, already co-partitioned from the first
+    agg)."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.select("user_id", "day").distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN cohort USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization (outlier clipping for training signals)
+# ---------------------------------------------------------------------------
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize event values to each type's exact [p05, p95]: the
+    percentile aggregation collapses to one row per event_type (tiny),
+    which broadcasts back over the fact — the standard
+    normalize-by-group-statistic shape at scale (never a window over
+    the full fact). Clipped values rounded at 6dp: the exact
+    percentile's linear interpolation can differ in the last ulp
+    across engines (same guard as q_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p_lo"),
+        F.expr("percentile(value, 0.95)").alias("p_hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.greatest("p_lo", F.least("p_hi", F.col("value"))), 6).alias("value_w"),
+        )
+    )
+
+
+ORACLE_WINSORIZE = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM events GROUP BY event_type)
+SELECT event_id, event_type, value,
+       round(greatest(p_lo, least(p_hi, value)), 6) AS value_w
+FROM events JOIN bounds USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup (keep the best copy of each duplicate group)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup that keeps the BEST copy, not an arbitrary one: among
+    exact-text duplicates, elect the doc with the highest quality
+    score (ties → lowest doc_id). The corpus is doubled with a
+    perturbed-quality copy so the election is exercised. One groupBy
+    with a struct-max partial aggregate — the shuffle carries one
+    candidate per (text, partition), identical to exact_dedup's scale
+    shape (fingerprints, not bodies, would key the group at 100 TB)."""
+    from .operators.text import quality_score
+
+    base = quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "quality_score"
+    )
+    # shifted copy with damped quality: the original must win its pair
+    twin = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        (F.col("quality_score") * 0.5).alias("quality_score"),
+    )
+    corpus = base.unionByName(twin)
+    best = F.max(
+        F.struct(
+            F.col("quality_score").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("b")
+    return (
+        corpus.groupBy("text")
+        .agg(best, F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select(
+            (-F.col("b.neg_id")).cast("long").alias("doc_id"),
+            F.round(F.col("b.q"), 6).alias("quality_score"),
+            "n_copies",
+        )
+    )
+
+
+def _quality_sql(doc_src: str) -> str:
+    """DuckDB twin of operators.text.quality_score over ``doc_src``
+    (mirrors ORACLE_QUALITY_SCORE in queries_ext)."""
+    from .operators.text import STOPWORDS
+
+    toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+  SELECT doc_id, text,
+         CASE WHEN len({toks}) > 0 THEN
+           least(CAST(len({toks}) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (len(list_distinct({toks})) / len({toks})) * 0.4
+           + least((len(list_filter({toks}, t -> t IN ({en}))) * 5.0) / len({toks}), 1.0) * 0.2
+         ELSE 0.0 END AS quality_score
+  FROM {doc_src}
+"""
+
+
+ORACLE_DEDUP_KEEP_BEST = f"""
+WITH scored AS ({_quality_sql('documents')}),
+corpus AS (
+  SELECT doc_id, text, quality_score FROM scored
+  UNION ALL
+  SELECT doc_id + 1000000, text, quality_score * 0.5 FROM scored)
+SELECT CAST(-(max(struct_pack(q := quality_score, neg_id := -doc_id)).neg_id) AS BIGINT)
+         AS doc_id,
+       round(max(struct_pack(q := quality_score, neg_id := -doc_id)).q, 6) AS quality_score,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain capping (uniform deterministic k-cap per source)
+# ---------------------------------------------------------------------------
+
+_CAP_K = 10
+_CAP_HASH = affine_hash_sql("doc_id", "3")
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping — every training-mixture pipeline's "no domain
+    exceeds N docs" step: a deterministic uniform k-sample per source
+    via rank over an affine id hash (portable integer arithmetic, so
+    the elected sample is engine-identical). Window over the group key
+    is one shuffle; at 100 TB a hot domain is pre-thinned by filtering
+    on hash < (k / est_count) quantile before the exact rank — same
+    two-phase shape as topk_per_group."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.expr(_CAP_HASH)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CAP_K)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLE_CAP_PER_SOURCE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {_CAP_HASH}, doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= {_CAP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (token-pair association)
+# ---------------------------------------------------------------------------
+
+_COLL_DF_MIN = 5      # a pair is only as reliable as its members
+_COLL_DF_FRAC = 0.95  # stop-token ceiling: in >=95% of docs => no signal
+_COLL_MIN_PAIR = 5
+_COLL_MIN_PMI = 0.02
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by pointwise mutual information:
+    pmi(a,b) = ln(c_ab · N / (c_a · c_b)) over distinct-token document
+    incidence. Tokens with df < df_min (unreliable) or df ≥ 95% of the
+    corpus (stop-tokens: no association signal) are pruned BEFORE the
+    per-doc pair build. The pair build is keyed on doc_id, so its
+    fan-out is (per-doc surviving vocabulary)² — bounded by document
+    length, never corpus size; the df prune is a broadcast semi-join.
+    Counts are exact integers and N enters as a broadcast 1-row
+    aggregate; the PMI double is a single ln of an exact ratio —
+    engine-identical. Thresholded (not top-k) so the result set has no
+    float tie-break."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr("filter(split(text, ' '), t -> t <> '')"))
+        ).alias("tok"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_tok"))
+    kept = df_tok.crossJoin(F.broadcast(n_docs)).filter(
+        (F.col("c_tok") >= _COLL_DF_MIN)
+        & (F.col("c_tok") <= _COLL_DF_FRAC * F.col("n_docs"))
+    ).select("tok", "c_tok")
+    toks_k = toks.join(F.broadcast(kept), "tok")
+    a = toks_k.select("doc_id", F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a"))
+    b = toks_k.select("doc_id", F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "c_a", "c_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _COLL_MIN_PAIR)
+    )
+    out = pairs.crossJoin(F.broadcast(n_docs)).select(
+        "tok_a",
+        "tok_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.log(F.col("c_ab") * F.col("n_docs") / (F.col("c_a") * F.col("c_b"))).alias("pmi"),
+    )
+    return out.filter(F.col("pmi") >= _COLL_MIN_PMI)
+
+
+ORACLE_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+  FROM documents),
+df_tok AS (
+  SELECT tok, count(*) AS c_tok FROM toks GROUP BY tok
+  HAVING count(*) >= {_COLL_DF_MIN}
+     AND count(*) <= {_COLL_DF_FRAC} * (SELECT count(*) FROM documents)),
+kept AS (SELECT toks.doc_id, toks.tok, df_tok.c_tok FROM toks JOIN df_tok USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, a.c_tok AS c_a, b.c_tok AS c_b, count(*) AS c_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {_COLL_MIN_PAIR})
+SELECT tok_a, tok_b, CAST(c_ab AS BIGINT) AS c_ab,
+       ln(c_ab * (SELECT count(*) FROM documents) / (c_a * c_b)) AS pmi
+FROM pairs
+WHERE ln(c_ab * (SELECT count(*) FROM documents) / (c_a * c_b)) >= {_COLL_MIN_PMI}
+"""
+
+
+QUERIES_ANALYTICS = {
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_winsorize": q_winsorize,
+    "q_dedup_keep_best": q_dedup_keep_best,
+    "q_cap_per_source": q_cap_per_source,
+    "q_collocations": q_collocations,
+}
+
+ORACLE_ANALYTICS = {
+    "q_funnel": ORACLE_FUNNEL,
+    "q_cohort_retention": ORACLE_COHORT_RETENTION,
+    "q_winsorize": ORACLE_WINSORIZE,
+    "q_dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+    "q_cap_per_source": ORACLE_CAP_PER_SOURCE,
+    "q_collocations": ORACLE_COLLOCATIONS,
+}

@@ -21,22 +21,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from airflow_crypto_etl_spark import queries as q
-from airflow_crypto_etl_spark import queries_ext as qx
-from airflow_crypto_etl_spark import queries_market as qm
-from airflow_crypto_etl_spark import queries_scale as qs
-from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark.session import get_spark
 
-from __spark_entry__ import _merge_unique
+import __spark_entry__ as entry
 
-ALL_QUERIES = _merge_unique(
-    dict(q.QUERIES),
-    dict(qx.QUERIES_EXT),
-    dict(qt.QUERIES_TPCH),
-    dict(qs.QUERIES_SCALE),
-    dict(qm.QUERIES_MARKET),
-)
+# The driver-facing registry itself (collision-checked by _merge_unique
+# inside, finalize_decimals applied) — benching anything other than the
+# exact callables the driver runs would be benching the wrong code.
+ALL_QUERIES = entry.queries()
 
 HEADLINE = [
     # reference-parity core

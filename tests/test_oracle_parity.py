@@ -82,6 +82,7 @@ _PRODUCT_OK = {
     "q_mixture_rebalance",  # broadcast 1-row binding mixture total
     "q_udtf_ngrams",        # lateral UDTF join
     "q_tfidf",              # broadcast 1-row corpus doc-count scalar
+    "q_collocations",       # broadcast 1-row corpus doc-count scalar
 }
 
 
