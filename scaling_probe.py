@@ -51,6 +51,48 @@ def inflate(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
     return out
 
 
+def _collocations_pairs(d: DataFrame) -> DataFrame:
+    """The pair-count core of queries_analytics.q_collocations (df
+    prune → doc-keyed self-join → exact pair counts)."""
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr("filter(split(text, ' '), t -> t <> '')"))).alias("tok"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c_tok"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter((F.col("c_tok") >= 5) & (F.col("c_tok") <= 0.95 * F.col("n_docs")))
+        .select("tok")
+    )
+    tk = toks.join(F.broadcast(kept), "tok")
+    a = tk.select("doc_id", F.col("tok").alias("ta"))
+    b = tk.select("doc_id", F.col("tok").alias("tb"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+
+
+def _cap_per_source(d: DataFrame) -> DataFrame:
+    """Rank-over-hash domain capping (source synthesized from the id —
+    the probe's doc frame carries only doc_id/text)."""
+    from pyspark.sql.window import Window
+
+    from airflow_crypto_etl_spark.functions.hashing import affine_hash_sql
+
+    h = F.expr(affine_hash_sql("doc_id", "3"))
+    w = Window.partitionBy("src").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", (F.col("doc_id") % 20).alias("src"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )
+
+
 def main() -> None:
     spark = get_spark(app_name="aces-scaling-probe")
     li = load_table(spark, SF_DIR, "lineitem")
@@ -92,6 +134,14 @@ def main() -> None:
         # reassembly — every stage keyed, linear in total passages
         # (r4; caches released per rep below)
         "passage_dedup": lambda d: dd.passage_dedup(d),
+        # PMI collocations (r5): the pair build is keyed on doc_id, so
+        # fan-out is (per-doc vocabulary)² per doc — copy-inflation
+        # multiplies docs, not per-doc width, so the ratio must stay ~N
+        # (a corpus-quadratic pair build would blow past it)
+        "collocations_pairs": _collocations_pairs,
+        # Domain capping (r5): rank-over-hash window per source; copy
+        # inflation deepens each source's partition N× → ~N·log N
+        "cap_per_source": _cap_per_source,
     }
 
     orders = load_table(spark, SF_DIR, "orders").select(
@@ -120,6 +170,22 @@ def main() -> None:
     # groups — the "more trades per candle" scale-up. One partial-agg
     # shuffle of per-group partials, so the ratio must stay ~N.
     ev_cases["ohlc_candles"] = lambda d: tsx.ohlc(tsx.with_market_cols(d))
+
+    # Winsorization (r5): exact per-group percentile is the known scale
+    # hazard here (sort-based agg holds each group's values); groups
+    # stay fixed (5 event types) while values deepen N× — the ratio
+    # must stay ~N·log N, and a blow-up would mean the percentile agg
+    # stopped being a single-pass sort per group.
+    def winsorize_case(d: DataFrame) -> DataFrame:
+        bounds = d.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.05)").alias("p_lo"),
+            F.expr("percentile(value, 0.95)").alias("p_hi"),
+        )
+        return d.join(F.broadcast(bounds), "event_type").select(
+            "event_id", F.greatest("p_lo", F.least("p_hi", F.col("value"))).alias("w")
+        )
+
+    ev_cases["winsorize"] = winsorize_case
 
     results = {}
     for name, fn in cases.items():
