@@ -4,13 +4,15 @@ Training-data pipelines carry image/audio/video as ``binary`` columns
 with a typed metadata struct alongside. The Spark-side machinery that
 matters at 100 TB — schema, partition sizing, Arrow batch shape through
 ``mapInPandas``, and the UDF signatures — is implemented and tested
-here for real. PPM (P6) and PNG decode are REAL dependency-free
-decoders (chunk walk, CRC, inflate, all five scanline filters), and the
+here for real. PPM (P6), PNG (chunk walk, CRC, inflate, all five
+scanline filters) and baseline JPEG (Huffman entropy decode, dequant,
+IDCT — ``operators/jpeg.py``) are REAL dependency-free decoders, the
 resize / frame-sample verbs operate on the DECODED pixels via the
-shared kernel. Only formats that require a codec library (JPEG/WebP/
-video) stay gated: ``decode_payload`` raises ``NotImplementedError``
-unless a decoder import succeeds. ``extract_features`` is byte-level by
-design (format-agnostic featurization).
+shared kernels, and ``decode_payload`` dispatches on magic bytes across
+all three. Only formats that genuinely require a codec library
+(WebP/video) stay gated with an explicit error (or ``on_unknown="skip"``).
+``extract_features`` is byte-level by design (format-agnostic
+featurization).
 
 Scale notes: payload columns must never pass through a shuffle that
 only needs metadata — project metadata first, join payloads back by id
@@ -29,12 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # media decoders are not in this environment; gate cleanly
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+from .jpeg import decode_jpeg_bytes
 
 META_SCHEMA = T.StructType(
     [
@@ -75,20 +72,89 @@ def split_payload(df: DataFrame, id_col: str = "doc_id") -> tuple[DataFrame, Dat
     return df.select(id_col, "meta"), df.select(id_col, "payload")
 
 
-def decode_payload(df: DataFrame) -> DataFrame:
-    """General media decode (JPEG/WebP/... → pixels) — needs a decoder
-    library on the executors; gated on PIL. For the formats this engine
-    decodes natively with no libraries, use :func:`decode_ppm` (binary
-    P6) or :func:`decode_png` (real PNG: chunk walk, zlib inflate,
-    scanline de-filtering)."""
-    if not _HAS_PIL:
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("n_px_bytes", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def decode_payload(df: DataFrame, id_col: str = "doc_id", on_unknown: str = "error") -> DataFrame:
+    """Unified media decode: dispatch on the payload's magic bytes to the
+    engine's three REAL dependency-free decode kernels — P6 PPM, PNG
+    (chunk walk / inflate / de-filter) and baseline JPEG (Huffman
+    entropy decode / dequant / IDCT, ``operators/jpeg.py``) — emitting
+    one typed row per payload. Formats without a native kernel (WebP,
+    video containers) raise, or are skipped with ``on_unknown="skip"``
+    for the realistic mixed-corpus ingest shape. Arrow-batched
+    ``mapInPandas``; px_mean is an exact integer sum divided once."""
+    if on_unknown not in ("error", "skip"):
+        raise ValueError("on_unknown must be 'error' or 'skip'")
+
+    def decode_one(b: bytes) -> tuple | None:
+        if b[:2] == b"P6":
+            w, h, _maxval, off = _parse_ppm_header(b)
+            px = b[off : off + w * h * 3]
+            if len(px) != w * h * 3:
+                raise ValueError("truncated P6 pixel buffer")
+            return ("ppm", w, h, 3, len(px), sum(px) / len(px))
+        if b[:8] == _PNG_SIG:
+            w, h, _depth, ctype, raw = _decode_png_bytes(b)
+            return ("png", w, h, {0: 1, 2: 3, 6: 4}[ctype], len(raw), sum(raw) / len(raw))
+        if b[:2] == b"\xff\xd8":
+            w, h, ncomp, raw = decode_jpeg_bytes(b)
+            return ("jpeg", w, h, ncomp, len(raw), sum(raw) / len(raw))
+        if on_unknown == "skip":
+            return None
         raise NotImplementedError(
-            "JPEG decode requires an image library (e.g. Pillow) on the "
-            "executors; not available in this environment — decode_ppm (P6) and "
-            "decode_png (PNG) run dependency-free, extract_features gives "
-            "byte-level features for any payload"
+            f"no native decode kernel for payload head {b[:4].hex()} "
+            "(PPM/PNG/JPEG supported; WebP/video need a codec library)"
         )
-    raise NotImplementedError("decoder wiring reserved for an environment with media libs")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                r = decode_one(bytes(b))
+                if r is not None:
+                    rows.append((doc_id, *r))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "width", "height", "n_components", "n_px_bytes", "px_mean"],
+            )
+
+    return df.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def _parse_ppm_header(b: bytes) -> tuple[int, int, int, int]:
+    """Binary P6 header per the netpbm spec (magic, whitespace-separated
+    width/height/maxval, comment lines). Returns (w, h, maxval, pixel
+    offset)."""
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    vals, pos = [], 2
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    if not (0 < vals[2] < 256):
+        # maxval >= 256 means 2-byte samples — a spec-valid P6 this
+        # parser does not implement; reject instead of mis-decoding
+        raise ValueError(f"unsupported P6 maxval {vals[2]} (1-byte samples only)")
+    return vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
 
 
 PPM_SCHEMA = T.StructType(
@@ -144,27 +210,7 @@ def decode_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     px_mean is an exact integer sum divided once, so it is
     IEEE-reproducible across engines (oracle-comparable)."""
-
-    def parse_header(b: bytes) -> tuple[int, int, int, int]:
-        if b[:2] != b"P6":
-            raise ValueError("not a P6 PPM payload")
-        vals, pos = [], 2
-        while len(vals) < 3:
-            while pos < len(b) and b[pos : pos + 1].isspace():
-                pos += 1
-            if b[pos : pos + 1] == b"#":  # comment runs to end of line
-                while pos < len(b) and b[pos : pos + 1] != b"\n":
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(b) and not b[pos : pos + 1].isspace():
-                pos += 1
-            vals.append(int(b[start:pos]))
-        if not (0 < vals[2] < 256):
-            # maxval >= 256 means 2-byte samples — a spec-valid P6 this
-            # parser does not implement; reject instead of mis-decoding
-            raise ValueError(f"unsupported P6 maxval {vals[2]} (1-byte samples only)")
-        return vals[0], vals[1], vals[2], pos + 1  # single ws after maxval
+    parse_header = _parse_ppm_header
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -361,3 +361,149 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering + semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+_POW2_60 = 1152921504606846976.0  # 2^60: exact power-of-two scale factor
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared-L2 distance to a literal centroid as a sequential fold —
+    the same op order as :func:`dot`, so it is bit-exact cross-engine."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add the argmin-centroid ``cluster`` column: an array of
+    (distance, index) structs reduced with array_min — lexicographic
+    struct ordering breaks distance ties toward the lower cluster index,
+    which the SQL oracle mirrors with ORDER BY (d, cluster). Broadcast
+    semantics: the k×dim centroid literals ride the plan; the corpus
+    never shuffles for assignment."""
+    scored = F.array(
+        *[
+            F.struct(_sq_dist(F.col("v"), c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return base.withColumn("cluster", F.array_min(scored)["j"])
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column, Spark-first:
+    per iteration ONE partial-agg shuffle of (cluster, dim) partial sums
+    (k·dim·partitions rows — independent of corpus size), centroids ride
+    the closure as literals, and the corpus is never pairwise-joined.
+
+    Every step is exactly reproducible by a SQL oracle:
+    - seeding: the k lowest-id vectors (no RNG);
+    - assignment: sequential-fold squared-L2 with (distance, index)
+      tie-breaking;
+    - centroid update: dimension-wise mean via ORDER-FREE exact sums —
+      each float32 value scaled by 2^60 (exact in double for any
+      |x| ≥ 2^-37, true of any normalized-embedding corpus) and summed
+      as DECIMAL(38,0), then one double division chain. Shuffle
+      merge order can never change a bit of the result.
+
+    At 100 TB: iterations are O(scan) each with map-side combine;
+    k·dim driver state is tiny. This is the same aggregate-per-iteration
+    shape MLlib KMeans uses, minus RNG (provenance: engine extension —
+    the reference has no clustering surface).
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("v")
+    )
+    seeds = base.orderBy(F.col(id_col)).limit(k).collect()
+    centroids = [list(r["v"]) for r in seeds]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = _assign(base, centroids)
+        expl = assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        sums = (
+            expl.groupBy("cluster", "i")
+            .agg(
+                F.sum((F.col("x") * F.lit(_POW2_60)).cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .withColumn("m", F.col("s").cast("double") / F.lit(_POW2_60) / F.col("n"))
+        )
+        got = {
+            (r["cluster"], r["i"]): r["m"] for r in sums.select("cluster", "i", "m").collect()
+        }
+        centroids = [
+            [got.get((j, i), centroids[j][i]) for i in range(dim)] for j in range(k)
+        ]  # empty cluster keeps its previous centroid
+    return _assign(base, centroids).select(
+        id_col, "cluster", F.array_min(
+            F.array(*[F.struct(_sq_dist(F.col("v"), c).alias("d"), F.lit(j).alias("j"))
+                      for j, c in enumerate(centroids)])
+        )["d"].alias("dist")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the corpus with :func:`kmeans_assign`, then search for near-
+    duplicate pairs ONLY within each cluster — the cluster structure
+    bounds the quadratic term to Σ|cluster|² instead of N². A vector is
+    a duplicate if a lower-id member of its cluster has cosine ≥
+    threshold; ``dup_of`` is the lowest such id (deterministic
+    election). Emits every vector with (cluster, is_dup, dup_of).
+
+    Scale: the within-cluster self-join shuffles both sides by the
+    cluster key once; at 100 TB you additionally cap or sub-split hot
+    clusters (the LSH band trick in ``lsh_near_pairs`` composes here).
+    """
+    assigned = kmeans_assign(emb, k=k, iters=1, id_col=id_col, vec_col=vec_col).select(
+        id_col, "cluster"
+    )
+    base = _normed_base(emb, id_col, vec_col, spread=False).join(assigned, id_col)
+    a = base.select(
+        F.col("cluster"),
+        F.col(id_col).alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("cluster"),
+        F.col(id_col).alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["cluster"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+    dup_of = pairs.groupBy(F.col("b_id").alias(id_col)).agg(F.min("a_id").alias("dup_of"))
+    return (
+        assigned.join(dup_of, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

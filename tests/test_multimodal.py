@@ -1,5 +1,6 @@
 """Multimodal binary plumbing: schema, payload/metadata split, and the
-Arrow-batched mapInPandas feature path (PNG/PPM decode is real; JPEG stays lib-gated)."""
+Arrow-batched mapInPandas feature path (PPM, PNG and baseline JPEG decode
+are all real dependency-free kernels; only WebP/video stay lib-gated)."""
 
 from __future__ import annotations
 
@@ -37,11 +38,12 @@ def test_extract_features_mapinpandas(spark, sf_dir, payloads):
     assert 0.0 <= rows[some]["byte_mean"] <= 255.0
 
 
-def test_general_decode_is_gated(payloads):
-    # JPEG/PNG decode stays gated on a media library; PPM decode is the
-    # dependency-free real path (tests below)
-    with pytest.raises(NotImplementedError, match="decode_ppm"):
-        mm.decode_payload(payloads)
+def test_unknown_format_gated_and_skippable(payloads):
+    # utf-8 text payloads match no native kernel: error by default,
+    # dropped under on_unknown="skip" (the mixed-corpus ingest mode)
+    with pytest.raises(Exception, match="no native decode kernel"):
+        mm.decode_payload(payloads).collect()
+    assert mm.decode_payload(payloads, on_unknown="skip").count() == 0
 
 
 def _expected_gray(doc_id, w, h, out_w, out_h):
