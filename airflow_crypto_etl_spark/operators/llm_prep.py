@@ -388,3 +388,74 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             "q_max": F.array_max("_q"),
         }
     ).drop("_q")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle + length-bucketed batching
+# ---------------------------------------------------------------------------
+
+
+def shuffle_shards(
+    docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the
+    randomization pass before sharded tokenizer output, without
+    ``rand()`` (reproducible across reruns/engines, the same reasoning
+    as the hash train/test split): shuffle key = affine_hash(id),
+    shard = key mod n_shards, pos = rank of (key, id) within the shard.
+
+    Scale: one hash shuffle; each shard's ordering is an independent
+    per-shard sort (Spark runs the rank window per shard partition —
+    no global sort, no driver involvement). Writers follow with
+    repartition(shard) + sortWithinPartitions(pos) for on-disk order.
+    """
+    from ..functions.hashing import affine_hash
+
+    key = affine_hash(F.col(id_col), F.lit(11))
+    w = Window.partitionBy("shard").orderBy("skey", id_col)
+    return (
+        docs.select(id_col)
+        .withColumn("skey", key)
+        .withColumn("shard", F.pmod(F.col("skey"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def length_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    boundaries: tuple[int, ...] = (64, 128, 256),
+    n_streams: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assembly (padding-waste minimization): docs
+    fall into token-length bands at the given boundaries, are ordered by
+    (n_tokens, id) within a band, and grouped into fixed-size batches —
+    so each batch pads only to its own max length, not the corpus max.
+
+    Scale shape mirrors ``pack_sequences``: each band is sub-split into
+    ``n_streams`` independent hash streams so the rank window never
+    serializes a hot band through one partition; similar lengths still
+    co-batch within a stream, so the padding property holds
+    statistically. Batch identity = (bucket, stream, batch_seq).
+    """
+    from ..functions.hashing import affine_hash
+
+    toks = F.size(tokens_col(text_col))
+    bucket = sum(
+        (F.col("n_tokens") >= F.lit(b)).cast("int") for b in boundaries
+    )
+    w = Window.partitionBy("bucket", "stream").orderBy("n_tokens", id_col)
+    rk = F.row_number().over(w) - 1
+    return (
+        docs.select(id_col, toks.alias("n_tokens"))
+        .withColumn(
+            "stream", F.pmod(affine_hash(F.col(id_col), F.lit(13)), F.lit(n_streams)).cast("int")
+        )
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn("batch_seq", F.floor(rk / F.lit(batch_size)).cast("int"))
+        .withColumn("batch_pos", (rk % F.lit(batch_size)).cast("int"))
+        .select(id_col, "n_tokens", "bucket", "stream", "batch_seq", "batch_pos")
+    )

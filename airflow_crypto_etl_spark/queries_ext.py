@@ -568,6 +568,55 @@ FROM c
 """
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rand()-free global shuffle into 16 training shards
+    (affine-hash key, per-shard rank): one hash shuffle, per-shard sort,
+    reproducible across engines/reruns."""
+    from .operators import llm_prep as lp
+
+    return lp.shuffle_shards(_docs(spark, sf_dir), n_shards=16)
+
+
+ORACLE_SHUFFLE_SHARDS = f"""
+WITH t AS (SELECT doc_id, {affine_hash_sql('doc_id', '11')} AS skey FROM documents)
+SELECT doc_id,
+       CAST(skey % 16 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY skey % 16 ORDER BY skey, doc_id)
+            AS INTEGER) AS pos
+FROM t
+"""
+
+
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly (pad-to-batch-max, not corpus
+    max): token-length bands at (64, 128, 256), 4 hash streams per band
+    so no band serializes through one window partition, fixed batch
+    size 8 ordered by (n_tokens, id) within a stream."""
+    from .operators import llm_prep as lp
+
+    return lp.length_batches(_docs(spark, sf_dir), batch_size=8, n_streams=4)
+
+
+ORACLE_LENGTH_BATCHES = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+         CAST(({affine_hash_sql('doc_id', '13')}) % 4 AS INTEGER) AS stream
+  FROM documents),
+b AS (
+  SELECT *, CAST((n_tokens >= 64)::INT + (n_tokens >= 128)::INT
+                 + (n_tokens >= 256)::INT AS INTEGER) AS bucket
+  FROM t),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket, stream
+                               ORDER BY n_tokens, doc_id) - 1 AS rk
+  FROM b)
+SELECT doc_id, n_tokens, bucket, stream,
+       CAST(rk // 8 AS INTEGER) AS batch_seq,
+       CAST(rk % 8 AS INTEGER) AS batch_pos
+FROM r
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
 
@@ -1070,6 +1119,8 @@ QUERIES_EXT = {
     "q_repetition_stats": q_repetition_stats,
     "q_contamination": q_contamination,
     "q_pack_sequences": q_pack_sequences,
+    "q_shuffle_shards": q_shuffle_shards,
+    "q_length_batches": q_length_batches,
 }
 
 ORACLE_EXT = {
@@ -1106,6 +1157,8 @@ ORACLE_EXT = {
     "q_repetition_stats": ORACLE_REPETITION_STATS,
     "q_contamination": ORACLE_CONTAMINATION,
     "q_pack_sequences": ORACLE_PACK_SEQUENCES,
+    "q_shuffle_shards": ORACLE_SHUFFLE_SHARDS,
+    "q_length_batches": ORACLE_LENGTH_BATCHES,
 }
 
 

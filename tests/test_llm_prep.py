@@ -198,3 +198,47 @@ def test_quantize_embeddings_error_bound_and_range(spark):
     qs = [math.floor(x / scale + 0.5) for x in vec]
     assert all(abs(x - qv * scale) <= scale / 2 + 1e-12 for x, qv in zip(vec, qs))
     assert sum(qs) == out[1].q_sum and sum(abs(v) for v in qs) == out[1].q_l1
+
+
+def test_shuffle_shards_deterministic_and_complete(spark, sf_dir):
+    from airflow_crypto_etl_spark.operators import llm_prep as lp
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lp.shuffle_shards(docs, n_shards=16)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # positions are a 1..n_shard permutation per shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # rand()-free: identical under a different input partitioning
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in lp.shuffle_shards(docs.repartition(7), n_shards=16).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
+def test_length_batches_padding_property(spark, sf_dir):
+    """Within a (bucket, stream), batches are length-ordered: every
+    batch's max n_tokens <= the next batch's min — so padding to the
+    batch max is locally tight; batch_pos stays within batch_size and
+    bucket boundaries are respected."""
+    from airflow_crypto_etl_spark.operators import llm_prep as lp
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = lp.length_batches(docs, batch_size=8, n_streams=4).collect()
+    groups = {}
+    for r in out:
+        assert 0 <= r["batch_pos"] < 8
+        lo = (0, 64, 128, 256)[r["bucket"]]
+        hi = (64, 128, 256, 10**9)[r["bucket"]]
+        assert lo <= r["n_tokens"] < hi
+        groups.setdefault((r["bucket"], r["stream"], r["batch_seq"]), []).append(r["n_tokens"])
+    for (bucket, stream, seq), toks in groups.items():
+        nxt = groups.get((bucket, stream, seq + 1))
+        if nxt:
+            assert max(toks) <= min(nxt)
+            assert len(toks) == 8  # only the final batch may be ragged
