@@ -1,0 +1,111 @@
+"""Graph operators over relational edge lists: weighted PageRank.
+
+Complements the dedup family's iterative min-label propagation
+(`operators/dedup.duplicate_clusters`) with the other canonical
+iterative-fixpoint shape: per-iteration JOIN + partial-agg, driver loop
+bounded by ``iters``. The graph is built FROM the data (per-stream
+user-transition hand-offs in the events table), not synthesized.
+
+Determinism contract (what makes q_pagerank fully hash-checkable):
+float summation over a shuffle is merge-order-dependent, so each
+node's incoming probability mass is quantized to an INTEGER before the
+sum — contribution = floor(((pr·w)/outw)·2^40) — making every
+iteration bit-reproducible on any partitioning and any engine. The
+quantized recursion IS the defined algorithm (error ≤ 2^-40 per edge
+per step, far below ranking resolution); the same trick the market
+battery uses for merge-order-free variance sums.
+
+Scale: per iteration, the corpus-sized work is one equi-join of the
+edge list with the k-node rank table and one partial-agg shuffle keyed
+by dst. Edge and out-weight tables are computed once and cached; the
+dangling-mass scalar is the only driver-side value per iteration.
+100 TB edge lists iterate at O(scan) per round with map-side combine.
+
+Provenance: engine extension (the reference has no graph surface);
+PageRank per Page et al. 1999, dangling-mass handling per the standard
+power-iteration formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1099511627776.0  # 2^40 — exact power-of-two quantization scale
+
+
+def transition_edges(
+    events: DataFrame,
+    stream_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Weighted user-transition edges: within each stream (events of one
+    type, ordered by time with the id as tiebreak), an edge src→dst for
+    each consecutive pair of distinct users, weighted by transition
+    count. One window pass + one partial-agg groupBy."""
+    w = Window.partitionBy(stream_col).orderBy(ts_col, id_col)
+    e = events.withColumn("dst", F.lead(user_col).over(w)).where(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col(user_col))
+    )
+    return e.groupBy(F.col(user_col).alias("src"), F.col("dst")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damping: float = 0.85,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic weighted PageRank with dangling-mass redistribution.
+
+    pr_{t+1}(v) = (1-d)/N + d · (Σ_{(u,v)∈E} q(u,v) + D_t) / 2^40
+    where q(u,v) = floor(((pr_t(u)·w)/outw(u))·2^40) and
+    D_t = Σ_{u dangling} floor((pr_t(u)·2^40)/N).
+
+    All shuffled sums are over INTEGERS (exact, order-free); every
+    float op has a pinned order, so the result is bit-identical on any
+    partitioning — and to the unrolled SQL oracle.
+    """
+    node_col = nodes.columns[0]
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    edges_out = edges.join(outw, "src").localCheckpoint(eager=False)
+    pr = nodes.select(F.col(node_col).alias("node")).withColumn(
+        "pr", F.lit(1.0) / F.lit(n)
+    )
+    for _ in range(iters):
+        contrib = edges_out.join(pr.withColumnRenamed("node", "src"), "src").select(
+            "dst",
+            F.floor(F.col("pr") * F.col("w") / F.col("outw") * F.lit(QUANT)).alias("cq"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
+        dang = (
+            pr.join(outw.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.sum(F.floor(F.col("pr") * F.lit(QUANT) / F.lit(n))))
+            .collect()[0][0]
+        ) or 0
+        pr = (
+            pr.select("node")
+            .join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        (F.coalesce(F.col("sq"), F.lit(0)) + F.lit(int(dang))).cast("double")
+                        / F.lit(QUANT)
+                    )
+                ).alias("pr"),
+            )
+        )
+        # rank table is O(nodes): truncate the per-iteration lineage so
+        # the dangling probe and the next round don't recompute the
+        # whole chain (the duplicate_clusters checkpoint discipline)
+        pr = pr.localCheckpoint(eager=True)
+    return pr

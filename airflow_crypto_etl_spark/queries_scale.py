@@ -472,3 +472,68 @@ QUERIES_SCALE["q_variant_json"] = q_variant_json
 ORACLE_SCALE["q_variant_json"] = ORACLE_VARIANT_JSON
 QUERIES_SCALE["q_scan_xml"] = q_scan_xml
 ORACLE_SCALE["q_scan_xml"] = ORACLE_SCAN_XML
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted PageRank over the event-transition graph
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration rounds of weighted PageRank over the
+    per-event-type user-transition graph, with dangling-mass
+    redistribution. Incoming mass is floor-quantized to integers at
+    2^40 before every shuffled sum, so the whole recursion is
+    bit-reproducible on any partitioning — the oracle unrolls both
+    iterations in SQL and must hash-match exactly."""
+    from .operators import graph as gr
+
+    ev = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(ev)
+    nodes = ev.select("user_id").distinct()
+    pr = gr.pagerank(edges, nodes, damping=0.85, iters=2)
+    return pr.select(F.col("node").alias("user_id"), "pr")
+
+
+_PR_Q = "1099511627776.0"  # 2^40
+
+
+def _pr_iter_sql(prev: str, tag: str) -> str:
+    """One unrolled PageRank iteration: integer-quantized contributions
+    (same pinned op order as operators.graph.pagerank), dangling mass,
+    blend. Emits CTEs c{tag}, d{tag}, pr{tag}."""
+    return f"""
+c{tag} AS (
+  SELECT e.dst AS node,
+         SUM(CAST(floor(p.pr * e.w / o.outw * {_PR_Q}) AS BIGINT)) AS sq
+  FROM edges e JOIN outw o ON e.src = o.src JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst),
+d{tag} AS (
+  SELECT COALESCE(SUM(CAST(floor(p.pr * {_PR_Q} / (SELECT n FROM params)) AS BIGINT)), 0) AS dq
+  FROM {prev} p LEFT JOIN outw o ON p.node = o.src WHERE o.src IS NULL),
+pr{tag} AS (
+  SELECT nd.node,
+         (1.0 - 0.85) / (SELECT n FROM params)
+         + 0.85 * (CAST(COALESCE(c.sq, 0) + (SELECT dq FROM d{tag}) AS DOUBLE) / {_PR_Q}) AS pr
+  FROM nodes nd LEFT JOIN c{tag} c ON nd.node = c.node)"""
+
+
+ORACLE_PAGERANK = f"""
+WITH seq AS (
+  SELECT user_id,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events),
+edges AS (
+  SELECT user_id AS src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE dst IS NOT NULL AND dst <> user_id GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT user_id AS node FROM events),
+params AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM params) AS pr FROM nodes),
+{_pr_iter_sql('pr0', '1')},
+{_pr_iter_sql('pr1', '2')}
+SELECT node AS user_id, pr FROM pr2
+"""
+
+QUERIES_SCALE["q_pagerank"] = q_pagerank
+ORACLE_SCALE["q_pagerank"] = ORACLE_PAGERANK

@@ -26,7 +26,9 @@ from airflow_crypto_etl_spark.operators import aggregate as agg_ops
 from airflow_crypto_etl_spark.operators import cdc as cdc_ops
 from airflow_crypto_etl_spark.operators import dedup as dd
 from airflow_crypto_etl_spark.operators import joins as join_ops
+from airflow_crypto_etl_spark.operators import jpeg as jp
 from airflow_crypto_etl_spark.operators import llm_prep as lp
+from airflow_crypto_etl_spark.operators import similarity as sim
 from airflow_crypto_etl_spark.operators import timeseries as tsx
 from airflow_crypto_etl_spark.session import get_spark
 from airflow_crypto_etl_spark.queries_pipeline import _cdc_feed
@@ -142,6 +144,15 @@ def main() -> None:
         # Domain capping (r5): rank-over-hash window per source; copy
         # inflation deepens each source's partition N× → ~N·log N
         "cap_per_source": _cap_per_source,
+        # Baseline JPEG decode (r5): Arrow-batched mapInPandas, per-doc
+        # Huffman+IDCT — embarrassingly parallel, ratio must stay ~N
+        "jpeg_decode": lambda d: jp.decode_jpeg(jp.attach_jpeg_payload(d)),
+        # rand()-free shard shuffle (r5): one hash shuffle + per-shard
+        # rank windows (16 shards deepen N× each) → ~N·log N
+        "shuffle_shards": lambda d: lp.shuffle_shards(d),
+        # length-bucketed batching (r5): per-(band, stream) rank windows
+        # — streams bound partition depth, ratio must stay ~N·log N
+        "length_batches": lambda d: lp.length_batches(d),
     }
 
     orders = load_table(spark, SF_DIR, "orders").select(
@@ -215,6 +226,21 @@ def main() -> None:
         t0 = time.perf_counter(); fn(ev).count(); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
+
+    # Lloyd k-means (r5): per iteration one assignment scan (centroid
+    # literals ride the closure) + one k·dim partial-agg shuffle whose
+    # post-shuffle size is independent of corpus rows — ratio must stay
+    # ~N. (semantic_dedup's pair stage is deliberately NOT probed under
+    # copy inflation: copies are true duplicates, so its OUTPUT is
+    # quadratic in copies — same reasoning as minhash_signatures above.)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    big_emb = inflate(emb, ["vec_id"], INFLATE)
+    sim.kmeans_assign(emb, k=8, iters=1).count()  # warm
+    t0 = time.perf_counter(); sim.kmeans_assign(emb, k=8, iters=1).count(); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); sim.kmeans_assign(big_emb, k=8, iters=1).count(); tn = time.perf_counter() - t0
+    results["kmeans_assign"] = {
+        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+    }
 
     # Incremental-dedup lookup: the BATCH stays fixed while the corpus
     # INDEX inflates N× — the daily-ingest shape. The index is read from
