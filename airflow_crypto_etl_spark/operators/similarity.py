@@ -507,3 +507,172 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact embedding covariance + PCA
+# ---------------------------------------------------------------------------
+
+_POW2_90 = 1.2379400392853803e27  # 2^90: exact scale for float32 PRODUCTS
+
+
+def embedding_covariance(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact sample covariance matrix of the embedding corpus, emitted
+    as upper-triangle entries (i, j, cov) — the statistics pass under
+    PCA whitening / mahalanobis scoring.
+
+    Order-free exactness (the kmeans trick, extended to second
+    moments): a product of two float32 values is EXACT in double
+    (24+24 ≤ 53 mantissa bits), and scaling by 2^90 makes it an
+    integer for any |x| ≥ 2^-22 (any normalized-embedding corpus; the
+    fixture floor is 2^-20) — so Σ x_i·x_j accumulates as
+    DECIMAL(38,0) and no shuffle order can change a bit. Means reuse
+    the 2^60 first-moment scale. cov = E[x_i x_j] − μ_i μ_j with one
+    pinned float op chain.
+
+    Scale shape: the registered form explodes to (row, i, x_i) pairs
+    and partial-aggs d² groups — one shuffle whose post-shuffle size is
+    d², independent of corpus rows. For very wide vectors prefer
+    :func:`gram_arrow` (per-partition numpy outer products, same
+    d²-bounded shuffle, ~dim× less exploded traffic)."""
+    d2 = _to_double(F.col(vec_col))
+    base = emb.select(F.posexplode(d2).alias("i", "x"))
+    pairs = (
+        emb.select(F.col(id_col).alias("rid"), d2.alias("v"))
+        .select("rid", F.posexplode("v").alias("i", "x"))
+    )
+    rhs = pairs.select(F.col("rid"), F.col("i").alias("j"), F.col("x").alias("y"))
+    prods = (
+        pairs.join(rhs, "rid")
+        .where(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("x") * F.col("y") * F.lit(_POW2_90)).cast("decimal(38,0)")).alias("sp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    means = base.groupBy("i").agg(
+        F.sum((F.col("x") * F.lit(_POW2_60)).cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("i", (F.col("s").cast("double") / F.lit(_POW2_60) / F.col("n")).alias("mu"))
+    mj = means.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        prods.join(F.broadcast(means), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sp").cast("double") / F.lit(_POW2_90) / F.col("n")
+                - F.col("mu") * F.col("mu_j")
+            ).alias("cov"),
+        )
+    )
+
+
+def gram_arrow(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Scale path for the second-moment pass: per-partition numpy
+    X.T @ X partials via mapInPandas (one d×d float64 matrix per Arrow
+    batch), then a driver-side exact merge is NOT needed — partials are
+    summed by Spark as flattened entries. Float summation here is
+    batch-order-dependent (~1e-13): use :func:`embedding_covariance`
+    when results feed an exactness gate; use this when dim² · rows
+    explode traffic dominates (wide vectors)."""
+    import pandas as pd  # noqa: F811
+
+    def batches(it):
+        for pdf in it:
+            X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(X) == 0:
+                continue
+            G = X.T @ X
+            d = G.shape[0]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame({"i": iu[0], "j": iu[1], "g": G[iu], "n": len(X)})
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("g", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    parts = emb.select(vec_col).mapInPandas(batches, schema)
+    return parts.groupBy("i", "j").agg(F.sum("g").alias("g"), F.sum("n").alias("n"))
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, "np.ndarray", "np.ndarray"]:
+    """PCA via the exact covariance pass: eigendecompose the d×d matrix
+    on the driver (d is small; the DATA never leaves the cluster), then
+    project each vector onto the top-k components as a broadcast
+    literal matrix multiply — one scan, no shuffle. Component sign is
+    fixed deterministically (largest-|loading| coordinate positive).
+    Returns (projections DF, components [k×d], eigenvalues [k])."""
+    cov_rows = embedding_covariance(emb, id_col=id_col, vec_col=vec_col).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps, evs = [], []
+    for idx in order:
+        u = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(u)))
+        if u[pivot] < 0:
+            u = -u
+        comps.append(u)
+        evs.append(float(vals[idx]))
+    comps = np.stack(comps)  # k × d
+
+    # center on the exact-decimal mean: proj = (x - mu) @ u, expressed
+    # as dot(x, u) minus the scalar dot(mu, u) so the per-row work is
+    # one fold per component
+    mu = _exact_means(emb, vec_col)
+    v = _to_double(F.col(vec_col))
+    proj_cols = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(w)) for w in comps[c]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(float(np.dot(mu, comps[c])))
+        ).alias(f"pc{c}")
+        for c in range(len(comps))
+    ]
+    out = emb.select(F.col(id_col), *proj_cols)
+    return out, comps, np.array(evs)
+
+
+def _exact_means(emb: DataFrame, vec_col: str = "embedding") -> "np.ndarray":
+    """Dimension-wise exact means (the 2^60-decimal first-moment pass),
+    collected to the driver as a d-vector."""
+    rows = (
+        emb.select(F.posexplode(_to_double(F.col(vec_col))).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum((F.col("x") * F.lit(_POW2_60)).cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("i", (F.col("s").cast("double") / F.lit(_POW2_60) / F.col("n")).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(max(r["i"] for r in rows) + 1)
+    for r in rows:
+        mu[r["i"]] = r["mu"]
+    return mu

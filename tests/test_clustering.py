@@ -97,3 +97,52 @@ def test_semantic_dedup_bounds_pairs_to_clusters(emb):
     for r in out.where("is_dup").collect():
         assert r["dup_of"] < r["vec_id"]
         assert clusters[r["dup_of"]] == r["cluster"]
+
+
+def test_covariance_matches_numpy(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    got = sim.embedding_covariance(emb).collect()
+    assert len(got) == X.shape[1] * (X.shape[1] + 1) // 2
+    for r in got:
+        assert abs(r["cov"] - C[r["i"], r["j"]]) < 1e-12
+
+
+def test_covariance_partitioning_invariance(emb):
+    a = {(r["i"], r["j"]): r["cov"]
+         for r in sim.embedding_covariance(emb.repartition(3)).collect()}
+    b = {(r["i"], r["j"]): r["cov"]
+         for r in sim.embedding_covariance(emb.repartition(11)).collect()}
+    assert a == b  # bitwise, not approx
+
+
+def test_gram_arrow_agrees_with_exact_pass(emb):
+    """The Arrow scale path (per-partition numpy X'X partials) agrees
+    with the exact decimal pass to float-merge tolerance."""
+    n = emb.count()
+    cov = {(r["i"], r["j"]): r["cov"] for r in sim.embedding_covariance(emb).collect()}
+    mu_rows = sim._exact_means(emb)
+    for r in sim.gram_arrow(emb).collect():
+        i, j = r["i"], r["j"]
+        exact = cov[(i, j)] + mu_rows[i] * mu_rows[j]
+        assert abs(r["g"] / n - exact) < 1e-9
+        assert r["n"] == n
+
+
+def test_pca_project_laws(emb):
+    proj, comps, evs = sim.pca_project(emb, k=4)
+    # components orthonormal
+    G = comps @ comps.T
+    assert np.allclose(G, np.eye(len(comps)), atol=1e-10)
+    # eigenvalues descending, non-negative
+    assert all(evs[i] >= evs[i + 1] for i in range(len(evs) - 1))
+    assert (evs > -1e-12).all()
+    # deterministic sign: largest-|loading| coordinate positive
+    for u in comps:
+        assert u[int(np.argmax(np.abs(u)))] > 0
+    # population variance of each projection equals its eigenvalue
+    P = np.array([[r[f"pc{c}"] for c in range(4)] for r in proj.collect()])
+    var = P.var(axis=0)  # projections are mean-centered by construction
+    assert np.allclose(var, evs, rtol=1e-8)
+    assert np.allclose(P.mean(axis=0), 0.0, atol=1e-10)
