@@ -1003,6 +1003,47 @@ FROM a1 LEFT JOIN dup ON a1.vec_id = dup.vec_id
 """
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates vs exact counts for
+    the corpus's top-20 tokens. The sketch (4×512 integer grid, one
+    partial-agg shuffle, post-shuffle size independent of corpus rows)
+    is built from the repo's engine-portable hashes, so the oracle
+    reproduces every counter — and the CMS one-sided-error property
+    (cms_est ≥ true_count) is visible in the published columns."""
+    from .operators import sketch as sk
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tx.tokens_col("text")).alias("tok"))
+    sketch = sk.cms_build(toks)
+    true_top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = sk.cms_estimate(sketch, true_top.select("tok"))
+    return true_top.join(est, "tok").select("tok", "true_count", "cms_est")
+
+
+ORACLE_CMS_COUNTS = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT tok, {char_hash_sql('tok')} AS hv FROM toks),
+cells AS (
+  SELECT j, ({affine_hash_sql('hv', 'j')}) % 512 AS cell,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM h CROSS JOIN range(0, 4) t(j) GROUP BY 1, 2),
+truec AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count, MIN(hv) AS hv
+  FROM h GROUP BY tok ORDER BY true_count DESC, tok LIMIT 20),
+est AS (
+  SELECT t.tok, t.true_count, MIN(COALESCE(c.c, 0)) AS cms_est
+  FROM truec t CROSS JOIN range(0, 4) r(j)
+  LEFT JOIN cells c ON c.j = r.j AND c.cell = ({affine_hash_sql('t.hv', 'r.j')}) % 512
+  GROUP BY t.tok, t.true_count)
+SELECT tok, true_count, CAST(cms_est AS BIGINT) AS cms_est FROM est
+"""
+
+
 def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sample covariance of the embedding corpus (upper triangle):
     second moments accumulate as 2^90-scaled DECIMAL(38,0) integers
@@ -1119,6 +1160,7 @@ QUERIES_EXT = {
     "q_kmeans": q_kmeans,
     "q_semantic_dedup": q_semantic_dedup,
     "q_embed_covariance": q_embed_covariance,
+    "q_cms_counts": q_cms_counts,
     "q_multimodal_jpeg": q_multimodal_jpeg,
     "q_multimodal_dispatch": q_multimodal_dispatch,
     "q_token_count": q_token_count,
@@ -1158,6 +1200,7 @@ ORACLE_EXT = {
     "q_kmeans": ORACLE_KMEANS,
     "q_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "q_embed_covariance": ORACLE_EMBED_COVARIANCE,
+    "q_cms_counts": ORACLE_CMS_COUNTS,
     "q_multimodal_jpeg": ORACLE_MULTIMODAL_JPEG,
     "q_multimodal_dispatch": ORACLE_MULTIMODAL_DISPATCH,
     "q_token_count": ORACLE_TOKEN_COUNT,

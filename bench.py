@@ -67,6 +67,10 @@ HEADLINE = [
     "q_scd2_intervals",
     "q_stream_stream_join",
     "q_rollup_hierarchy",
+    # round-5 additions: clustering / graph / codec families
+    "q_kmeans",
+    "q_pagerank",
+    "q_multimodal_jpeg",
 ]
 
 

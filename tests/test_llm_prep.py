@@ -242,3 +242,28 @@ def test_length_batches_padding_property(spark, sf_dir):
         if nxt:
             assert max(toks) <= min(nxt)
             assert len(toks) == 8  # only the final batch may be ragged
+
+
+def test_cms_one_sided_error_and_mergeability(spark, sf_dir):
+    """CMS laws: (1) estimate >= true count for EVERY token; (2)
+    sketches merge losslessly by cell-wise addition — the sketch of the
+    whole corpus equals the merge of two half-corpus sketches."""
+    import pyspark.sql.functions as F
+    from airflow_crypto_etl_spark.operators import sketch as sk
+    from airflow_crypto_etl_spark.operators.text import tokens_col
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    full = sk.cms_build(toks)
+    # one-sided error over the full vocabulary
+    truec = toks.groupBy("tok").count()
+    est = sk.cms_estimate(full, truec.select("tok"))
+    bad = truec.join(est, "tok").where(F.col("cms_est") < F.col("count")).count()
+    assert bad == 0
+    # lossless merge of disjoint partial sketches
+    a = sk.cms_build(toks.where("doc_id % 2 = 0"))
+    b = sk.cms_build(toks.where("doc_id % 2 = 1"))
+    merged = {(r["j"], r["cell"]): r["c"] for r in sk.cms_merge(a, b).collect()}
+    whole = {(r["j"], r["cell"]): r["c"] for r in full.collect()}
+    assert merged == whole
