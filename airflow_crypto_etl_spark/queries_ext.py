@@ -1003,6 +1003,45 @@ FROM a1 LEFT JOIN dup ON a1.vec_id = dup.vec_id
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus build (plans/corpus_pipeline.py): quality
+    filter → PII redaction → exact dedup on the redacted text →
+    deterministic shard shuffle, oracle-checked end-to-end so stage
+    boundaries (which column feeds forward, filter-before-dedup order)
+    are pinned, not just each stage in isolation."""
+    from .plans.corpus_pipeline import build_training_corpus
+
+    return build_training_corpus(_docs(spark, sf_dir))["final"]
+
+
+def _corpus_pipeline_oracle() -> str:
+    from .operators.llm_prep import PII_MASKS, PII_ORDER, PII_PATTERNS
+    from .queries_analytics import _quality_sql
+
+    scrub = "text"
+    for k in PII_ORDER:
+        scrub = f"regexp_replace({scrub}, '{PII_PATTERNS[k]}', '{PII_MASKS[k]}', 'g')"
+    return f"""
+WITH scored AS ({_quality_sql('documents')}),
+kept AS (SELECT doc_id, text, quality_score FROM scored WHERE quality_score >= 0.3),
+scrub AS (SELECT doc_id, {scrub} AS stext, quality_score FROM kept),
+ded AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+        FROM scrub GROUP BY stext),
+surv AS (SELECT d.doc_id, d.n_copies, s.quality_score
+         FROM ded d JOIN scrub s ON d.doc_id = s.doc_id),
+sh AS (SELECT doc_id, {affine_hash_sql('doc_id', '11')} AS skey FROM surv)
+SELECT s.doc_id,
+       CAST(sh.skey % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY sh.skey % 8 ORDER BY sh.skey, s.doc_id)
+            AS INTEGER) AS pos,
+       s.n_copies, s.quality_score
+FROM surv s JOIN sh ON s.doc_id = sh.doc_id
+"""
+
+
+ORACLE_CORPUS_PIPELINE = _corpus_pipeline_oracle()
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch point-frequency estimates vs exact counts for
     the corpus's top-20 tokens. The sketch (4×512 integer grid, one
@@ -1161,6 +1200,7 @@ QUERIES_EXT = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_embed_covariance": q_embed_covariance,
     "q_cms_counts": q_cms_counts,
+    "q_corpus_pipeline": q_corpus_pipeline,
     "q_multimodal_jpeg": q_multimodal_jpeg,
     "q_multimodal_dispatch": q_multimodal_dispatch,
     "q_token_count": q_token_count,
@@ -1201,6 +1241,7 @@ ORACLE_EXT = {
     "q_semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "q_embed_covariance": ORACLE_EMBED_COVARIANCE,
     "q_cms_counts": ORACLE_CMS_COUNTS,
+    "q_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "q_multimodal_jpeg": ORACLE_MULTIMODAL_JPEG,
     "q_multimodal_dispatch": ORACLE_MULTIMODAL_DISPATCH,
     "q_token_count": ORACLE_TOKEN_COUNT,

@@ -263,3 +263,32 @@ def test_bottomk_twophase_survives_tight_safety(spark):
         for r in sp.sample_bottomk_twophase(df, "stratum", "id", 10, safety=0.1).collect()
     }
     assert tight == direct
+
+
+def test_corpus_pipeline_composition(spark, sf_dir):
+    """The composed corpus build: stage row-accounting is monotone
+    non-increasing, survivors are unique ids, shard positions are
+    per-shard permutations, and every survivor meets the quality bar."""
+    from airflow_crypto_etl_spark.plans.corpus_pipeline import (
+        build_training_corpus,
+        stage_counts,
+    )
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stages = build_training_corpus(docs, min_quality=0.3, n_shards=8)
+    counts = stage_counts(stages)
+    assert counts["scored"] == docs.count()
+    assert counts["kept"] <= counts["scored"]
+    assert counts["scrubbed"] == counts["kept"]  # scrub never drops rows
+    assert counts["deduped"] <= counts["kept"]
+    assert counts["final"] == counts["deduped"]
+    rows = stages["final"].collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(r["quality_score"] >= 0.3 for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
