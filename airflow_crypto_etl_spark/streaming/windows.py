@@ -346,3 +346,46 @@ def streaming_candles_watermarked(
         "volume",
         "n_trades",
     )
+
+
+def streaming_cms(
+    docs_stream: DataFrame, state_dir: str, checkpoint_dir: str, text_col: str = "text"
+) -> None:
+    """Incremental count-min sketch maintenance over a document stream —
+    the sketch-family answer to streaming frequency tracking: each
+    micro-batch builds a PARTIAL sketch (one partial-agg of the batch,
+    depth×width rows) written to its own ``batch_id=`` partition with
+    dynamic partition overwrite, so a REPLAYED batch overwrites exactly
+    its own partition — idempotent without a transactional table. The
+    live sketch is the cell-wise merge across partitions
+    (:func:`cms_read`), lossless by the CMS merge law
+    (`operators/sketch.py`; law-tested in test_llm_prep). State grows
+    by depth×width per batch and can be compacted by merging old
+    partitions — never by corpus size."""
+    from ..operators import sketch as sk
+    from ..operators.text import tokens_col
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(F.explode(tokens_col(text_col)).alias("tok"))
+        partial = sk.cms_build(toks).withColumn("batch_id", F.lit(int(batch_id)))
+        (
+            partial.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_dir)
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_read(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge the per-batch partial sketches into the live sketch."""
+    parts = spark.read.parquet(state_dir)
+    return parts.groupBy("j", "cell").agg(F.sum("c").alias("c"))

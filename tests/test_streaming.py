@@ -150,3 +150,53 @@ def test_watermarked_candles_drop_late_events(spark, tmp_path):
     assert hour0 is not None
     assert hour0.n_trades == 2
     assert float(hour0.high) == 20.0 and float(hour0.close) == 20.0
+
+
+def test_streaming_cms_matches_batch_and_replays_idempotently(spark, sf_dir, tmp_path):
+    """Incremental sketch maintenance: stream the documents in 3
+    micro-batches (maxFilesPerTrigger=1), merge the per-batch partials,
+    and the result equals the one-shot batch sketch; wiping the
+    checkpoint and replaying overwrites the same batch partitions —
+    byte-identical state, no double counting."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark.operators import sketch as sk
+    from airflow_crypto_etl_spark.operators.text import tokens_col
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.windows import cms_read, streaming_cms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stream")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_cms(stream, state, ckpt)
+
+    merged = {(r["j"], r["cell"]): r["c"] for r in cms_read(spark, state).collect()}
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    whole = {(r["j"], r["cell"]): r["c"] for r in sk.cms_build(toks).collect()}
+    assert merged == whole
+    n_parts = spark.read.parquet(state).select("batch_id").distinct().count()
+    assert n_parts >= 2  # really ran as multiple micro-batches
+
+    # replay from scratch: same batches, same partitions, same state
+    shutil.rmtree(ckpt)
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_cms(stream2, state, ckpt)
+    again = {(r["j"], r["cell"]): r["c"] for r in cms_read(spark, state).collect()}
+    assert again == whole
