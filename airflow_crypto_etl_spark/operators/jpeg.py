@@ -610,3 +610,28 @@ def decode_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(batches, JPEG_SCHEMA)
+
+
+def attach_jpeg_color_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 4:4:4 color baseline JPEG with constant planes chosen so
+    the lossy pipeline is exact (Y even → divisible by the luma DC
+    quantum 16; Cb/Cr at 128 ± 17k → divisible by the chroma quantum
+    17): Y = 64 + 2·(3·id mod 64), Cb = 128 + 17·((id mod 5) − 2),
+    Cr = 128 + 17·((id mod 3) − 1), geometry 8·(1 + id mod 2) × 8.
+    Exercises chroma table SELECTION and the YCbCr→RGB epilogue on the
+    registered oracle path, not just in unit tests."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads = []
+            for i in ids:
+                i = int(i)
+                y = 64 + 2 * ((3 * i) % 64)
+                cb = 128 + 17 * ((i % 5) - 2)
+                cr = 128 + 17 * ((i % 3) - 1)
+                payloads.append(make_jpeg_color(y, cb, cr, 8 * (1 + i % 2), 8))
+            yield pd.DataFrame({id_col: ids, "payload": payloads})
+
+    schema = T.StructType([docs.schema[id_col], T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(batches, schema)

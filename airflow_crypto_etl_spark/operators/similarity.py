@@ -676,3 +676,78 @@ def _exact_means(emb: DataFrame, vec_col: str = "embedding") -> "np.ndarray":
     for r in rows:
         mu[r["i"]] = r["mu"]
     return mu
+
+
+def mahalanobis_scores(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ridge: float = 1e-9,
+) -> DataFrame:
+    """Embedding outlier scoring: squared Mahalanobis distance
+    d²(x) = (x−μ)ᵀ C⁻¹ (x−μ) — the distributional quality filter a
+    training pipeline runs to drop corrupt/out-of-domain vectors.
+
+    Composition of the exact statistics pass: C and μ come from
+    :func:`embedding_covariance` / :func:`_exact_means` (order-free
+    decimal sums), the d×d eigendecomposition happens on the DRIVER
+    (data never leaves the cluster), and the score is evaluated in
+    whitened form — d² = Σ_i ((x·u_i − μ·u_i)² / λ_i) — as d broadcast
+    literal folds per row: one scan, no shuffle, no Python. ``ridge``
+    regularizes near-singular directions (λ_i += ridge)."""
+    cov_rows = embedding_covariance(emb, id_col=id_col, vec_col=vec_col).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    vals = vals + ridge
+    mu = _exact_means(emb, vec_col)
+    v = _to_double(F.col(vec_col))
+    score = F.lit(0.0)
+    for i in range(d):
+        u = vecs[:, i]
+        proj = (
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(w)) for w in u]), lambda a, b: a * b),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(float(np.dot(mu, u)))
+        )
+        score = score + (proj * proj) / F.lit(float(vals[i]))
+    return emb.select(F.col(id_col), score.alias("maha_sq"))
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Evaluate the approximate path against exact truth INSIDE the
+    engine: recall@k of the multi-table LSH searcher vs the brute-force
+    scorer, per query — the measure-don't-guess gate an ANN deployment
+    runs before trading exactness for speed. Both sides are
+    deterministic, so the recall fractions are oracle-reproducible."""
+    exact = brute_force_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("t")
+    )
+    approx = lsh_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("a")
+    )
+    hits = exact.join(
+        approx, (exact.query_id == approx.query_id) & (F.col("t") == F.col("a"))
+    ).groupBy(exact.query_id).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")
+            ).alias("recall"),
+        )
+    )

@@ -418,6 +418,32 @@ SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk
 ORACLE_ANN_LSH = _lsh_oracle()
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the multi-table LSH searcher vs the exact
+    brute-force scorer, per query — the approximate path evaluated
+    against truth inside the engine. Deterministic on both sides, so
+    the recall fractions hash-match the oracle."""
+    return sim.ann_recall(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _ann_recall_oracle() -> str:
+    exact = ORACLE_ANN_TOPK.strip().rstrip()
+    approx = ORACLE_ANN_LSH.strip().rstrip()
+    return f"""
+WITH ex AS ({exact}),
+ap AS ({approx}),
+hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
+         FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         GROUP BY ex.query_id),
+tot AS (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id)
+SELECT tot.query_id, CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
+FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
+"""
+
+
+ORACLE_ANN_RECALL = _ann_recall_oracle()
+
+
 def _neardup_oracle() -> str:
     long_union = "\n  UNION ALL ".join(
         f"SELECT vec_id, {t} AS t, {_bucket_sql(t)} AS bucket FROM v" for t in range(sim.LSH_TABLES)
@@ -1145,6 +1171,40 @@ FROM geo
 """
 
 
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color (4:4:4) baseline JPEG decode on the registered oracle
+    path: constant planes chosen so quantization is exact (Y even,
+    Cb/Cr at 128±17k), which pins chroma TABLE SELECTION (quant 1,
+    DC1/AC1 Huffman) and the JFIF YCbCr→RGB epilogue — the oracle
+    recomputes the conversion formulas per doc and predicts the exact
+    pixel mean."""
+    d = jp.attach_jpeg_color_payload(_docs(spark, sf_dir))
+    return jp.decode_jpeg(d)
+
+
+ORACLE_MULTIMODAL_JPEG_COLOR = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS width,
+         CAST(8 AS INTEGER) AS height,
+         64 + 2 * ((3 * doc_id) % 64) AS y,
+         128 + 17 * ((doc_id % 5) - 2) AS cb,
+         128 + 17 * ((doc_id % 3) - 1) AS cr
+  FROM documents),
+rgb AS (
+  SELECT doc_id, width, height,
+         least(255, greatest(0, CAST(round(y + 1.402 * (cr - 128)) AS BIGINT))) AS r,
+         least(255, greatest(0, CAST(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) AS BIGINT))) AS g,
+         least(255, greatest(0, CAST(round(y + 1.772 * (cb - 128)) AS BIGINT))) AS b
+  FROM geo)
+SELECT doc_id, width, height,
+       CAST(3 AS INTEGER) AS n_components,
+       CAST(width * height * 3 AS INTEGER) AS n_px_bytes,
+       CAST((r + g + b) * width * height AS DOUBLE) / (width * height * 3) AS px_mean
+FROM rgb
+"""
+
+
 def q_multimodal_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified mixed-corpus decode: each doc carries a DIFFERENT format
     by id (PPM / PNG / JPEG round-robin) and ``decode_payload``
@@ -1202,6 +1262,7 @@ QUERIES_EXT = {
     "q_cms_counts": q_cms_counts,
     "q_corpus_pipeline": q_corpus_pipeline,
     "q_multimodal_jpeg": q_multimodal_jpeg,
+    "q_multimodal_jpeg_color": q_multimodal_jpeg_color,
     "q_multimodal_dispatch": q_multimodal_dispatch,
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
@@ -1216,6 +1277,7 @@ QUERIES_EXT = {
     "q_ann_topk": q_ann_topk,
     "q_ann_topk_arrow": q_ann_topk_arrow,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_recall": q_ann_recall,
     "q_ann_ivf": q_ann_ivf,
     "q_session_window": q_session_window,
     "q_window_tumbling": q_window_tumbling,
@@ -1243,6 +1305,7 @@ ORACLE_EXT = {
     "q_cms_counts": ORACLE_CMS_COUNTS,
     "q_corpus_pipeline": ORACLE_CORPUS_PIPELINE,
     "q_multimodal_jpeg": ORACLE_MULTIMODAL_JPEG,
+    "q_multimodal_jpeg_color": ORACLE_MULTIMODAL_JPEG_COLOR,
     "q_multimodal_dispatch": ORACLE_MULTIMODAL_DISPATCH,
     "q_token_count": ORACLE_TOKEN_COUNT,
     "q_quality_score": ORACLE_QUALITY_SCORE,
@@ -1257,6 +1320,7 @@ ORACLE_EXT = {
     "q_ann_topk": ORACLE_ANN_TOPK,
     "q_ann_topk_arrow": ORACLE_ANN_TOPK_ARROW,
     "q_ann_lsh": ORACLE_ANN_LSH,
+    "q_ann_recall": ORACLE_ANN_RECALL,
     "q_ann_ivf": ORACLE_ANN_IVF,
     "q_session_window": ORACLE_SESSION_WINDOW,
     "q_window_tumbling": ORACLE_WINDOW_TUMBLING,

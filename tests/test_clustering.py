@@ -146,3 +146,26 @@ def test_pca_project_laws(emb):
     var = P.var(axis=0)  # projections are mean-centered by construction
     assert np.allclose(var, evs, rtol=1e-8)
     assert np.allclose(P.mean(axis=0), 0.0, atol=1e-10)
+
+
+def test_mahalanobis_matches_numpy(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    C = np.cov(X, rowvar=False, bias=True) + 1e-9 * np.eye(X.shape[1])
+    Ci = np.linalg.inv(C)
+    D = (X - mu) @ Ci * (X - mu)
+    exp = {r["vec_id"]: float(D[i].sum()) for i, r in enumerate(rows)}
+    got = {r["vec_id"]: r["maha_sq"] for r in sim.mahalanobis_scores(emb).collect()}
+    for vid, e in exp.items():
+        assert got[vid] == pytest.approx(e, rel=1e-6)
+    assert all(v >= 0 for v in got.values())
+
+
+def test_ann_recall_bounds_and_exact_self_recall(emb):
+    """Recall is in [0,1] per query; running recall of the exact scorer
+    against itself is identically 1."""
+    out = {r["query_id"]: r["recall"]
+           for r in sim.ann_recall(emb, [0, 1, 2, 3], k=10).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
