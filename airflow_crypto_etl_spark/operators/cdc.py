@@ -61,3 +61,47 @@ def apply_changes(
     return winners.where(F.col(f"_w.{op_col}") != OP_DELETE).select(
         key, *[F.col(f"_w.{c}").alias(c) for c in payload], "version"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    seq: int = 1,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """The INVERSE of :func:`apply_changes`: derive a change feed by
+    diffing two full snapshots — the "two daily dumps, no CDC log" shape
+    every warehouse ingests at some point. Emits I (key only in new),
+    D (key only in old), U (key in both with any payload difference);
+    unchanged keys emit nothing.
+
+    One full-outer equi-join on the key — a single co-partitioned
+    shuffle per side; payload comparison is a null-safe struct equality
+    (codegen'd), so wide rows cost one comparison, not one join per
+    column. ``apply_changes(old, snapshot_diff(old, new)) == new`` up
+    to the version column — the round-trip law the tests pin.
+    """
+    payload = [c for c in old.columns if c != key]
+    if [c for c in new.columns if c != key] != payload:
+        raise ValueError("snapshots must share a schema")
+    o = old.select(
+        F.col(key).alias("_k_old"), F.struct(*payload).alias("_p_old")
+    )
+    n = new.select(F.col(key).alias("_k_new"), F.struct(*payload).alias("_p_new"))
+    j = o.join(n, F.col("_k_old") == F.col("_k_new"), "full_outer")
+    op = (
+        F.when(F.col("_k_old").isNull(), F.lit("I"))
+        .when(F.col("_k_new").isNull(), F.lit(OP_DELETE))
+        .when(~F.col("_p_old").eqNullSafe(F.col("_p_new")), F.lit("U"))
+    )
+    out_key = F.coalesce(F.col("_k_new"), F.col("_k_old")).alias(key)
+    out_payload = [
+        F.coalesce(F.col(f"_p_new.{c}"), F.col(f"_p_old.{c}")).alias(c) for c in payload
+    ]
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(out_key, *out_payload, F.lit(seq).cast("bigint").alias(seq_col), op_col)
+    )

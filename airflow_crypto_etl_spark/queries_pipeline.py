@@ -274,3 +274,71 @@ ORACLE_PIPELINE = {
     "q_tfidf": ORACLE_TFIDF,
     "q_zorder_stats": ORACLE_ZORDER_STATS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: derive the change feed from two full snapshots (the
+# inverse of apply_changes — "two daily dumps, no CDC log")
+# ---------------------------------------------------------------------------
+
+
+def _mutated_snapshot(base: DataFrame) -> DataFrame:
+    """Deterministic 'next-day' snapshot: %13 keys deleted, %7 keys
+    repriced, %11 keys re-inserted under shifted ids (the same mutation
+    family _cdc_feed uses, expressed as a full snapshot)."""
+    k = F.col("o_orderkey")
+    survived = base.where(k % 13 != 0).select(
+        "o_orderkey",
+        F.when(k % 7 == 0, F.col("o_totalprice") + F.lit(100.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(k % 7 == 0, F.lit("P")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+    )
+    inserted = base.where(k % 11 == 0).select(
+        (k + _CDC_INSERT_SHIFT).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    return survived.unionByName(inserted)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed derived by diffing two snapshots: one full-outer
+    equi-join, null-safe struct payload comparison — I for new keys, D
+    for vanished keys, U for changed payloads, silence for unchanged.
+    apply_changes(old, this) == new is the round-trip law the tests
+    pin; here the feed itself is oracle-checked."""
+    base = _t(spark, sf_dir, "orders").select("o_orderkey", *_CDC_PAYLOAD)
+    return cdc.snapshot_diff(base, _mutated_snapshot(base), key="o_orderkey")
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'P' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + {_CDC_INSERT_SHIFT}, o_totalprice, 'N'
+  FROM orders WHERE o_orderkey % 11 = 0),
+d AS (
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice,
+         COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN NOT (n.o_totalprice IS NOT DISTINCT FROM o.o_totalprice
+                        AND n.o_orderstatus IS NOT DISTINCT FROM o.o_orderstatus)
+                THEN 'U'
+         END AS op
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+SELECT o_orderkey, o_totalprice, o_orderstatus,
+       CAST(1 AS BIGINT) AS seq, op
+FROM d WHERE op IS NOT NULL
+"""
+
+QUERIES_PIPELINE["q_snapshot_diff"] = q_snapshot_diff
+ORACLE_PIPELINE["q_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF

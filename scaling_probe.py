@@ -227,6 +227,25 @@ def main() -> None:
         t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
 
+    # PageRank (r5): edges inflate ~N× (shifted user ids → disjoint
+    # subgraphs); per iteration one edge-scan join + one dst-keyed
+    # partial agg, so the ratio must stay ~N. The window edge-build is
+    # per-stream (5 event types deepen N×) → ~N·log N bound overall.
+    from airflow_crypto_etl_spark.operators import graph as gr
+
+    def pagerank_case(d: DataFrame) -> DataFrame:
+        edges = gr.transition_edges(d)
+        nodes = d.select("user_id").distinct()
+        return gr.pagerank(edges, nodes, iters=2)
+
+    big_ev = inflate(ev, ["user_id", "event_id"], INFLATE)
+    pagerank_case(ev).count()  # warm
+    t0 = time.perf_counter(); pagerank_case(ev).count(); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); pagerank_case(big_ev).count(); tn = time.perf_counter() - t0
+    results["pagerank"] = {
+        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+    }
+
     # Lloyd k-means (r5): per iteration one assignment scan (centroid
     # literals ride the closure) + one k·dim partial-agg shuffle whose
     # post-shuffle size is independent of corpus rows — ratio must stay

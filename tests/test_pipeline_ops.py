@@ -292,3 +292,30 @@ def test_corpus_pipeline_composition(spark, sf_dir):
         by_shard.setdefault(r["shard"], []).append(r["pos"])
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_snapshot_diff_roundtrip_law(spark):
+    """apply_changes(old, snapshot_diff(old, new)) == new — the diff is
+    the exact inverse of the apply; and unchanged keys emit nothing."""
+    from airflow_crypto_etl_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C"), (4, None, "D")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),        # unchanged -> no feed row
+         (2, 25.0, "B"),        # price changed -> U
+         (4, None, "D2"),       # status changed, null price both sides -> U
+         (5, 50.0, "E")],       # inserted -> I  (3 deleted -> D)
+        "k long, price double, status string",
+    )
+    feed = cdc.snapshot_diff(old, new, key="k")
+    ops = {r["k"]: r["op"] for r in feed.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}
+    applied = cdc.apply_changes(old, feed, key="k").drop("version")
+    got = {tuple(r) for r in applied.collect()}
+    exp = {tuple(r) for r in new.collect()}
+    assert got == exp
+    # null-safe comparison: key 4 matched on payload including NULL price
+    assert 1 not in ops
