@@ -537,3 +537,62 @@ SELECT node AS user_id, pr FROM pr2
 
 QUERIES_SCALE["q_pagerank"] = q_pagerank
 ORACLE_SCALE["q_pagerank"] = ORACLE_PAGERANK
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) join: facts to the SCD2 version valid at fact time
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — every lineitem joined to the
+    customer-dimension VERSION valid at its ship date. Because SCD2
+    intervals partition time, PIT reduces to an AS-OF join on
+    (customer, valid_from <= ship, latest) — so the engine composes
+    scd2 version-building with the cogrouped merge_asof operator (one
+    shuffle per side, no interval self-join, no pair materialization).
+    The oracle uses DuckDB's NATIVE ASOF JOIN — two independent
+    implementations of PIT semantics must agree. Published compactly as
+    per-priority fact counts."""
+    from .operators import joins as jn
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    versions = (
+        o.groupBy("o_custkey", F.to_date("o_orderdate").alias("valid_from"))
+        .agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+        .select(
+            "o_custkey", F.col("valid_from").cast("timestamp").alias("vts"), "priority"
+        )
+    )
+    facts = li.join(
+        o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "o_custkey", F.to_date("l_shipdate").cast("timestamp").alias("sts")
+    )
+    pit = jn.asof_join(
+        facts, versions, on="o_custkey", left_ts="sts", right_ts="vts",
+        right_cols=["priority"],
+    )
+    return pit.groupBy(F.col("r_priority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+ORACLE_SCD2_PIT = """
+WITH versions AS (
+  SELECT o_custkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS vts,
+         arg_max(o_orderpriority, o_orderkey) AS priority
+  FROM orders GROUP BY 1, 2),
+facts AS (
+  SELECT o.o_custkey, CAST(CAST(l.l_shipdate AS DATE) AS TIMESTAMP) AS sts
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+pit AS (
+  SELECT f.o_custkey, v.priority
+  FROM facts f ASOF JOIN versions v
+    ON f.o_custkey = v.o_custkey AND f.sts >= v.vts)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines FROM pit GROUP BY priority
+"""
+
+QUERIES_SCALE["q_scd2_pit"] = q_scd2_pit
+ORACLE_SCALE["q_scd2_pit"] = ORACLE_SCD2_PIT
