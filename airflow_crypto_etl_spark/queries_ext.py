@@ -769,6 +769,27 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment run BY THE STREAMING ENGINE:
+    event stream ⋈ broadcast customer segment, hourly counts per
+    segment. Stateless enrichment → bounded replay equals the batch
+    join, so the streaming emission is fully hash-checked against plain
+    SQL."""
+    from .streaming.windows import streaming_enrich
+
+    return streaming_enrich(spark, sf_dir)
+
+
+ORACLE_STREAM_ENRICH = """
+SELECT date_trunc('hour', e.ts) AS window_start,
+       c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (dropDuplicates over the replayed stream) —
     emitted key set equals batch DISTINCT, so it is oracle-comparable."""
@@ -1283,6 +1304,7 @@ QUERIES_EXT = {
     "q_window_tumbling": q_window_tumbling,
     "q_window_sliding": q_window_sliding,
     "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_enrich": q_stream_enrich,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
     "q_multimodal_meta": q_multimodal_meta,
@@ -1326,6 +1348,7 @@ ORACLE_EXT = {
     "q_window_tumbling": ORACLE_WINDOW_TUMBLING,
     "q_window_sliding": ORACLE_WINDOW_SLIDING,
     "q_stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "q_stream_enrich": ORACLE_STREAM_ENRICH,
     "q_stream_dedup": ORACLE_STREAM_DEDUP,
     "q_stream_session": ORACLE_STREAM_SESSION,
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -389,3 +389,31 @@ def cms_read(spark: SparkSession, state_dir: str) -> DataFrame:
     """Merge the per-batch partial sketches into the live sketch."""
     parts = spark.read.parquet(state_dir)
     return parts.groupBy("j", "cell").agg(F.sum("c").alias("c"))
+
+
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the standard dimension-enrichment shape — the
+    event stream joined to a static dimension (market segment per user,
+    from the customer table) and aggregated per (hour, segment). Spark
+    re-plans the static side per micro-batch (a broadcast hash join
+    under AQE), so dimension updates between batches are picked up
+    without restarting the stream; no state store is involved because
+    the static side is bounded. Enrichment is stateless, so the bounded
+    complete-mode replay emits exactly the batch-equivalent answer —
+    fully SQL-oracle-comparable."""
+    from ..sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy(F.window("ts", "1 hour").alias("w"), "segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "segment", "n_events", "sum_value"
+    )
