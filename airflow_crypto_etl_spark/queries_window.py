@@ -854,3 +854,34 @@ QUERIES_WINDOW["q_mode_exact"] = q_mode_exact
 ORACLE_WINDOW["q_mode_exact"] = ORACLE_MODE_EXACT
 QUERIES_WINDOW["q_string_surgery"] = q_string_surgery
 ORACLE_WINDOW["q_string_surgery"] = ORACLE_STRING_SURGERY
+
+
+def q_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-HEIGHT histogram (the equi-width twin's counterpart —
+    q_histogram): 10 ntile bins per event type, ordered by (value, id)
+    so tie placement is deterministic, emitting per-bin count and exact
+    value bounds. One window sort per group, one partial agg — the
+    standard quantile-sketch verification query."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = ev.select("event_type", "value", F.ntile(10).over(w).alias("bin"))
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+ORACLE_HISTOGRAM_EQUIHEIGHT = """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+  FROM events)
+SELECT event_type, CAST(bin AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS lo, max(value) AS hi
+FROM b GROUP BY 1, 2
+"""
+
+QUERIES_WINDOW["q_histogram_equiheight"] = q_histogram_equiheight
+ORACLE_WINDOW["q_histogram_equiheight"] = ORACLE_HISTOGRAM_EQUIHEIGHT
