@@ -109,3 +109,45 @@ def pagerank(
         # whole chain (the duplicate_clusters checkpoint discipline)
         pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count with DEGREE ORIENTATION (the standard
+    skew-bounding trick): undirect + dedup the edge list, then orient
+    every edge from the lower-(degree, id) endpoint to the higher one —
+    each oriented node's out-degree is O(sqrt(|E|)) on any graph, so
+    the wedge join e1(u,v) ⋈ e2(v,w) fans out by out-degree of the
+    SMALLER endpoint instead of a hub's full degree. Triangles = wedges
+    closed by a third oriented edge (u,w); each triangle is counted
+    exactly once. Two equi-joins, no products.
+
+    Returns a 1-row DataFrame (n_triangles)."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ranked = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    orient = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = orient.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = orient.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "z")
+    e3 = orient.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = wedges.join(e3, ["x", "z"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

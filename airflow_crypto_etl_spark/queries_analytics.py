@@ -342,3 +342,85 @@ ORACLE_ANALYTICS = {
     "q_cap_per_source": ORACLE_CAP_PER_SOURCE,
     "q_collocations": ORACLE_COLLOCATIONS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel / sequence detection (MATCH_RECOGNIZE-style, via
+# layered conditional running-max windows)
+# ---------------------------------------------------------------------------
+
+_SEQ_GAP_US = 7 * 24 * 3600 * 1_000_000  # one week per step
+
+
+def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel with per-step time bounds — a purchase
+    CONVERTS only if a click precedes it within a week AND a view
+    precedes that click within a week (strict order, not mere
+    presence; the complement of q_funnel's first-touch counting).
+
+    Spark has no MATCH_RECOGNIZE; the pattern compiles to two layered
+    conditional running-max windows over one (user, time) sort:
+    pass 1 attaches "latest prior view" to every row; pass 2 runs a
+    running max over "click timestamps that had a qualifying view",
+    which purchases then test. Both passes share the same partitioning
+    — ONE Exchange + sort at scale. Timestamps compare as integer
+    microseconds (epoch_us twin on the oracle side)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p1 = ev.withColumn(
+        "last_view_us",
+        F.max(F.when(F.col("event_type") == "view", F.col("us"))).over(before),
+    )
+    ok_click = F.when(
+        (F.col("event_type") == "click")
+        & (F.col("last_view_us").isNotNull())
+        & (F.col("us") - F.col("last_view_us") <= F.lit(_SEQ_GAP_US)),
+        F.col("us"),
+    )
+    p2 = p1.withColumn("ok_click_us", F.max(ok_click).over(before))
+    converted = (
+        (F.col("event_type") == "purchase")
+        & F.col("ok_click_us").isNotNull()
+        & (F.col("us") - F.col("ok_click_us") <= F.lit(_SEQ_GAP_US))
+    )
+    return p2.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("n_purchases"),
+        F.sum(converted.cast("bigint")).alias("n_converted"),
+    )
+
+
+ORACLE_FUNNEL_ORDERED = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+p1 AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'view' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_us
+  FROM ev),
+p2 AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'click' AND last_view_us IS NOT NULL
+                       AND us - last_view_us <= {_SEQ_GAP_US} THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ok_click_us
+  FROM p1)
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'purchase' AND ok_click_us IS NOT NULL
+                          AND us - ok_click_us <= {_SEQ_GAP_US} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted
+FROM p2 GROUP BY user_id
+"""
+
+QUERIES_ANALYTICS["q_funnel_ordered"] = q_funnel_ordered
+ORACLE_ANALYTICS["q_funnel_ordered"] = ORACLE_FUNNEL_ORDERED

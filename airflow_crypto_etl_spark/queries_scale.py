@@ -596,3 +596,38 @@ SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines FROM pit GROUP BY priority
 
 QUERIES_SCALE["q_scd2_pit"] = q_scd2_pit
 ORACLE_SCALE["q_scd2_pit"] = ORACLE_SCD2_PIT
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the (undirected) user-transition graph via
+    degree orientation — out-degrees bounded by O(sqrt(E)) so the wedge
+    join cannot blow up on hubs; two equi-joins, each triangle counted
+    once."""
+    from .operators import graph as gr
+
+    ev = _t(spark, sf_dir, "events")
+    return gr.triangle_count(gr.transition_edges(ev))
+
+
+ORACLE_TRIANGLES = """
+WITH seq AS (
+  SELECT user_id,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events),
+edges AS (
+  SELECT user_id AS src, dst FROM seq WHERE dst IS NOT NULL AND dst <> user_id),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+deg AS (SELECT node, COUNT(*) AS d
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        GROUP BY node),
+orient AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM orient e1 JOIN orient e2 ON e1.v = e2.u
+JOIN orient e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+QUERIES_SCALE["q_triangles"] = q_triangles
+ORACLE_SCALE["q_triangles"] = ORACLE_TRIANGLES
