@@ -631,3 +631,73 @@ JOIN orient e3 ON e3.u = e1.u AND e3.v = e2.v
 
 QUERIES_SCALE["q_triangles"] = q_triangles
 ORACLE_SCALE["q_triangles"] = ORACLE_TRIANGLES
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized transition matrix of the user hand-off graph:
+    P(dst | src) = w / out-weight — one partial-agg groupBy + one
+    equi-join with the out-weight table; the division is a single
+    exact IEEE op (integer/integer) so probabilities hash-match."""
+    from .operators import graph as gr
+
+    ev = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(ev)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    return edges.join(outw, "src").select(
+        "src", "dst", "w", (F.col("w").cast("double") / F.col("outw")).alias("p")
+    )
+
+
+ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT user_id,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events),
+edges AS (
+  SELECT user_id AS src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE dst IS NOT NULL AND dst <> user_id GROUP BY 1, 2),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY src)
+SELECT e.src, e.dst, e.w, CAST(e.w AS DOUBLE) / o.outw AS p
+FROM edges e JOIN outw o ON e.src = o.src
+"""
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reach per seed node (the influence/diffusion primitive):
+    distinct nodes reachable in ≤2 directed hops, excluding the seed.
+    Hop 2 is one self-equi-join of the edge list; reach sets stay as
+    (seed, node) pairs and collapse in a count-distinct — never
+    collected or exploded into arrays."""
+    from .operators import graph as gr
+
+    ev = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(ev).select("src", "dst")
+    seeds = [0, 1, 2, 3, 4]
+    h1 = edges.where(F.col("src").isin(seeds)).select(
+        F.col("src").alias("seed"), F.col("dst").alias("node")
+    )
+    e2 = edges.select(F.col("src").alias("node"), F.col("dst").alias("node2"))
+    h2 = h1.join(e2, "node").select("seed", F.col("node2").alias("node"))
+    reach = h1.unionByName(h2).where(F.col("seed") != F.col("node")).distinct()
+    return reach.groupBy("seed").agg(F.countDistinct("node").alias("n_reach"))
+
+
+ORACLE_KHOP = """
+WITH seq AS (
+  SELECT user_id,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events),
+edges AS (
+  SELECT DISTINCT user_id AS src, dst
+  FROM seq WHERE dst IS NOT NULL AND dst <> user_id),
+h1 AS (SELECT src AS seed, dst AS node FROM edges WHERE src IN (0, 1, 2, 3, 4)),
+h2 AS (SELECT h1.seed, e.dst AS node FROM h1 JOIN edges e ON h1.node = e.src),
+reach AS (SELECT DISTINCT seed, node FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+          WHERE seed <> node)
+SELECT seed, CAST(COUNT(DISTINCT node) AS BIGINT) AS n_reach FROM reach GROUP BY seed
+"""
+
+QUERIES_SCALE["q_markov_transitions"] = q_markov_transitions
+ORACLE_SCALE["q_markov_transitions"] = ORACLE_MARKOV
+QUERIES_SCALE["q_khop_reach"] = q_khop_reach
+ORACLE_SCALE["q_khop_reach"] = ORACLE_KHOP
