@@ -417,3 +417,43 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("w.start").alias("window_start"), "segment", "n_events", "sum_value"
     )
+
+
+def stream_upsert_serving(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    table: str,
+    conflict_cols: list[str],
+    connection_factory,
+    paramstyle: str = "qmark",
+) -> None:
+    """Stream → serving-database upsert: every micro-batch lands through
+    the dialect-pluggable executor-side upsert
+    (`sinks.jdbc_upsert.upsert_foreach_partition`, the reference's
+    ON-CONFLICT mechanism) inside ``foreachBatch``. With
+    ``update=True`` (last-writer-wins on the conflict key) a REPLAYED
+    micro-batch re-upserts identical rows onto identical keys — the
+    sink is idempotent by construction, giving exactly-once table state
+    from at-least-once batch delivery without a transactional sink.
+    ``max_parallel=1`` bounds the database's connection count."""
+    from ..sinks.jdbc_upsert import upsert_foreach_partition
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_foreach_partition(
+            batch_df,
+            dsn="",
+            table=table,
+            conflict_cols=conflict_cols,
+            update=True,
+            max_parallel=1,
+            connection_factory=connection_factory,
+            paramstyle=paramstyle,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

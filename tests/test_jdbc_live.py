@@ -222,3 +222,60 @@ def test_foreach_partition_pages_all_rows(spark, duck_path):
         connection_factory=_DuckConnect(duck_path),
     )
     assert len(_read_serving(duck_path)) == n
+
+
+def test_stream_to_serving_upsert_idempotent_live(spark, duck_path, tmp_path, sf_dir):
+    """Streaming → serving composition: micro-batches land in the
+    DBAPI database through the executor-side upsert (foreachBatch ∘
+    upsert_foreach_partition, update=True). Final table equals the
+    batch input, and replaying the whole stream (checkpoint wiped)
+    re-upserts onto the same keys — table state identical, proving
+    exactly-once-by-idempotency without a transactional sink."""
+    import duckdb
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.windows import stream_upsert_serving
+
+    docs = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .limit(300)
+    )
+    src = str(tmp_path / "ev_stream")
+    for i in range(3):
+        docs.where(F.col("event_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+
+    con = duckdb.connect(duck_path)
+    con.execute(
+        "CREATE TABLE latest_events (event_id BIGINT PRIMARY KEY, user_id BIGINT, value DOUBLE)"
+    )
+    con.close()
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_upsert_serving(
+            stream, ckpt, "latest_events", ["event_id"], _DuckConnect(duck_path)
+        )
+
+    ck = str(tmp_path / "ckpt")
+    run(ck)
+    con = duckdb.connect(duck_path)
+    n, = con.execute("SELECT count(*) FROM latest_events").fetchone()
+    first_state = con.execute(
+        "SELECT * FROM latest_events ORDER BY event_id").fetchall()
+    con.close()
+    assert n == docs.count()
+
+    shutil.rmtree(ck)
+    run(str(tmp_path / "ckpt2"))  # full replay onto the same table
+    con = duckdb.connect(duck_path)
+    again = con.execute("SELECT * FROM latest_events ORDER BY event_id").fetchall()
+    con.close()
+    assert again == first_state
