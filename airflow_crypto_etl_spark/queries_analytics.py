@@ -424,3 +424,72 @@ FROM p2 GROUP BY user_id
 
 QUERIES_ANALYTICS["q_funnel_ordered"] = q_funnel_ordered
 ORACLE_ANALYTICS["q_funnel_ordered"] = ORACLE_FUNNEL_ORDERED
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (slope/intercept from exact power sums)
+# ---------------------------------------------------------------------------
+
+
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of value over time per event type:
+    slope/intercept assembled from EXACT power sums — x as integer
+    epoch-hours, y and x·y as DECIMAL(38,4) (merge-order-free) — then
+    one pinned double expression, so the regression hash-matches
+    cross-engine. One partial-agg shuffle; 100 TB shape is identical
+    (five sums per group)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / F.lit(3600)).cast(
+        "bigint"
+    )
+    y = F.col("value").cast("decimal(18,4)")
+    s = (
+        ev.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        "event_type", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+
+
+ORACLE_TREND_OLS = """
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         SUM(y) AS sy,
+         SUM(x * y) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM (SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS x,
+               CAST(value AS DECIMAL(18,4)) AS y
+        FROM events)
+  GROUP BY event_type)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS slope,
+       (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+QUERIES_ANALYTICS["q_trend_ols"] = q_trend_ols
+ORACLE_ANALYTICS["q_trend_ols"] = ORACLE_TREND_OLS

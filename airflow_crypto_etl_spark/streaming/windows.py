@@ -457,3 +457,20 @@ def stream_upsert_serving(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dedup_watermarked(
+    stream_df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    — duplicates of a key arriving within the watermark delay are
+    dropped, and the key's state EXPIRES once the watermark passes it
+    (unlike ``dropDuplicates``, whose keyed state grows forever on an
+    unbounded stream). This is the production ingest-dedup form the
+    batch operator family's docstrings point to; here it is exercised
+    for real across micro-batches (see the in-window/out-of-window test
+    in test_streaming.py)."""
+    wm = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, delay
+    )
+    return wm.dropDuplicatesWithinWatermark(keys)

@@ -200,3 +200,62 @@ def test_streaming_cms_matches_batch_and_replays_idempotently(spark, sf_dir, tmp
     streaming_cms(stream2, state, ckpt)
     again = {(r["j"], r["cell"]): r["c"] for r in cms_read(spark, state).collect()}
     assert again == whole
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across real micro-batches: a
+    duplicate key arriving within the delay is dropped; the same key
+    arriving after the watermark passed its first occurrence is
+    re-admitted (state expired) — exactly the bounded-state contract
+    that unbounded dropDuplicates lacks."""
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark.streaming.windows import (
+        run_available_now,
+        streaming_dedup_watermarked,
+    )
+
+    src = str(tmp_path / "dup_stream")
+    schema = "k string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:05:00")], "k string, ts string"
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts")
+    b2 = spark.createDataFrame(
+        [("a", "2024-01-01 00:30:00"),   # dup of 'a' within 1h delay -> dropped
+         ("c", "2024-01-01 05:00:00")],  # advances watermark to 04:00
+        "k string, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts")
+    b3 = spark.createDataFrame(
+        [("d", "2024-01-01 05:30:00")],  # runs under wm=04:00 -> 'a' state
+        "k string, ts string",           # (expiry 01:00) evicted at batch end
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts")
+    b4 = spark.createDataFrame(
+        [("a", "2024-01-01 06:00:00")],  # state gone -> re-admitted
+        "k string, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) ts")
+    import glob
+    import os
+    import time
+
+    seen = set()
+    for i, b in enumerate((b1, b2, b3, b4)):
+        b.coalesce(1).write.mode("append").parquet(src)
+        # micro-batch order follows file modification time; same-second
+        # mtimes would make the order undefined, so pin them explicitly
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            if f not in seen:
+                seen.add(f)
+                t = time.time() + i * 10
+                os.utime(f, (t, t))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    # file order across micro-batches follows modification time; the
+    # three writes above land in order
+    out = run_available_now(streaming_dedup_watermarked(stream, ["k"]), "append")
+    rows = [(r["k"], str(r["ts"])) for r in out.collect()]
+    ks = [k for k, _ in rows]
+    assert ks.count("a") == 2          # first occurrence + post-expiry re-admit
+    assert ks.count("b") == 1 and ks.count("c") == 1 and ks.count("d") == 1
+    assert ("a", "2024-01-01 00:30:00") not in rows  # the in-window dup dropped
