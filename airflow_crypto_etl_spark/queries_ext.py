@@ -243,6 +243,38 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 ORACLE_DEDUP_MINHASH = _minhash_oracle()
 
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate dedup path measured against exact truth (the
+    dedup twin of q_ann_recall): recall of the MinHash-LSH candidate
+    pairs (est Jaccard ≥ 0.5) over the exact n-gram Jaccard pairs
+    (≥ 0.6) — one row (n_true, n_caught, recall). Both sides are
+    deterministic registered operators, so the fraction
+    oracle-reproduces exactly."""
+    truth = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    approx = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    caught = truth.join(approx, ["doc_a", "doc_b"])
+    return truth.agg(F.count(F.lit(1)).alias("n_true")).crossJoin(
+        caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    ).select(
+        "n_true",
+        "n_caught",
+        (F.col("n_caught").cast("double") / F.col("n_true")).alias("recall"),
+    )
+
+
+def _dedup_recall_oracle() -> str:
+    return f"""
+WITH truth AS ({ORACLE_DEDUP_NGRAM}),
+approx AS ({ORACLE_DEDUP_MINHASH}),
+caught AS (SELECT t.doc_a, t.doc_b FROM truth t
+           JOIN approx a ON t.doc_a = a.doc_a AND t.doc_b = a.doc_b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM caught) AS n_caught,
+       CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a new batch (id-shifted copies of the corpus,
     so every new doc has a known match) joined against the persisted
@@ -1292,6 +1324,7 @@ QUERIES_EXT = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_recall": q_dedup_recall,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_simhash": q_dedup_simhash,
     "q_embed_neardup": q_embed_neardup,
@@ -1336,6 +1369,7 @@ ORACLE_EXT = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_dedup_ngram": ORACLE_DEDUP_NGRAM,
     "q_dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "q_dedup_recall": _dedup_recall_oracle(),
     "q_dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "q_dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "q_embed_neardup": ORACLE_EMBED_NEARDUP,
