@@ -459,3 +459,35 @@ def length_batches(
         .withColumn("batch_pos", (rk % F.lit(batch_size)).cast("int"))
         .select(id_col, "n_tokens", "bucket", "stream", "batch_seq", "batch_pos")
     )
+
+
+def chunk_by_sentences(
+    docs: DataFrame,
+    capacity: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-boundary RAG chunking — the linguistic sibling of the
+    fixed-window chunker: split each document at sentence breaks
+    ('. ' — an RE2-safe delimiter so the oracle splits identically; no
+    lookbehind), then assign each sentence to the chunk where its first
+    token lands (floor((cumsum − n)/capacity), the same straddle
+    convention as pack_sequences). Per-doc windows partition by id —
+    embarrassingly parallel, no cross-doc state."""
+    sents = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), r"\. ")).alias("sent_idx", "sent")
+    )
+    n_tok = F.size(F.filter(F.split(F.col("sent"), " "), lambda t: t != ""))
+    w = Window.partitionBy(id_col).orderBy("sent_idx")
+    return (
+        sents.withColumn("n_tokens", n_tok)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            "sent_idx",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(capacity))
+            .cast("int")
+            .alias("chunk_id"),
+        )
+    )

@@ -493,3 +493,107 @@ FROM s
 
 QUERIES_ANALYTICS["q_trend_ols"] = q_trend_ols
 ORACLE_ANALYTICS["q_trend_ols"] = ORACLE_TREND_OLS
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (integer-quantized term sum — order-free)
+# ---------------------------------------------------------------------------
+
+_CHI_Q = 1048576.0  # 2^20 term quantization
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of event_type vs
+    day-of-week. Each cell's term is the exact rational
+    (o·n − r·c)² / (n·r·c) — integer numerator and denominator, so the
+    per-cell double is ONE deterministic IEEE division — then terms are
+    floor-quantized at 2^20 and summed as integers (the PageRank
+    trick), making the statistic bit-reproducible under any shuffle
+    order. One partial-agg pass for cells, broadcast margins."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek(F.col("ts").cast("timestamp")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = ev.count()
+    num = F.col("o") * F.lit(n) - F.col("r") * F.col("c")
+    term = (num * num).cast("double") / (F.lit(n) * F.col("r") * F.col("c")).cast(
+        "double"
+    )
+    q = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .select(F.floor(term * F.lit(_CHI_Q)).alias("tq"))
+    )
+    return q.agg(
+        (F.sum("tq").cast("double") / F.lit(_CHI_Q)).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+ORACLE_CHI_SQUARE = f"""
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY dow),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+terms AS (
+  SELECT CAST(floor(
+           (CAST((o * n.n - r.r * c.c) * (o * n.n - r.r * c.c) AS DOUBLE)
+            / CAST(n.n * r.r * c.c AS DOUBLE)) * {_CHI_Q}) AS BIGINT) AS tq
+  FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n)
+SELECT CAST(SUM(tq) AS DOUBLE) / {_CHI_Q} AS chi2,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM terms
+"""
+
+QUERIES_ANALYTICS["q_chi_square"] = q_chi_square
+ORACLE_ANALYTICS["q_chi_square"] = ORACLE_CHI_SQUARE
+
+
+def q_rag_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary RAG chunking (operators.llm_prep.
+    chunk_by_sentences). The synthetic corpus has no sentence
+    punctuation, so the query synthesizes a 3-sentence document from
+    deterministic substrings (same trick as the PII fixture) — the
+    splitter, per-sentence token counts and chunk assignment are all
+    genuinely exercised."""
+    from .operators.llm_prep import chunk_by_sentences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            ". ",
+            F.substring("text", 1, 80),
+            F.substring("text", 41, 90),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return chunk_by_sentences(d, capacity=64)
+
+
+ORACLE_RAG_SENTENCES = """
+WITH s AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+         CAST(len(list_filter(string_split(arr[i], ' '), t -> t <> '')) AS INTEGER)
+           AS n_tokens
+  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+        FROM (SELECT doc_id,
+                     string_split_regex(
+                       concat_ws('. ', substring(text, 1, 80),
+                                 substring(text, 41, 90), text),
+                       '\\. ') AS arr
+              FROM documents))),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY doc_id ORDER BY sent_idx
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s)
+SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, n_tokens,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 64) AS INTEGER) AS chunk_id
+FROM c
+"""
+
+QUERIES_ANALYTICS["q_rag_sentences"] = q_rag_sentences
+ORACLE_ANALYTICS["q_rag_sentences"] = ORACLE_RAG_SENTENCES
