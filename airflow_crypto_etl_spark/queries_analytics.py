@@ -597,3 +597,142 @@ FROM c
 
 QUERIES_ANALYTICS["q_rag_sentences"] = q_rag_sentences
 ORACLE_ANALYTICS["q_rag_sentences"] = ORACLE_RAG_SENTENCES
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (one-pass column statistics, long format)
+# ---------------------------------------------------------------------------
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of the orders table — per-column row/null/
+    distinct counts plus numeric min/max, published long-format (the
+    ingestion-QA report every pipeline emits before accepting a drop).
+    One aggregation job; exact distincts (the table's profiled columns
+    are low-cardinality — for high-cardinality profiling swap in
+    approx_count_distinct, the HLL member already covered)."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias("null_price"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.sum(F.col("o_orderstatus").isNull().cast("bigint")).alias("null_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+        F.sum(F.col("o_orderpriority").isNull().cast("bigint")).alias("null_priority"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.countDistinct("o_custkey").alias("d_cust"),
+    )
+    return agg.selectExpr(
+        "stack(3, "
+        " 'o_orderstatus', n, null_status, d_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+        " 'o_orderpriority', n, null_priority, d_priority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),"
+        " 'o_totalprice', n, null_price, CAST(NULL AS BIGINT), min_price, max_price"
+        ") AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+ORACLE_PROFILE = """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_priority,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priority,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+  FROM orders)
+SELECT 'o_orderstatus' AS col_name, n AS n_rows, null_status AS n_null,
+       d_status AS n_distinct, CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val FROM a
+UNION ALL
+SELECT 'o_orderpriority', n, null_priority, d_priority, NULL, NULL FROM a
+UNION ALL
+SELECT 'o_totalprice', n, null_price, CAST(NULL AS BIGINT), min_price, max_price FROM a
+"""
+
+QUERIES_ANALYTICS["q_profile"] = q_profile
+ORACLE_ANALYTICS["q_profile"] = ORACLE_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# Exact higher moments: skewness + excess kurtosis from decimal sums
+# ---------------------------------------------------------------------------
+
+
+def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and kurtosis per event type from EXACT
+    decimal power sums S1..S4 (merge-order-free; the corr-exact family
+    extended to higher moments), assembled in one pinned double
+    epilogue — Spark's builtin skewness()/kurtosis() are running-update
+    aggregates whose float state depends on merge order; this form
+    hash-matches any engine."""
+    ev = _t(spark, sf_dir, "events")
+    # integer value-units: w = value·10^4 exactly (via the decimal cast),
+    # so w, w², w³ stay in int64 and w⁴ in DECIMAL(38,0) — every power
+    # sum is an exact integer on any engine (DuckDB runs them in HUGEINT)
+    w = (F.col("value").cast("decimal(18,4)") * F.lit(10000)).cast("bigint")
+    s = ev.select("event_type", w.alias("w")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w").alias("s1"),
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(
+            (F.col("w") * F.col("w")).cast("decimal(38,0)") * F.col("w")
+        ).alias("s3"),
+        F.sum(
+            (F.col("w") * F.col("w")).cast("decimal(38,0)") * (F.col("w") * F.col("w"))
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double") / F.lit(1.0e4)
+    s2 = F.col("s2").cast("double") / F.lit(1.0e8)
+    s3 = F.col("s3").cast("double") / F.lit(1.0e12)
+    s4 = F.col("s4").cast("double") / F.lit(1.0e16)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+    )
+
+
+ORACLE_SKEW_KURTOSIS = """
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(w) AS s1, SUM(w*w) AS s2,
+         SUM(CAST(w AS HUGEINT) * w * w) AS s3,
+         SUM(CAST(w AS HUGEINT) * w * w * w) AS s4
+  FROM (SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS w
+        FROM events)
+  GROUP BY event_type),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(s1 AS DOUBLE) / 1e4 AS s1, CAST(s2 AS DOUBLE) / 1e8 AS s2,
+         CAST(s3 AS DOUBLE) / 1e12 AS s3, CAST(s4 AS DOUBLE) / 1e16 AS s4
+  FROM s),
+m AS (
+  SELECT event_type, n, s1 / nd AS mu,
+         s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+         s3 / nd - 3.0 * (s1 / nd) * (s2 / nd) + 2.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m3,
+         s4 / nd - 4.0 * (s1 / nd) * (s3 / nd) + 6.0 * (s1 / nd) * (s1 / nd) * (s2 / nd)
+           - 3.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4
+  FROM d)
+SELECT event_type, n,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS excess_kurtosis
+FROM m
+"""
+
+QUERIES_ANALYTICS["q_skew_kurtosis"] = q_skew_kurtosis
+ORACLE_ANALYTICS["q_skew_kurtosis"] = ORACLE_SKEW_KURTOSIS
