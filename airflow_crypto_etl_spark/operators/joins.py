@@ -208,3 +208,89 @@ def range_join(facts: DataFrame, buckets: DataFrame, value_col: str, lo_col: str
     map-side with zero shuffle."""
     cond = (facts[value_col] >= buckets[lo_col]) & (facts[value_col] < buckets[hi_col])
     return facts.join(F.broadcast(buckets), cond, "inner")
+
+
+# ---------------------------------------------------------------------------
+# Portable bloom filter (broadcast probe-side pre-filter)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_LOG2 = 16  # m = 65536 bits = 2048 32-bit words
+# 32-bit words: bit 31 max keeps every mask positive in BIGINT on both
+# engines (DuckDB errors on 1<<63; Spark shiftright sign-extends)
+BLOOM_K = 3
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Build a bloom filter over a key column as (word_idx, mask) rows:
+    k affine-hash positions per key, OR-folded into 32-bit words by ONE
+    partial-agg groupBy (≤ 1024 result rows regardless of key count —
+    broadcastable by construction). Engine-portable integer hashing, so
+    the filter bits are deterministic and SQL-reproducible — unlike
+    Spark's runtime BloomFilterAggregate (covered conf-side by
+    test_runtime_bloom_filter_injected), this one is an explicit,
+    inspectable operator."""
+    from ..functions.hashing import affine_hash
+
+    m = 1 << BLOOM_BITS_LOG2
+    ks = keys.select(F.col(key_col).alias("k")).distinct()
+    pos = ks.select(
+        F.explode(
+            F.array(
+                *[
+                    (affine_hash(F.col("k"), F.lit(j)) % F.lit(m)).alias(f"p{j}")
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            # SQL-expression shifts: the Python shiftleft/shiftright
+            # helpers only accept literal shift amounts
+            F.expr("shiftright(pos, 5)").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+
+
+def bloom_probe(probe: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
+    """Test each distinct probe key against the broadcast bloom words:
+    a key passes iff ALL k bits are set (missing word = bit absent).
+    Adds ``bloom_pass``; at scale this runs as a map-side broadcast
+    join before the expensive exact join, discarding most non-matching
+    rows for the cost of a hash per row."""
+    from ..functions.hashing import affine_hash
+
+    m = 1 << BLOOM_BITS_LOG2
+    ks = probe.select(F.col(key_col).alias("k")).distinct()
+    pos = ks.select(
+        "k",
+        F.posexplode(
+            F.array(
+                *[
+                    (affine_hash(F.col("k"), F.lit(j)) % F.lit(m))
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("j", "pos"),
+    )
+    tested = (
+        pos.select(
+            "k",
+            F.expr("shiftright(pos, 5)").alias("word_idx"),
+            (F.col("pos") % 32).cast("int").alias("bit_idx"),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "k",
+            (
+                F.expr(
+                    "shiftright(coalesce(mask, CAST(0 AS BIGINT)), bit_idx) & 1"
+                )
+                == F.lit(1)
+            ).alias("hit"),
+        )
+    )
+    return tested.groupBy("k").agg(F.min("hit").alias("bloom_pass"))

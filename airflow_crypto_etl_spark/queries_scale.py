@@ -701,3 +701,77 @@ QUERIES_SCALE["q_markov_transitions"] = q_markov_transitions
 ORACLE_SCALE["q_markov_transitions"] = ORACLE_MARKOV
 QUERIES_SCALE["q_khop_reach"] = q_khop_reach
 ORACLE_SCALE["q_khop_reach"] = ORACLE_KHOP
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast bloom pre-filter (operators/joins.bloom_build
+    / bloom_probe): rich-customer keys folded into 2048 32-bit words
+    with the engine-portable hashes, probed by every distinct orders
+    customer. Published as the filter's confusion counts — including
+    n_false_neg, which the bloom guarantee pins to 0 — so both the bit
+    mechanics AND the no-false-negative property are hash-checked."""
+    from .operators import joins as jn
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    bloom = jn.bloom_build(c, "c_custkey")
+    probed = jn.bloom_probe(o, "o_custkey", bloom)
+    exact = c.select(F.col("c_custkey").alias("k"), F.lit(True).alias("is_member"))
+    res = probed.join(exact, "k", "left").select(
+        "k", "bloom_pass", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return res.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.col("is_member").cast("bigint")).alias("n_members"),
+        F.sum(F.col("bloom_pass").cast("bigint")).alias("n_pass"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("bigint")).alias(
+            "n_false_pos"
+        ),
+        F.sum((~F.col("bloom_pass") & F.col("is_member")).cast("bigint")).alias(
+            "n_false_neg"
+        ),
+    )
+
+
+from .operators.joins import BLOOM_K as _BK  # noqa: E402
+from airflow_crypto_etl_spark.functions.hashing import affine_hash_sql as _ah  # noqa: E402
+
+ORACLE_BLOOM_PREFILTER = f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+pos AS (
+  SELECT k, ({_ah('k', 'j')}) % 65536 AS pos
+  FROM keys CROSS JOIN range(0, {_BK}) t(j)),
+words AS (
+  SELECT pos >> 5 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS mask
+  FROM pos GROUP BY 1),
+probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+ppos AS (
+  SELECT k, ({_ah('k', 'j')}) % 65536 AS pos
+  FROM probe CROSS JOIN range(0, {_BK}) t(j)),
+tested AS (
+  SELECT ppos.k,
+         MIN(((COALESCE(words.mask, 0) >> CAST(ppos.pos % 32 AS INTEGER)) & 1) = 1)
+           AS bloom_pass
+  FROM ppos LEFT JOIN words ON (ppos.pos >> 5) = words.word_idx
+  GROUP BY ppos.k),
+res AS (
+  SELECT t.k, t.bloom_pass, (keys.k IS NOT NULL) AS is_member
+  FROM tested t LEFT JOIN keys ON t.k = keys.k)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(SUM(CASE WHEN NOT bloom_pass AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg
+FROM res
+"""
+
+QUERIES_SCALE["q_bloom_prefilter"] = q_bloom_prefilter
+ORACLE_SCALE["q_bloom_prefilter"] = ORACLE_BLOOM_PREFILTER
