@@ -736,3 +736,113 @@ FROM m
 
 QUERIES_ANALYTICS["q_skew_kurtosis"] = q_skew_kurtosis
 ORACLE_ANALYTICS["q_skew_kurtosis"] = ORACLE_SKEW_KURTOSIS
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of first-view → first-purchase latency: per-user
+    first-touch timestamps in one partial-agg pass (integer epoch
+    seconds — exact), then exact quartiles of the latency in a one-row
+    rollup. Rounded at 4dp like q_stats: exact-percentile interpolation
+    can differ in the last ulp across engines."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_timestamp(F.col("ts").cast("timestamp")))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp(F.col("ts").cast("timestamp")))
+        ).alias("t_buy"),
+    )
+    lat = per_user.where(
+        F.col("t_view").isNotNull() & F.col("t_buy").isNotNull() & (F.col("t_buy") >= F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).alias("secs"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(secs, 0.25)"), 4).alias("p25_secs"),
+        F.round(F.expr("percentile(secs, 0.5)"), 4).alias("median_secs"),
+        F.round(F.expr("percentile(secs, 0.75)"), 4).alias("p75_secs"),
+    )
+
+
+ORACLE_TIME_TO_CONVERT = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_buy
+  FROM events GROUP BY user_id),
+lat AS (
+  SELECT t_buy - t_view AS secs FROM per_user
+  WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_view)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(secs, 0.25), 4) AS p25_secs,
+       round(quantile_cont(secs, 0.5), 4) AS median_secs,
+       round(quantile_cont(secs, 0.75), 4) AS p75_secs
+FROM lat
+"""
+
+QUERIES_ANALYTICS["q_time_to_convert"] = q_time_to_convert
+ORACLE_ANALYTICS["q_time_to_convert"] = ORACLE_TIME_TO_CONVERT
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration (exact decimal cumulative form)
+# ---------------------------------------------------------------------------
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment —
+    G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over ascending per-customer
+    totals. Spend totals are exact decimals, ranks are ints, so both
+    Σ-terms are exact; the epilogue is a pinned double chain. Per-
+    segment window sort (one shuffle), then a one-row-per-segment
+    rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).alias("sxi"),
+    )
+    n = F.col("n").cast("double")
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        (
+            F.lit(2.0) * F.col("sxi").cast("double") / (n * F.col("sx").cast("double"))
+            - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+ORACLE_GINI = """
+WITH spend AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY x, o_custkey) AS i
+  FROM spend),
+agg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(x * i) AS sxi
+  FROM ranked GROUP BY c_mktsegment)
+SELECT c_mktsegment, n,
+       2.0 * CAST(sxi AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM agg
+"""
+
+QUERIES_ANALYTICS["q_gini"] = q_gini
+ORACLE_ANALYTICS["q_gini"] = ORACLE_GINI

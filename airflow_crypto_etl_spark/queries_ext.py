@@ -1640,3 +1640,39 @@ FROM q
 
 QUERIES_EXT["q_embed_quantize"] = q_embed_quantize
 ORACLE_EXT["q_embed_quantize"] = ORACLE_EMBED_QUANTIZE
+
+
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the corpus-shrinkage report a
+    dedup run publishes (how many singletons, pairs, bigger families):
+    composes the iterative clustering with one two-level rollup.
+    Published as (cluster_size, n_clusters, n_docs)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    clusters = dd.duplicate_clusters(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+    )
+
+
+def _cluster_sizes_oracle() -> str:
+    clusters = ORACLE_DEDUP_CLUSTERS.strip()
+    # the recursive WITH must stay the outermost WITH in DuckDB; extend
+    # the existing chain rather than nesting it in a subquery
+    body = clusters.replace("WITH RECURSIVE", "", 1)
+    head, select = body.split("SELECT src AS doc_id", 1)
+    return f"""
+WITH RECURSIVE {head.rstrip().rstrip(',')},
+clusters AS (SELECT src AS doc_id{select}),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM clusters GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+QUERIES_EXT["q_cluster_sizes"] = q_cluster_sizes
+ORACLE_EXT["q_cluster_sizes"] = _cluster_sizes_oracle()
