@@ -246,6 +246,38 @@ def main() -> None:
         "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
     }
 
+    # Triangle counting (r5): copy-inflation shifts user ids, so the
+    # inflated graph is N disjoint copies — wedge joins stay bounded by
+    # the per-copy degree orientation and the ratio must stay ~N
+    def triangles_case(d: DataFrame) -> DataFrame:
+        return gr.triangle_count(gr.transition_edges(d))
+
+    big_ev2 = inflate(ev, ["user_id", "event_id"], INFLATE)
+    triangles_case(ev).count()  # warm
+    t0 = time.perf_counter(); triangles_case(ev).count(); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); triangles_case(big_ev2).count(); tn = time.perf_counter() - t0
+    results["triangles"] = {
+        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+    }
+
+    # Bloom build+probe (r5): both sides linear scans + a bounded-size
+    # bit_or partial agg; probe joins a broadcast ≤2048-row word table
+    from airflow_crypto_etl_spark.operators import joins as jn
+
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_acctbal")
+
+    def bloom_case(d: DataFrame) -> DataFrame:
+        bloom = jn.bloom_build(cust.where(F.col("c_acctbal") > 9000), "c_custkey")
+        return jn.bloom_probe(d.select(F.col("o_orderkey").alias("k")), "k", bloom)
+
+    big_or = inflate(orders, ["o_orderkey"], INFLATE)
+    bloom_case(orders).count()  # warm
+    t0 = time.perf_counter(); bloom_case(orders).count(); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); bloom_case(big_or).count(); tn = time.perf_counter() - t0
+    results["bloom_probe"] = {
+        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+    }
+
     # Lloyd k-means (r5): per iteration one assignment scan (centroid
     # literals ride the closure) + one k·dim partial-agg shuffle whose
     # post-shuffle size is independent of corpus rows — ratio must stay
