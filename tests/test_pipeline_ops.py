@@ -319,3 +319,36 @@ def test_snapshot_diff_roundtrip_law(spark):
     assert got == exp
     # null-safe comparison: key 4 matched on payload including NULL price
     assert 1 not in ops
+
+
+def test_corpus_shards_land_sorted_on_disk(spark, sf_dir, tmp_path):
+    """The shard-writer path the shuffle_shards docstring promises:
+    repartition by shard + sortWithinPartitions(pos) + partitionBy
+    lands one directory per shard whose parquet ROW ORDER is the shard
+    position order (a tokenizer consumer streams it sequentially)."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark.operators import llm_prep as lp
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shards = lp.shuffle_shards(docs, n_shards=4)
+    out = str(tmp_path / "shards")
+    (
+        shards.repartition(4, "shard")
+        .sortWithinPartitions("pos")
+        .write.partitionBy("shard")
+        .parquet(out)
+    )
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 4
+    total = 0
+    for d in dirs:
+        rows = spark.read.parquet(d).collect()  # preserves file row order per file
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss), f"shard dir {d} not in position order"
+        assert poss == list(range(1, len(poss) + 1))
+        total += len(poss)
+    assert total == docs.count()
