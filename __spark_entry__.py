@@ -20,6 +20,7 @@ from airflow_crypto_etl_spark import queries_analytics as qa
 from airflow_crypto_etl_spark import queries_ext as qx
 from airflow_crypto_etl_spark import queries_market as qm
 from airflow_crypto_etl_spark import queries_pipeline as qp
+from airflow_crypto_etl_spark import queries_quality as qq
 from airflow_crypto_etl_spark import queries_scale as qs
 from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark import queries_udf as qu
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qp.QUERIES_PIPELINE,
         qm.QUERIES_MARKET,
         qa.QUERIES_ANALYTICS,
+        qq.QUERIES_QUALITY,
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
@@ -91,4 +93,5 @@ def oracle_sql() -> dict[str, str]:
         qp.ORACLE_PIPELINE,
         qm.ORACLE_MARKET,
         qa.ORACLE_ANALYTICS,
+        qq.ORACLE_QUALITY,
     )

@@ -1,0 +1,467 @@
+"""Corpus-quality and robust-statistics queries — the model-based
+filtering and robust-profiling passes a pretraining data pipeline runs
+after the heuristic filters in ``operators/text.py`` / ``llm_prep.py``:
+
+- bigram LM quality scoring (the engine-portable analog of CCNet's
+  KenLM perplexity filter — no ``ln()``, so the DuckDB oracle is
+  bit-identical; see ``operators/text.tfidf_topk`` for the rule),
+- vocabulary coverage / OOV rate (tokenizer-fit diagnostics),
+- weighted systematic sampling (deterministic, integer threshold
+  crossing — the rand()-free counterpart of A-ES weighted reservoirs),
+- IQR and MAD outlier profiling (robust fences on quantized values so
+  interpolated quantiles stay exact cross-engine),
+- top user paths (sequence mining over the event stream),
+- Cramér's V effect size (closing the chi-square analysis loop).
+
+Exactness rules shared with the rest of the repo: integer/rational
+arithmetic wherever a sum crosses a shuffle (order-free), single
+IEEE ops for any double epilogue, and the PageRank 2^20 floor
+quantization for per-term double contributions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashing import affine_hash, affine_hash_sql
+from .operators.text import tokens_col
+from .queries import _t
+
+_Q = 1 << 20  # term quantizer (the PageRank / chi-square trick)
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality score (CCNet-style model filter, log-free)
+# ---------------------------------------------------------------------------
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score: the average corpus
+    conditional probability p(w2|w1) = c(w1,w2)/c(w1,·) over the doc's
+    bigrams — high for documents whose word transitions look like the
+    corpus, low for shuffled/boilerplate text. This is the quality
+    signal CCNet gets from KenLM perplexity, re-expressed log-free so
+    the oracle parity is exact: each term is ONE integer-ratio IEEE
+    division, floor-quantized at 2^20 and summed as integers (shuffle-
+    order-free), with a single pinned double division at the end.
+
+    Scale: the bigram stream is derived in codegen (sequence+transform
+    over the token array, no window, no shuffle); corpus counts
+    c(w1,w2) and c(w1,·) are partial-aggregable groupBys; per-doc terms
+    pre-aggregate on (doc_id,w1,w2) before the probability join, so the
+    join input is distinct bigrams per doc, not occurrences. At corpus
+    scale you would localCheckpoint the bigram stream once instead of
+    letting the three aggregations re-derive it.
+    """
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .where(F.size("toks") >= 2)
+    )
+    bg = docs.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(toks) - 1),"
+        " i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS b",
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    prob = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            (F.col("c12").cast("double") / F.col("c1").cast("double")) * F.lit(_Q)
+        ).alias("tq"),
+    )
+    dterm = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    return (
+        dterm.join(prob, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            (
+                F.sum(F.col("m") * F.col("tq")).cast("double")
+                / (F.sum("m").cast("double") * F.lit(float(_Q)))
+            ).alias("lm_score"),
+        )
+    )
+
+
+ORACLE_LM_SCORE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+  FROM t WHERE len(toks) >= 2),
+pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+prob AS (
+  SELECT w1, w2,
+         CAST(floor((CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) * {_Q}) AS BIGINT) AS tq
+  FROM c12 JOIN c1 USING (w1)),
+dterm AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m FROM pairs GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * tq) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) * {float(_Q)}) AS lm_score
+FROM dterm JOIN prob USING (w1, w2)
+GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus top-100
+    token vocabulary — the coverage diagnostic run before fixing a
+    tokenizer vocab size. The vocabulary is total-ordered (count desc,
+    term asc) so the top-k boundary is deterministic; membership is a
+    broadcast left join; the per-lang rollup is one partial agg. At
+    100 TB the token stream never shuffles for the membership test —
+    only the tiny vocab moves."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens_col("text")).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("term").asc())
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+        )
+    )
+
+
+ORACLE_OOV_RATE = f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(*) AS n_occ FROM toks GROUP BY term
+    ORDER BY n_occ DESC, term ASC LIMIT {_VOCAB_K})),
+flagged AS (
+  SELECT t.lang, CASE WHEN v.term IS NULL THEN 1 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (term))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(oov) AS BIGINT) AS n_oov,
+       CAST(count(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+FROM flagged GROUP BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# Weighted systematic sampling (deterministic, integer thresholds)
+# ---------------------------------------------------------------------------
+
+_WS_N = 10  # target samples per stratum
+_WS_SALT = 11
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted systematic sample: per language, order documents
+    by the portable affine hash (a deterministic shuffle), take the
+    running sum of weights (n_chars), and keep each document as many
+    times as the count of thresholds j·total/n it crosses — computed
+    entirely in BIGINT as floor((cum·n)/total) − floor(((cum−w)·n)/total),
+    so there is no rand(), no float, and any engine replays it exactly.
+    Heavy documents (w > total/n) legitimately get n_copies ≥ 2, as in
+    classic PPS systematic sampling.
+
+    Scale: one window pass per stratum (languages parallelize); for a
+    single giant stratum the cumsum becomes the two-pass per-partition
+    offset pattern used by ``llm_prep.pack_sequences``."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.col("n_chars").alias("w"))
+        .withColumn("h", affine_hash(F.col("doc_id"), F.lit(_WS_SALT)))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("cum", F.sum("w").over(w_cum)).withColumn(
+        "total", F.sum("w").over(Window.partitionBy("lang"))
+    )
+    d = d.withColumn(
+        "n_copies",
+        F.expr(f"(cum * {_WS_N}) div total - ((cum - w) * {_WS_N}) div total"),
+    )
+    return d.where(F.col("n_copies") >= 1).select("doc_id", "lang", "w", "n_copies")
+
+
+ORACLE_SAMPLE_WEIGHTED = f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars AS w,
+         {affine_hash_sql('doc_id', str(_WS_SALT))} AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, w,
+         sum(w) OVER (PARTITION BY lang ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY lang) AS total
+  FROM d)
+SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+       CAST((cum * {_WS_N}) // total - ((cum - w) * {_WS_N}) // total AS BIGINT)
+         AS n_copies
+FROM c
+WHERE (cum * {_WS_N}) // total - ((cum - w) * {_WS_N}) // total >= 1
+"""
+
+# ---------------------------------------------------------------------------
+# IQR outlier profiling (quantized values so quantiles are exact)
+# ---------------------------------------------------------------------------
+
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile per event type. Values are floor-
+    quantized to integer milli-units FIRST, so the interpolated Q1/Q3
+    land on exact binary fractions and Spark's ``(1−g)a + gb`` and
+    DuckDB's ``a + (b−a)g`` interpolation orders produce the identical
+    double (raw continuous doubles would differ in the last ULP between
+    the two formulas). Fences use 1.5·IQR with g ∈ {0.25, 0.75}, all
+    exact. Two passes: a sort-based per-group quantile agg (small
+    output), then a broadcast join + counting pass over the fact."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vq", F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
+    )
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(vq, 0.25D)").alias("q1_milli"),
+        F.expr("percentile(vq, 0.75D)").alias("q3_milli"),
+    )
+    j = ev.join(F.broadcast(b), "event_type")
+    iqr = F.col("q3_milli") - F.col("q1_milli")
+    lo = F.col("q1_milli") - F.lit(1.5) * iqr
+    hi = F.col("q3_milli") + F.lit(1.5) * iqr
+    return j.groupBy("event_type", "q1_milli", "q3_milli").agg(
+        F.count(F.when((F.col("vq") < lo) | (F.col("vq") > hi), 1)).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+ORACLE_IQR_OUTLIERS = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 1000.0) AS BIGINT) AS vq FROM events),
+b AS (
+  SELECT event_type,
+         quantile_cont(vq, 0.25) AS q1_milli,
+         quantile_cont(vq, 0.75) AS q3_milli
+  FROM ev GROUP BY event_type)
+SELECT ev.event_type, q1_milli, q3_milli,
+       CAST(count(CASE WHEN vq < q1_milli - 1.5 * (q3_milli - q1_milli)
+                         OR vq > q3_milli + 1.5 * (q3_milli - q1_milli)
+                  THEN 1 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM ev JOIN b USING (event_type)
+GROUP BY ev.event_type, q1_milli, q3_milli
+"""
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0 * 1.4826  # 3-sigma equivalent under normality
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score outliers: |v − median| > 3·1.4826·MAD, on milli-
+    quantized values (medians of integers / half-integers interpolate
+    exactly — same rationale as q_iqr_outliers). The MAD tolerates up
+    to 50% contamination where stddev-based fences break. Three
+    partial-agg passes, each joined back by broadcast: median per
+    group, MAD per group, then the counting scan."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vq", F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
+    )
+    med = ev.groupBy("event_type").agg(F.expr("percentile(vq, 0.5D)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("vq") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(dev, 0.5D)").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad.drop("med")), "event_type")
+    return j.groupBy("event_type", "med", "mad").agg(
+        F.count(F.when(F.col("dev") > F.lit(_MAD_K) * F.col("mad"), 1)).alias(
+            "n_outliers"
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+ORACLE_MAD_OUTLIERS = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 1000.0) AS BIGINT) AS vq FROM events),
+med AS (
+  SELECT event_type, quantile_cont(vq, 0.5) AS med FROM ev GROUP BY event_type),
+dev AS (
+  SELECT ev.event_type, med, abs(vq - med) AS dev FROM ev JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, med, quantile_cont(dev, 0.5) AS mad
+  FROM dev GROUP BY event_type, med)
+SELECT dev.event_type, dev.med, mad,
+       CAST(count(CASE WHEN dev > {_MAD_K} * mad THEN 1 END) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM dev JOIN (SELECT event_type, mad FROM mad) m USING (event_type)
+GROUP BY dev.event_type, dev.med, mad
+"""
+
+# ---------------------------------------------------------------------------
+# Top user paths (sequence mining)
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 5
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common user journeys: each user's first 5 events
+    (ordered by ts with event_id tiebreak — total order, so the path
+    string is deterministic) joined into a '>' path, counted, top-10
+    with a path-string tiebreak. One window pass keyed on user, one
+    partial-agg rollup on path, a TakeOrdered top-k — the user frame
+    is the only shuffled state."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _PATH_LEN)
+    paths = r.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PATHS = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_PATH_LEN} GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Cramér's V (effect size for the chi-square independence test)
+# ---------------------------------------------------------------------------
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V = sqrt(χ² / (n·(min(r,c)−1))) for event_type vs
+    day-of-week — the effect size that makes q_chi_square's statistic
+    comparable across table shapes. χ² reuses the exact-rational
+    2^20-quantized term sum (shuffle-order-free); r and c come from the
+    same cells rollup (one Expand for the two distincts); the epilogue
+    is one division and one IEEE sqrt — both single deterministic ops.
+    n is a driver-side count collapsed to a literal (the chi-square
+    precedent), keeping the plan join-free."""
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    cells = ev.groupBy(
+        "event_type", F.dayofweek(F.col("ts").cast("timestamp")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("dow").agg(F.sum("o").alias("c"))
+    num = F.col("o") * F.lit(n) - F.col("r") * F.col("c")
+    term = (num * num).cast("double") / (F.lit(n) * F.col("r") * F.col("c")).cast(
+        "double"
+    )
+    q = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .select(
+            F.floor(term * F.lit(_Q)).alias("tq"),
+            "event_type",
+            "dow",
+        )
+    )
+    agg = q.agg(
+        (F.sum("tq").cast("double") / F.lit(_Q)).alias("chi2"),
+        F.countDistinct("event_type").alias("r_cnt"),
+        F.countDistinct("dow").alias("c_cnt"),
+    )
+    return agg.select(
+        "chi2",
+        F.lit(n).alias("n"),
+        (F.least("r_cnt", "c_cnt") - F.lit(1)).alias("dof_min"),
+        F.sqrt(
+            F.col("chi2")
+            / (F.lit(n) * (F.least("r_cnt", "c_cnt") - F.lit(1))).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+ORACLE_CRAMERS_V = f"""
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+c AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY dow),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+terms AS (
+  SELECT CAST(floor(
+           (CAST((o * n.n - r.r * c.c) * (o * n.n - r.r * c.c) AS DOUBLE)
+            / CAST(n.n * r.r * c.c AS DOUBLE)) * {_Q}) AS BIGINT) AS tq,
+         cells.event_type, cells.dow
+  FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN n),
+agg AS (
+  SELECT CAST(SUM(tq) AS DOUBLE) / {_Q} AS chi2,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r_cnt,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS c_cnt
+  FROM terms)
+SELECT chi2, n.n AS n,
+       CAST(least(r_cnt, c_cnt) - 1 AS BIGINT) AS dof_min,
+       sqrt(chi2 / CAST(n.n * (least(r_cnt, c_cnt) - 1) AS DOUBLE)) AS cramers_v
+FROM agg CROSS JOIN n
+"""
+
+QUERIES_QUALITY = {
+    "q_lm_score": q_lm_score,
+    "q_oov_rate": q_oov_rate,
+    "q_sample_weighted": q_sample_weighted,
+    "q_iqr_outliers": q_iqr_outliers,
+    "q_mad_outliers": q_mad_outliers,
+    "q_top_paths": q_top_paths,
+    "q_cramers_v": q_cramers_v,
+}
+
+ORACLE_QUALITY = {
+    "q_lm_score": ORACLE_LM_SCORE,
+    "q_oov_rate": ORACLE_OOV_RATE,
+    "q_sample_weighted": ORACLE_SAMPLE_WEIGHTED,
+    "q_iqr_outliers": ORACLE_IQR_OUTLIERS,
+    "q_mad_outliers": ORACLE_MAD_OUTLIERS,
+    "q_top_paths": ORACLE_TOP_PATHS,
+    "q_cramers_v": ORACLE_CRAMERS_V,
+}

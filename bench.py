@@ -71,6 +71,9 @@ HEADLINE = [
     "q_kmeans",
     "q_pagerank",
     "q_multimodal_jpeg",
+    # corpus-quality battery representative (three partial-agg passes
+    # over the bigram stream + probability join)
+    "q_lm_score",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Law tests for the corpus-quality / robust-statistics battery
+(queries_quality.py). Oracle parity is covered by test_oracle_parity's
+registry sweep; these pin the algebraic invariants that would not show
+up as a hash mismatch if both engines drifted together."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_etl_spark import queries_quality as qq
+from airflow_crypto_etl_spark.operators.text import tokens_col
+from airflow_crypto_etl_spark.queries import _t
+
+
+def test_lm_score_bounds_and_bigram_counts(spark, sf_dir):
+    res = qq.q_lm_score(spark, sf_dir)
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens_col("text")).alias("n_tokens"))
+        .where(F.col("n_tokens") >= 2)
+    )
+    j = res.join(toks, "doc_id", "full").collect()
+    assert j, "empty LM score result"
+    for r in j:
+        # every multi-token doc scores, and n_bigrams == n_tokens - 1
+        assert r["n_bigrams"] is not None and r["n_tokens"] is not None
+        assert r["n_bigrams"] == r["n_tokens"] - 1
+        # average conditional probability is a probability (floor
+        # quantization can only shrink it, never push it past 1)
+        assert 0.0 <= r["lm_score"] <= 1.0
+
+
+def test_oov_rate_bounds(spark, sf_dir):
+    rows = qq.q_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-12
+    # a top-100 vocabulary must cover SOMETHING in every language
+    assert any(r["n_oov"] < r["n_tokens"] for r in rows)
+
+
+def test_weighted_sample_exact_target_per_stratum(spark, sf_dir):
+    """Systematic PPS law: the copies per stratum sum to EXACTLY the
+    target n — floor(total·n/total) − floor(0) telescopes — and every
+    document's inclusion count is ≤ ceil(w·n/total) + 1."""
+    res = qq.q_sample_weighted(spark, sf_dir)
+    per_lang = {r["lang"]: r["s"] for r in res.groupBy("lang").agg(F.sum("n_copies").alias("s")).collect()}
+    langs = [r["lang"] for r in _t(spark, sf_dir, "documents").select("lang").distinct().collect()]
+    assert set(per_lang) == set(langs)
+    assert all(s == qq._WS_N for s in per_lang.values()), per_lang
+
+
+def test_iqr_and_mad_outlier_counts_bounded(spark, sf_dir):
+    iqr = qq.q_iqr_outliers(spark, sf_dir).collect()
+    mad = qq.q_mad_outliers(spark, sf_dir).collect()
+    assert len(iqr) == len(mad) > 0
+    for r in iqr:
+        assert 0 <= r["n_outliers"] <= r["n_total"]
+        assert r["q1_milli"] <= r["q3_milli"]
+        # Tukey fences at 1.5 IQR flag a minority tail, not the bulk
+        assert r["n_outliers"] < 0.25 * r["n_total"]
+    for r in mad:
+        assert 0 <= r["n_outliers"] <= r["n_total"]
+        assert r["mad"] >= 0
+
+
+def test_top_paths_total_order_and_user_budget(spark, sf_dir):
+    rows = qq.q_top_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(counts) <= n_users
+    # each path has at most _PATH_LEN stages
+    assert all(len(r["path"].split(">")) <= qq._PATH_LEN for r in rows)
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    r = qq.q_cramers_v(spark, sf_dir).collect()[0]
+    assert r["chi2"] >= 0
+    assert r["dof_min"] >= 1
+    assert 0.0 <= r["cramers_v"] <= 1.0
