@@ -465,3 +465,160 @@ ORACLE_QUALITY = {
     "q_top_paths": ORACLE_TOP_PATHS,
     "q_cramers_v": ORACLE_CRAMERS_V,
 }
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline query)
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of (minimize retail price, maximize
+    size): a part is on the skyline iff no other part of the brand is
+    both cheaper-or-equal and larger-or-equal (with one strict). The
+    classic O(n log n) sweep: sort by (price asc, size desc) and keep a
+    row iff its size strictly exceeds the running max over all STRICTLY
+    preceding rows — equal-(price,size) duplicates resolve to the
+    first by partkey, making the kept set total-ordered and engine-
+    deterministic. One window pass per brand (brands parallelize the
+    sort); no self-join, no quadratic dominance check."""
+    p = _t(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_retailprice").asc(), F.col("p_size").desc(), F.col("p_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = p.withColumn("prev_max_size", F.max("p_size").over(w))
+    return flagged.where(
+        F.col("prev_max_size").isNull() | (F.col("p_size") > F.col("prev_max_size"))
+    ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
+
+
+ORACLE_PARETO_FRONTIER = """
+WITH flagged AS (
+  SELECT p_brand, p_partkey, p_retailprice, CAST(p_size AS INTEGER) AS p_size,
+         max(p_size) OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_size
+  FROM part)
+SELECT p_brand, p_partkey, p_retailprice, p_size
+FROM flagged
+WHERE prev_max_size IS NULL OR p_size > prev_max_size
+"""
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+_TOUCHES = ("click", "view", "signup")
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase is
+    credited to the user's most recent PRECEDING touch event (click/
+    view/signup — errors and purchases never get credit); purchases
+    with no prior touch credit 'direct'. One window pass per user
+    (last-ignore-nulls over strictly preceding rows), then a partial-
+    agg rollup per channel. Revenue is milli-quantized before the sum
+    so the per-channel total is an integer — shuffle-order-free — with
+    one pinned double division at the end."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin(*_TOUCHES), F.col("event_type"))
+    attributed = ev.withColumn(
+        "channel", F.coalesce(F.last(touch, ignorenulls=True).over(w), F.lit("direct"))
+    ).where(F.col("event_type") == "purchase")
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        (
+            F.sum(F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")).cast("double")
+            / F.lit(1000.0)
+        ).alias("revenue"),
+    )
+
+
+_TOUCH_LIST = ", ".join(f"'{t}'" for t in _TOUCHES)
+
+ORACLE_ATTRIBUTION_LAST_TOUCH = f"""
+WITH marked AS (
+  SELECT user_id, event_type, value,
+         last_value(CASE WHEN event_type IN ({_TOUCH_LIST}) THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_touch
+  FROM events)
+SELECT coalesce(prior_touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(floor(value * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS revenue
+FROM marked
+WHERE event_type = 'purchase'
+GROUP BY coalesce(prior_touch, 'direct')
+"""
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile
+# ---------------------------------------------------------------------------
+
+# Benford expectations inlined as shortest-roundtrip literals computed
+# ONCE here — both engines parse the identical decimal text to the
+# identical IEEE double, so no engine evaluates a transcendental.
+import math as _math
+
+_BENFORD = {d: repr(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column: the distribution of
+    first significant digits vs the log expectation — a standard
+    fabricated-data / unit-mix screen. The digit is extracted from the
+    milli-quantized INTEGER (first char of its decimal string — no
+    float log10 anywhere); expected shares are compile-time literals.
+    One partial-agg groupBy to 9 rows, then a 9-row window for the
+    total — nothing else moves."""
+    ev = _t(spark, sf_dir, "events")
+    digit = F.substring(
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = ev.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    expected = F.coalesce(
+        *[F.when(F.col("digit") == d, F.lit(float(lit))) for d, lit in _BENFORD.items()]
+    )
+    return counts.select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("share"),
+        expected.alias("benford_p"),
+        F.abs(F.col("n").cast("double") / total.cast("double") - expected).alias(
+            "abs_dev"
+        ),
+    )
+
+
+_BENFORD_CASE = " ".join(f"WHEN digit = {d} THEN {lit}" for d, lit in _BENFORD.items())
+
+ORACLE_BENFORD = f"""
+WITH counts AS (
+  SELECT CAST(substring(CAST(CAST(floor(value * 1000.0) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT digit, n, sum(n) OVER () AS total FROM counts)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST((CASE {_BENFORD_CASE} END) AS DOUBLE) AS benford_p,
+       abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+           - CAST((CASE {_BENFORD_CASE} END) AS DOUBLE)) AS abs_dev
+FROM t
+"""
+
+QUERIES_QUALITY["q_pareto_frontier"] = q_pareto_frontier
+QUERIES_QUALITY["q_attribution_last_touch"] = q_attribution_last_touch
+QUERIES_QUALITY["q_benford"] = q_benford
+ORACLE_QUALITY["q_pareto_frontier"] = ORACLE_PARETO_FRONTIER
+ORACLE_QUALITY["q_attribution_last_touch"] = ORACLE_ATTRIBUTION_LAST_TOUCH
+ORACLE_QUALITY["q_benford"] = ORACLE_BENFORD

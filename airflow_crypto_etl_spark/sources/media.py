@@ -1,0 +1,44 @@
+"""Media-file ingest: a directory (or object-store prefix) of image
+files → the (id, payload) binary-column shape the multimodal kernels
+(``operators/multimodal.decode_payload``) consume.
+
+Spark's built-in ``binaryFile`` source reads each file as one row with
+``path / modificationTime / length / content`` — executors read files
+in parallel, there is no driver-side listing of content, and predicate
+``pathGlobFilter`` / partitioned directory layouts prune at the listing
+level. At 100 TB of media this is the ingest shape: millions of
+objects, each row one payload, downstream ``mapInPandas`` decoders
+Arrow-batch them without ever concatenating.
+
+The numeric document id is recovered from the file name (``<id>.<ext>``)
+with a codegen'd ``regexp_extract`` — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Read every media file under ``path`` as one (id, payload) row.
+
+    ``glob`` (e.g. ``*.png``) is pushed to the file listing via
+    ``pathGlobFilter`` — non-matching files are never opened. Files
+    whose names carry no numeric id get a null id (callers decide
+    whether that is an error)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    doc_id = F.regexp_extract(F.col("path"), r"([0-9]+)\.[A-Za-z0-9]+$", 1)
+    return df.select(
+        F.when(doc_id != "", doc_id).cast("bigint").alias(id_col),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

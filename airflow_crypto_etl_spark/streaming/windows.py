@@ -236,6 +236,64 @@ def streaming_stream_join(
     )
 
 
+def streaming_join_left_outer(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    within: str = "30 minutes",
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution shape
+    where unconverted clicks must ALSO be reported. A click that finds
+    no purchase inside its interval is held in the state store until
+    the watermark passes click_ts + within + lateness, then emitted
+    once with null purchase columns — exactly-once outer emission is a
+    watermark-eviction side effect, so it only happens in a LATER
+    micro-batch (the test drives real batches via maxFilesPerTrigger).
+    State on both sides evicts at the watermark horizon, keeping the
+    stores O(horizon), not O(stream).
+
+    Ops note (verified empirically): the global watermark is the MIN
+    across both sides' watermark nodes, and the per-side node sits
+    BELOW the event-type filter after pushdown — so if one side stops
+    receiving events, the global watermark freezes and outer rows are
+    never emitted. A production deployment must monitor per-side
+    watermark lag, or switch multipleWatermarkPolicy=max knowingly."""
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(events_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", lateness)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    clicks = side("click", "click")
+    purchases = side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"interval {within}")),
+        "leftOuter",
+    )
+    out = run_available_now(joined, "append", state_partitions=4)
+    return out.select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+
+
 def streaming_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles computed BY THE STREAMING ENGINE — the
     operators/timeseries.ohlc aggregation (lexicographic struct

@@ -191,3 +191,41 @@ def test_decode_png_rejects_bad_crc_and_unsupported(spark):
     pdf2 = spark.createDataFrame([(1, bytearray(b"JFIF....xxxx"))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="not a PNG|PythonException|Py4J"):
         mm.decode_png(pdf2).collect()
+
+
+def test_binaryfile_media_ingest_matches_inmemory_decode(spark, tmp_path):
+    """Files-on-disk ingest loop: PNG and PPM payloads written as real
+    files, read back through the built-in binaryFile source
+    (sources/media.read_media_dir), decoded by the unified dispatch —
+    identical typed rows to the in-memory attach path, and the
+    pathGlobFilter prunes non-matching files at the listing."""
+    from airflow_crypto_etl_spark.sources.media import read_media_dir
+
+    d = tmp_path / "media"
+    d.mkdir()
+    specs = {1: (5, 4), 2: (3, 7), 3: (6, 2)}
+    for i, (w, h) in specs.items():
+        (d / f"{i}.png").write_bytes(mm.make_png(i, w, h))
+    (d / "10.ppm").write_bytes(mm.make_ppm(10, 4, 4))
+    (d / "notes.txt").write_bytes(b"not media")
+
+    every = read_media_dir(spark, str(d), glob="*.p*")  # png + ppm, not txt
+    decoded = {r.doc_id: r for r in mm.decode_payload(every).collect()}
+    assert set(decoded) == {1, 2, 3, 10}
+    for i, (w, h) in specs.items():
+        assert (decoded[i].format, decoded[i].width, decoded[i].height) == ("png", w, h)
+    assert (decoded[10].format, decoded[10].width) == ("ppm", 4)
+
+    # png-only glob never opens (or lists) the others
+    pngs = read_media_dir(spark, str(d), glob="*.png")
+    assert pngs.count() == 3
+
+    # parity with the in-memory path over the SAME generator bytes
+    rows = [(i, mm.make_png(i, w, h)) for i, (w, h) in specs.items()]
+    pdf = spark.createDataFrame(rows, "doc_id long, payload binary")
+    mem = {r.doc_id: r for r in mm.decode_payload(pdf).collect()}
+    for i in specs:
+        got, want = decoded[i], mem[i]
+        assert (got.width, got.height, got.n_components, got.n_px_bytes, got.px_mean) == (
+            want.width, want.height, want.n_components, want.n_px_bytes, want.px_mean
+        )

@@ -81,3 +81,71 @@ def test_cramers_v_in_unit_interval(spark, sf_dir):
     assert r["chi2"] >= 0
     assert r["dof_min"] >= 1
     assert 0.0 <= r["cramers_v"] <= 1.0
+
+
+def test_pareto_frontier_no_dominated_rows(spark, sf_dir):
+    """Skyline law: within a brand, no kept row is weakly dominated by
+    any OTHER part row (cheaper-or-equal AND larger-or-equal with one
+    strict), and every dropped row IS dominated by some kept row."""
+    front = qq.q_pareto_frontier(spark, sf_dir).collect()
+    parts = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    by_brand: dict = {}
+    for r in parts:
+        by_brand.setdefault(r["p_brand"], []).append(r)
+    kept = {(r["p_brand"], r["p_partkey"]) for r in front}
+    for r in front:
+        rivals = by_brand[r["p_brand"]]
+        for o in rivals:
+            if o["p_partkey"] == r["p_partkey"]:
+                continue
+            dominates = (
+                o["p_retailprice"] <= r["p_retailprice"]
+                and o["p_size"] >= r["p_size"]
+                and (
+                    o["p_retailprice"] < r["p_retailprice"]
+                    or o["p_size"] > r["p_size"]
+                )
+            )
+            # equal-(price,size) twins: only the lowest partkey is kept
+            twin = (
+                o["p_retailprice"] == r["p_retailprice"]
+                and o["p_size"] == r["p_size"]
+            )
+            assert not dominates or twin, (r, o)
+    for brand, rivals in by_brand.items():
+        for r in rivals:
+            if (brand, r["p_partkey"]) in kept:
+                continue
+            assert any(
+                o["p_retailprice"] <= r["p_retailprice"]
+                and o["p_size"] >= r["p_size"]
+                and (brand, o["p_partkey"]) in kept
+                for o in rivals
+                if o["p_partkey"] != r["p_partkey"]
+            ), f"dropped but undominated: {r}"
+
+
+def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
+    res = qq.q_attribution_last_touch(spark, sf_dir).collect()
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    n_purch = ev.count()
+    assert sum(r["n_purchases"] for r in res) == n_purch
+    channels = {r["channel"] for r in res}
+    assert channels <= set(qq._TOUCHES) | {"direct"}
+    # milli-quantized revenue conservation across channels
+    total_milli = ev.select(
+        F.sum(F.floor(F.col("value") * 1000.0).cast("bigint")).alias("s")
+    ).collect()[0]["s"]
+    assert abs(sum(r["revenue"] for r in res) - total_milli / 1000.0) < 1e-6
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = qq.q_benford(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    # Benford expectations themselves sum to 1
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-9 or len(rows) < 9
+    for r in rows:
+        assert abs(r["abs_dev"] - abs(r["share"] - r["benford_p"])) < 1e-12

@@ -259,3 +259,78 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     assert ks.count("a") == 2          # first occurrence + post-expiry re-admit
     assert ks.count("b") == 1 and ks.count("c") == 1 and ks.count("d") == 1
     assert ("a", "2024-01-01 00:30:00") not in rows  # the in-window dup dropped
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_eviction(spark, tmp_path):
+    """Left-outer interval join across REAL micro-batches: a click with
+    a purchase inside its interval joins normally; a click with none is
+    emitted exactly once WITH NULL purchase columns, and only after the
+    watermark passes its join horizon (outer emission rides state
+    eviction, which needs later batches to advance the watermark)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import types as T
+
+    from airflow_crypto_etl_spark.streaming.windows import streaming_join_left_outer
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    d = str(tmp_path / "ev")
+    # batch 1: user 1 clicks and converts within 30 min; user 2 clicks
+    # and never converts
+    b1 = [
+        (1, base + dt.timedelta(minutes=10), "click", 1),
+        (2, base + dt.timedelta(minutes=20), "click", 2),
+        (3, base + dt.timedelta(minutes=30), "purchase", 1),
+    ]
+    # batches 2-4 advance the watermark far past every horizon. BOTH
+    # event types must keep flowing: the global watermark is the MIN of
+    # the two sides' watermarks (multipleWatermarkPolicy=min), so a
+    # click drought would freeze it at batch 1 and no eviction — hence
+    # no outer emission — would ever happen (verified empirically).
+    b2 = [
+        (4, base + dt.timedelta(hours=6), "purchase", 99),
+        (7, base + dt.timedelta(hours=6), "click", 98),
+    ]
+    b3 = [
+        (5, base + dt.timedelta(hours=6, minutes=10), "purchase", 99),
+        (8, base + dt.timedelta(hours=6, minutes=10), "click", 98),
+    ]
+    b4 = [
+        (6, base + dt.timedelta(hours=6, minutes=20), "purchase", 99),
+        (9, base + dt.timedelta(hours=6, minutes=20), "click", 98),
+    ]
+    for i, b in enumerate((b1, b2, b3, b4), start=1):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(d + f"/f={i}")
+    files = sorted(glob.glob(d + "/f=*/part-*.parquet"))
+    in_dir = str(tmp_path / "stream_in")
+    os.makedirs(in_dir)
+    now = time.time()
+    for i, f in enumerate(files):
+        dst = f"{in_dir}/{i:02d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 60, now + i * 60))
+
+    rows = streaming_join_left_outer(spark, in_dir, schema).collect()
+    by_click = {r.click_id: r for r in rows}
+    # user 1's click matched its purchase inline
+    assert by_click[1].purchase_id == 3 and by_click[1].user_id == 1
+    # user 2's click was emitted EXACTLY ONCE as an outer row with null
+    # purchase side, after the watermark passed its join horizon
+    assert [r for r in rows if r.click_id == 2] == [by_click[2]]
+    assert by_click[2].purchase_id is None and by_click[2].purchase_ts is None
+    assert by_click[2].user_id == 2
+    # the tail clicks (98's) are still inside their horizon at query
+    # end — held in state, NOT emitted: outer rows only ride eviction
+    assert not {7, 8, 9} & set(by_click)
