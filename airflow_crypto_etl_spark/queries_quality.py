@@ -54,8 +54,14 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale you would localCheckpoint the bigram stream once instead of
     letting the three aggregations re-derive it.
     """
+    return lm_score_docs(_t(spark, sf_dir, "documents"))
+
+
+def lm_score_docs(docs_df: DataFrame) -> DataFrame:
+    """DataFrame-parameterized core of :func:`q_lm_score` (probe-able
+    on inflated corpora)."""
     docs = (
-        _t(spark, sf_dir, "documents")
+        docs_df
         .select("doc_id", tokens_col("text").alias("toks"))
         .where(F.size("toks") >= 2)
     )
@@ -522,7 +528,11 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg rollup per channel. Revenue is milli-quantized before the sum
     so the per-channel total is an integer — shuffle-order-free — with
     one pinned double division at the end."""
-    ev = _t(spark, sf_dir, "events")
+    return attribution_events(_t(spark, sf_dir, "events"))
+
+
+def attribution_events(ev: DataFrame) -> DataFrame:
+    """DataFrame-parameterized core of :func:`q_attribution_last_touch`."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -622,3 +632,82 @@ QUERIES_QUALITY["q_benford"] = q_benford
 ORACLE_QUALITY["q_pareto_frontier"] = ORACLE_PARETO_FRONTIER
 ORACLE_QUALITY["q_attribution_last_touch"] = ORACLE_ATTRIBUTION_LAST_TOUCH
 ORACLE_QUALITY["q_benford"] = ORACLE_BENFORD
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (the tokenizer-training unit step)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE training iteration: corpus-wide
+    adjacent-CHARACTER-pair frequencies, weighted by word frequency —
+    the top pair is what BPE would merge next. The scale-critical move
+    is aggregating to the (word, count) vocabulary FIRST: pair
+    explosion then runs over distinct words (≪ token occurrences), the
+    standard trick that makes BPE training feasible on a 100 TB corpus.
+    Two partial-agg shuffles and a TakeOrdered top-k; the pair stream
+    is pure codegen (sequence+transform+substring, no UDF)."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(tokens_col("text")).alias("word")
+    )
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = words.where(F.length("word") >= 2).selectExpr(
+        "n",
+        "explode(transform(sequence(1, length(word) - 1),"
+        " i -> struct(substring(word, i, 1) AS a, substring(word, i+1, 1) AS b))) AS p",
+    )
+    return (
+        pairs.groupBy("p.a", "p.b")
+        .agg(F.sum("n").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(10)
+    )
+
+
+ORACLE_BPE_PAIRS = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents),
+words AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY word),
+pairs AS (
+  SELECT n, unnest(list_transform(range(1, length(word)),
+                                  i -> {'a': word[i], 'b': word[i+1]})) AS p
+  FROM words WHERE length(word) >= 2)
+SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2
+ORDER BY n_pairs DESC, a ASC, b ASC LIMIT 10
+"""
+
+# ---------------------------------------------------------------------------
+# Per-source quantile normalization (mixture-balancing feature prep)
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-normalize a per-document feature (n_chars) WITHIN its
+    source, so scores are comparable across sources before mixture
+    weighting — percent_rank = (rank−1)/(n−1) is a ratio of integers
+    (one IEEE division, engine-exact), with doc_id as the tiebreak so
+    ranks are total. One window pass per source; sources parallelize
+    the sort."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+ORACLE_QUANTILE_NORM = """
+SELECT doc_id, source, n_chars,
+       percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+         AS pct_rank
+FROM documents
+"""
+
+QUERIES_QUALITY["q_bpe_pairs"] = q_bpe_pairs
+QUERIES_QUALITY["q_quantile_norm"] = q_quantile_norm
+ORACLE_QUALITY["q_bpe_pairs"] = ORACLE_BPE_PAIRS
+ORACLE_QUALITY["q_quantile_norm"] = ORACLE_QUANTILE_NORM

@@ -30,6 +30,7 @@ from airflow_crypto_etl_spark.operators import jpeg as jp
 from airflow_crypto_etl_spark.operators import llm_prep as lp
 from airflow_crypto_etl_spark.operators import similarity as sim
 from airflow_crypto_etl_spark.operators import timeseries as tsx
+from airflow_crypto_etl_spark import queries_quality as qq
 from airflow_crypto_etl_spark.session import get_spark
 from airflow_crypto_etl_spark.queries_pipeline import _cdc_feed
 from airflow_crypto_etl_spark.sources.tables import load_table
@@ -153,6 +154,11 @@ def main() -> None:
         # length-bucketed batching (r5): per-(band, stream) rank windows
         # — streams bound partition depth, ratio must stay ~N·log N
         "length_batches": lambda d: lp.length_batches(d),
+        # bigram LM scoring (r5-late): copy inflation multiplies bigram
+        # OCCURRENCES N× while the distinct-bigram vocabulary stays
+        # fixed, so all three aggregations and the probability join must
+        # scale ~N (a per-pair blowup would show super-linear)
+        "lm_score": lambda d: qq.lm_score_docs(d),
     }
 
     orders = load_table(spark, SF_DIR, "orders").select(
@@ -197,6 +203,10 @@ def main() -> None:
         )
 
     ev_cases["winsorize"] = winsorize_case
+    # last-touch attribution (r5-late): ignore-nulls window per user —
+    # user count scales N× (shifted ids), per-user depth constant, so
+    # the window sort is ~N·log N at worst
+    ev_cases["attribution_last_touch"] = lambda d: qq.attribution_events(d)
 
     results = {}
     for name, fn in cases.items():

@@ -149,3 +149,36 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-9 or len(rows) < 9
     for r in rows:
         assert abs(r["abs_dev"] - abs(r["share"] - r["benford_p"])) < 1e-12
+
+
+def test_bpe_pairs_against_python_recount(spark, sf_dir):
+    """Exact cross-check: the top-10 weighted char-pair counts equal a
+    driver-side pure-python recount over the same tokens."""
+    rows = qq.q_bpe_pairs(spark, sf_dir).collect()
+    texts = [r["text"] for r in _t(spark, sf_dir, "documents").select("text").collect()]
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in texts:
+        for w in [x for x in t.split(" ") if x]:
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [((r["a"], r["b"]), r["n_pairs"]) for r in rows]
+    assert got == want
+
+
+def test_quantile_norm_bounds_and_extremes(spark, sf_dir):
+    rows = qq.q_quantile_norm(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        ranks = sorted(r["pct_rank"] for r in rs)
+        assert ranks[0] == 0.0 and ranks[-1] == 1.0
+        assert all(0.0 <= x <= 1.0 for x in ranks)
+        # ordering by pct_rank must agree with ordering by (n_chars, doc_id)
+        ordered = sorted(rs, key=lambda r: (r["n_chars"], r["doc_id"]))
+        assert [r["pct_rank"] for r in ordered] == sorted(
+            r["pct_rank"] for r in rs
+        )
