@@ -711,3 +711,175 @@ QUERIES_QUALITY["q_bpe_pairs"] = q_bpe_pairs
 QUERIES_QUALITY["q_quantile_norm"] = q_quantile_norm
 ORACLE_QUALITY["q_bpe_pairs"] = ORACLE_BPE_PAIRS
 ORACLE_QUALITY["q_quantile_norm"] = ORACLE_QUANTILE_NORM
+
+# ---------------------------------------------------------------------------
+# BPE apply (engine fold vs closed-form oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus's TOP BPE merge with the real engine fold
+    (``operators/bpe.merge_pair_col``) and report per-document symbol
+    counts. The oracle never folds: for a single merge, greedy
+    left-to-right application removes exactly
+    (len − len(replace(word, ab, ''))) / 2 symbols per word — a closed
+    form that independently cross-checks the fold's overlap semantics
+    corpus-wide. The top pair is a 1-row TakeOrdered collected on the
+    driver (the k-means-centroid precedent); the counting scan then
+    applies the merge to every token occurrence, keyed per doc, in one
+    pass."""
+    from .operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    top = (
+        bpe.pair_counts(bpe.word_vocab(docs))
+        .orderBy(F.col("n_pairs").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+        .collect()
+    )
+    a, b = top[0]["a"], top[0]["b"]
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    pieces = bpe.merge_pair_col(F.split("word", ""), a, b)
+    return toks.select("doc_id", "word", pieces.alias("p")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("word")).alias("n_symbols_before"),
+        F.sum(F.size("p")).alias("n_pieces"),
+    )
+
+
+ORACLE_BPE_APPLY = """
+WITH toksd AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents),
+words AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM toksd GROUP BY word),
+pairs AS (
+  SELECT n, unnest(list_transform(range(1, length(word)),
+                                  i -> {'a': word[i], 'b': word[i+1]})) AS p
+  FROM words WHERE length(word) >= 2),
+top1 AS (
+  SELECT p.a AS a, p.b AS b FROM pairs GROUP BY 1, 2
+  ORDER BY CAST(sum(n) AS BIGINT) DESC, a ASC, b ASC LIMIT 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS n_symbols_before,
+       CAST(sum(length(word)
+                - (length(word) - length(replace(word, a || b, ''))) // 2)
+            AS BIGINT) AS n_pieces
+FROM toksd CROSS JOIN top1
+GROUP BY doc_id
+"""
+
+QUERIES_QUALITY["q_bpe_apply"] = q_bpe_apply
+ORACLE_QUALITY["q_bpe_apply"] = ORACLE_BPE_APPLY
+
+# ---------------------------------------------------------------------------
+# Interpolated backoff LM scoring (train/held-out split)
+# ---------------------------------------------------------------------------
+
+_LM_LAMBDA = 0.75  # bigram weight; 1-λ backs off to the unigram
+_LM_SALT = 17
+
+
+def q_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model scoring with unigram backoff: the
+    corpus is split in half by the portable hash (train/score), a
+    bigram model is fit on the train half, and every SCORE-half
+    document gets the average interpolated probability
+    λ·p(w2|w1) + (1−λ)·p(w2) over its bigrams — bigrams unseen in
+    training genuinely exercise the backoff (unseen words score 0).
+    Still log-free: each term is at most two integer-ratio divisions
+    and one fixed-order weighted add, floor-quantized at 2^20 and
+    summed as integers. Train-side totals are driver-collapsed
+    literals; the model tables join broadcast-small onto the scored
+    bigram stream."""
+    docs = _t(spark, sf_dir, "documents")
+    is_train = affine_hash(F.col("doc_id"), F.lit(_LM_SALT)) % 2 == 0
+    train, score = docs.where(is_train), docs.where(~is_train)
+
+    def bigrams(d: DataFrame) -> DataFrame:
+        base = d.select("doc_id", tokens_col("text").alias("toks")).where(
+            F.size("toks") >= 2
+        )
+        return base.selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS b",
+        ).select("doc_id", "b.w1", "b.w2")
+
+    tb = bigrams(train)
+    c12 = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        train.select(F.explode(tokens_col("text")).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    t_total = train.select(F.sum(F.size(tokens_col("text")))).collect()[0][0]
+
+    sb = bigrams(score).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    joined = (
+        sb.join(c12.join(c1, "w1"), ["w1", "w2"], "left")
+        .join(uni, "w2", "left")
+    )
+    p2 = F.coalesce(F.col("c12").cast("double") / F.col("c1").cast("double"), F.lit(0.0))
+    p1 = F.coalesce(F.col("cu").cast("double") / F.lit(float(t_total)), F.lit(0.0))
+    term = F.lit(_LM_LAMBDA) * p2 + F.lit(1.0 - _LM_LAMBDA) * p1
+    tq = F.floor(term * F.lit(_Q))
+    return joined.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        (
+            F.sum(F.col("m") * tq).cast("double")
+            / (F.sum("m").cast("double") * F.lit(float(_Q)))
+        ).alias("backoff_score"),
+    )
+
+
+ORACLE_LM_BACKOFF = f"""
+WITH split AS (
+  SELECT *, ({affine_hash_sql('doc_id', str(_LM_SALT))}) % 2 = 0 AS is_train
+  FROM documents),
+ttoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM split WHERE is_train),
+tb AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+  FROM ttoks WHERE len(toks) >= 2),
+c12 AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12 FROM tb GROUP BY 1, 2),
+c1 AS (SELECT b.w1 AS w1, CAST(count(*) AS BIGINT) AS c1 FROM tb GROUP BY 1),
+uni AS (
+  SELECT u.w2, CAST(count(*) AS BIGINT) AS cu FROM (
+    SELECT unnest(toks) AS w2 FROM ttoks) u GROUP BY 1),
+tt AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS t_total FROM ttoks),
+stoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM split WHERE NOT is_train),
+sb0 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                       i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS b
+  FROM stoks WHERE len(toks) >= 2),
+sb AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS m
+  FROM sb0 GROUP BY 1, 2, 3),
+model AS (
+  SELECT c12.w1 AS w1, c12.w2 AS w2, c12.c12 AS c12n, c1.c1 AS c1n
+  FROM c12 JOIN c1 USING (w1)),
+terms AS (
+  SELECT sb.doc_id, sb.m,
+         CAST(floor(({_LM_LAMBDA} * coalesce(CAST(model.c12n AS DOUBLE) / CAST(model.c1n AS DOUBLE), 0.0)
+                     + {1.0 - _LM_LAMBDA} * coalesce(CAST(uni.cu AS DOUBLE) / tt.t_total, 0.0))
+                    * {_Q}) AS BIGINT) AS tq
+  FROM sb
+  LEFT JOIN model ON sb.w1 = model.w1 AND sb.w2 = model.w2
+  LEFT JOIN uni ON sb.w2 = uni.w2
+  CROSS JOIN tt)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * tq) AS DOUBLE) / (CAST(sum(m) AS DOUBLE) * {float(_Q)}) AS backoff_score
+FROM terms GROUP BY doc_id
+"""
+
+QUERIES_QUALITY["q_lm_backoff"] = q_lm_backoff
+ORACLE_QUALITY["q_lm_backoff"] = ORACLE_LM_BACKOFF

@@ -182,3 +182,41 @@ def test_quantile_norm_bounds_and_extremes(spark, sf_dir):
         assert [r["pct_rank"] for r in ordered] == sorted(
             r["pct_rank"] for r in rs
         )
+
+
+def test_lm_backoff_bounds_and_split_discipline(spark, sf_dir):
+    res = qq.q_lm_backoff(spark, sf_dir)
+    rows = res.collect()
+    assert rows
+    from airflow_crypto_etl_spark.functions.hashing import affine_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    score_ids = {
+        r["doc_id"]
+        for r in docs.where(
+            affine_hash(F.col("doc_id"), F.lit(qq._LM_SALT)) % 2 != 0
+        ).select("doc_id").collect()
+    }
+    got_ids = {r["doc_id"] for r in rows}
+    # only held-out docs are scored (multi-token ones)
+    assert got_ids <= score_ids
+    for r in rows:
+        # interpolated probability stays a probability
+        assert 0.0 <= r["backoff_score"] <= 1.0
+        assert r["n_bigrams"] >= 1
+    # the held-out corpus must contain bigrams unseen in training —
+    # otherwise the backoff path is untested data-side
+    held = docs.where(~(affine_hash(F.col("doc_id"), F.lit(qq._LM_SALT)) % 2 == 0))
+    train = docs.where(affine_hash(F.col("doc_id"), F.lit(qq._LM_SALT)) % 2 == 0)
+
+    def _bigrams(d):
+        from airflow_crypto_etl_spark.operators.text import tokens_col
+
+        base = d.select(tokens_col("text").alias("toks")).where(F.size("toks") >= 2)
+        return base.selectExpr(
+            "explode(transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS b"
+        ).select("b.w1", "b.w2").distinct()
+
+    unseen = _bigrams(held).join(_bigrams(train), ["w1", "w2"], "left_anti").count()
+    assert unseen > 0
