@@ -151,3 +151,49 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     e3 = orient.select(F.col("u").alias("x"), F.col("v").alias("z"))
     tri = wedges.join(e3, ["x", "z"])
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame, nodes: DataFrame, iters: int = 2
+) -> DataFrame:
+    """Synchronous label propagation for community detection (Raghavan
+    et al. 2007, public): every node starts as its own label; each
+    round it adopts the label with the highest incident edge weight
+    among its neighbors — ties broken by SMALLEST label, making every
+    round (and therefore the fixpoint prefix) deterministic and
+    engine-replayable. Isolated nodes keep their own label.
+
+    Engine mapping: the graph is symmetrized once (union + re-agg);
+    each round is one equi-join (edge × label), one partial-agg groupBy
+    on (node, label), and a per-node row_number argmax — the same
+    shuffle budget as a PageRank iteration, with CONSTANT-size label
+    state (one row per node). ``nodes`` must carry a ``node`` column."""
+    und = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(iters):
+        scores = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        w_rank = Window.partitionBy("node").orderBy(
+            F.col("wsum").desc(), F.col("lbl").asc()
+        )
+        best = (
+            scores.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+    return labels

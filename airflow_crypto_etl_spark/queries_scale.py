@@ -775,3 +775,64 @@ FROM res
 
 QUERIES_SCALE["q_bloom_prefilter"] = q_bloom_prefilter
 ORACLE_SCALE["q_bloom_prefilter"] = ORACLE_BLOOM_PREFILTER
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds over the symmetrized
+    user-transition graph, reported as community sizes. All-integer
+    state with total-order tiebreaks (weight desc, label asc), so the
+    oracle unrolls both rounds in SQL and must hash-match exactly —
+    the community structure is a function of the data alone, not of
+    partitioning or visit order."""
+    from .operators import graph as gr
+
+    ev = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(ev)
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    labels = gr.label_propagation(edges, nodes, iters=2)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+    )
+
+
+_LP_ITER = """
+s{tag} AS (
+  SELECT u.dst AS node, l.lbl AS lbl, CAST(SUM(u.w) AS BIGINT) AS wsum
+  FROM und u JOIN {prev} l ON u.src = l.node
+  GROUP BY u.dst, l.lbl),
+b{tag} AS (
+  SELECT node, lbl AS new_lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY wsum DESC, lbl ASC) AS rn
+    FROM s{tag}) WHERE rn = 1),
+l{tag} AS (
+  SELECT p.node, coalesce(b.new_lbl, p.lbl) AS lbl
+  FROM {prev} p LEFT JOIN b{tag} b ON p.node = b.node)"""
+
+ORACLE_LABEL_PROP = f"""
+WITH seq AS (
+  SELECT user_id,
+         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+  FROM events),
+edges AS (
+  SELECT user_id AS src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE dst IS NOT NULL AND dst <> user_id GROUP BY 1, 2),
+und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM edges)
+  GROUP BY src, dst),
+l0 AS (
+  SELECT DISTINCT user_id AS node, user_id AS lbl FROM events),
+{_LP_ITER.format(tag=1, prev="l0")},
+{_LP_ITER.format(tag=2, prev="l1")}
+SELECT lbl AS community,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM l2 GROUP BY lbl
+"""
+
+QUERIES_SCALE["q_label_prop"] = q_label_prop
+ORACLE_SCALE["q_label_prop"] = ORACLE_LABEL_PROP

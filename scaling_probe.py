@@ -256,6 +256,23 @@ def main() -> None:
         "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
     }
 
+    # Label propagation (r5-late): same shuffle budget per round as a
+    # PageRank iteration (edge-label equi-join + (node,label) partial
+    # agg + per-node rank) on N disjoint copies → ratio must stay ~N
+    def label_prop_case(d: DataFrame) -> DataFrame:
+        return gr.label_propagation(
+            gr.transition_edges(d),
+            d.select(F.col("user_id").alias("node")).distinct(),
+            iters=2,
+        )
+
+    label_prop_case(ev).count()  # warm
+    t0 = time.perf_counter(); label_prop_case(ev).count(); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); label_prop_case(big_ev).count(); tn = time.perf_counter() - t0
+    results["label_prop"] = {
+        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+    }
+
     # Triangle counting (r5): copy-inflation shifts user ids, so the
     # inflated graph is N disjoint copies — wedge joins stay bounded by
     # the per-copy degree orientation and the ratio must stay ~N

@@ -79,3 +79,41 @@ def test_transition_edges_no_self_loops_and_counts(spark):
     ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type")
     got = {(r["src"], r["dst"]): r["w"] for r in gr.transition_edges(df).collect()}
     assert got == {(1, 2): 2, (2, 1): 1, (9, 1): 1}
+
+
+def test_label_propagation_laws(spark, sf_dir):
+    """Conservation + convergence-direction laws: every node keeps
+    exactly one label, labels are node ids, community sizes sum to the
+    node count, and a second round never increases the community count
+    (labels only coalesce under propagation on a fixed graph)."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    edges = gr.transition_edges(ev)
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    n_nodes = nodes.count()
+    node_ids = {r["node"] for r in nodes.collect()}
+
+    l1 = gr.label_propagation(edges, nodes, iters=1)
+    l2 = gr.label_propagation(edges, nodes, iters=2)
+    for labels in (l1, l2):
+        rows = labels.collect()
+        assert len(rows) == n_nodes
+        assert {r["node"] for r in rows} == node_ids
+        assert {r["lbl"] for r in rows} <= node_ids
+    assert (
+        l2.select("lbl").distinct().count() <= l1.select("lbl").distinct().count()
+    )
+    # an isolated node (no edges touching it) keeps its own label
+    touched = {r["src"] for r in edges.select("src").collect()} | {
+        r["dst"] for r in edges.select("dst").collect()
+    }
+    isolated = node_ids - touched
+    if isolated:
+        kept = {
+            r["node"]: r["lbl"]
+            for r in l2.where(F.col("node").isin(*list(isolated)[:50])).collect()
+        }
+        assert all(n == l for n, l in kept.items())
