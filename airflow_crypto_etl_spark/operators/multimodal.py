@@ -445,6 +445,37 @@ def extract_features(df: DataFrame, head: int = 8) -> DataFrame:
     return df.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+def extract_features_arrow(df: DataFrame, head: int = 8) -> DataFrame:
+    """The same featurizer on the ``mapInArrow`` surface: the batch
+    arrives as a ``pyarrow.RecordBatch`` and never materializes a
+    pandas frame — one less copy per batch, the right call when the
+    kernel consumes raw buffers (codecs, numpy views). Output is
+    bit-identical to :func:`extract_features` (agreement-tested)."""
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            doc_ids = rb.column("doc_id").to_pylist()
+            payloads = rb.column("payload").to_pylist()
+            n_bytes, byte_mean, head_feature = [], [], []
+            for b in payloads:
+                n_bytes.append(len(b))
+                byte_mean.append(sum(b) / len(b) if len(b) else 0.0)
+                head_feature.append(
+                    [x / 255.0 for x in b[:head]] + [0.0] * max(0, head - len(b))
+                )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "n_bytes": pa.array(n_bytes, pa.int64()),
+                    "byte_mean": pa.array(byte_mean, pa.float64()),
+                    "head_feature": pa.array(head_feature, pa.list_(pa.float64())),
+                }
+            )
+
+    return df.mapInArrow(batches, FEATURES_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

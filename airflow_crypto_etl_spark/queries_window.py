@@ -885,3 +885,38 @@ FROM b GROUP BY 1, 2
 
 QUERIES_WINDOW["q_histogram_equiheight"] = q_histogram_equiheight
 ORACLE_WINDOW["q_histogram_equiheight"] = ORACLE_HISTOGRAM_EQUIHEIGHT
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 surface): per nation, the
+    top-2 customers by balance. Catalyst decorrelates the
+    ORDER-BY-LIMIT lateral into a per-key window top-k — no
+    nation-by-nation re-execution — so the SQL convenience form costs
+    the same as the hand-written rank window (q_topk_per_group)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM nation_lat n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lat c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) t
+        """
+    )
+
+
+ORACLE_LATERAL_TOPK = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+) t
+"""
+
+QUERIES_WINDOW["q_lateral_topk"] = q_lateral_topk
+ORACLE_WINDOW["q_lateral_topk"] = ORACLE_LATERAL_TOPK

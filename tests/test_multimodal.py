@@ -229,3 +229,18 @@ def test_binaryfile_media_ingest_matches_inmemory_decode(spark, tmp_path):
         assert (got.width, got.height, got.n_components, got.n_px_bytes, got.px_mean) == (
             want.width, want.height, want.n_components, want.n_px_bytes, want.px_mean
         )
+
+
+def test_map_in_arrow_features_agree_with_pandas_path(spark):
+    """mapInArrow twin must be bit-identical to the mapInPandas
+    featurizer on the same payloads (incl. short-payload padding)."""
+    rows = [(1, bytes([10, 20, 30])), (2, bytes(range(64))), (3, b"")]
+    pdf = spark.createDataFrame(rows, "doc_id long, payload binary")
+    a = {r.doc_id: r for r in mm.extract_features(pdf).collect()}
+    b = {r.doc_id: r for r in mm.extract_features_arrow(pdf).collect()}
+    assert set(a) == set(b) == {1, 2, 3}
+    for i in a:
+        assert a[i].n_bytes == b[i].n_bytes
+        assert a[i].byte_mean == b[i].byte_mean
+        assert a[i].head_feature == b[i].head_feature
+    assert a[3].n_bytes == 0 and a[3].head_feature == [0.0] * 8
