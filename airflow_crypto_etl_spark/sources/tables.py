@@ -64,6 +64,36 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
     return reader.json(path)
 
 
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Bronze ingest with a malformed-record quarantine: PERMISSIVE
+    parse routes every unparseable line into ``_corrupt_record``
+    instead of failing the batch (the reference's API-JSON ingest has
+    no such guard — one bad line aborts the day's load). Returns
+    (good rows, quarantined raw lines).
+
+    The parsed frame is cached before the split: Spark refuses a
+    filter that references ONLY the internal corrupt column on a raw
+    file scan (it could not know which other columns to parse), and
+    the cache also makes good/bad two reads of one parse rather than
+    two parses. At 100 TB the quarantine side is a trickle written to
+    its own path for replay after a parser fix."""
+    aug = T.StructType(schema.fields + [T.StructField("_corrupt_record", T.StringType())])
+    df = (
+        spark.read.schema(aug)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
 def _restore_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) columns arrive as epoch-nanos longs (see
     session.RUNTIME_CONFS); convert to microsecond timestamp_ntz with the

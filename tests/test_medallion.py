@@ -114,3 +114,39 @@ def test_ge_checkpoint_suite_type_gate(spark, bronze):
     warehouse_shaped = silver.withColumn("market_cap", F.col("market_cap").cast("bigint"))
     report = checks.enforce_ge_suite(warehouse_shaped, GE_CHECKPOINT_SUITE).collect()
     assert report and all(r["passed"] for r in report)
+
+
+def test_json_quarantine_splits_good_and_malformed(spark, tmp_path):
+    """PERMISSIVE Bronze ingest: parseable lines land typed, malformed
+    lines (broken JSON, wrong shape) are quarantined verbatim, nothing
+    is silently dropped, and FAILFAST on the same file raises — the
+    contrast that justifies the quarantine path."""
+    from pyspark.sql import types as T
+
+    from airflow_crypto_etl_spark.sources.tables import read_json_with_quarantine
+
+    p = tmp_path / "bronze.jsonl"
+    lines = [
+        '{"id": 1, "price": 10.5}',
+        '{"id": 2, "price": 20.25}',
+        '{"id": 3, "price": }',          # broken JSON
+        'not json at all',               # garbage line
+        '{"id": 4, "price": 40.0}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("price", T.DoubleType())]
+    )
+    good, bad = read_json_with_quarantine(spark, str(p), schema)
+    good_rows = {r["id"]: r["price"] for r in good.collect()}
+    assert good_rows == {1: 10.5, 2: 20.25, 4: 40.0}
+    raw = sorted(r["raw_line"] for r in bad.collect())
+    assert raw == sorted([lines[2], lines[3]])
+    # conservation: every input line is either typed or quarantined
+    assert good.count() + bad.count() == len(lines)
+
+    # FAILFAST is the no-quarantine alternative: it must abort
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.schema(schema).option("mode", "FAILFAST").json(str(p)).collect()
