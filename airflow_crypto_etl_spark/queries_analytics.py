@@ -846,3 +846,99 @@ FROM agg
 
 QUERIES_ANALYTICS["q_gini"] = q_gini
 ORACLE_ANALYTICS["q_gini"] = ORACLE_GINI
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives — DAU, trailing-7-day WAU, and the
+    stickiness ratio per observed day. Windowed COUNT DISTINCT does
+    not partial-aggregate, so the scale-right plan is the day fan-out:
+    dedupe to (user, day) FIRST (one partial-agg shuffle collapses the
+    event stream), explode each pair onto the ≤7 trailing days it
+    serves (bounded ×7, linear), and count distinct per target day —
+    state is (users × 7 days), never (users × events). Days with no
+    events contribute no row; the spine join keeps only observed days
+    so both engines agree on the domain."""
+    ev = _t(spark, sf_dir, "events")
+    per_day = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"), "user_id"
+    ).distinct()
+    dau = per_day.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    expanded = per_day.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    wau = (
+        expanded.join(per_day.select(F.col("d").alias("day")).distinct(), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.d == wau.day)
+        .select(
+            "d",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+ORACLE_DAU_WAU = """
+WITH per_day AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+dau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM per_day GROUP BY d),
+expanded AS (
+  SELECT CAST(unnest(range(d, d + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS day,
+         user_id
+  FROM per_day),
+spine AS (SELECT DISTINCT d AS day FROM per_day),
+wau AS (
+  SELECT e.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+  FROM expanded e JOIN spine USING (day) GROUP BY e.day)
+SELECT dau.d, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.day
+"""
+
+QUERIES_ANALYTICS["q_dau_wau"] = q_dau_wau
+ORACLE_ANALYTICS["q_dau_wau"] = ORACLE_DAU_WAU
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day split of active users into first-ever-seen vs returning.
+    Two partial-agg passes: per-user first day (one row per user), then
+    the (user, day) actives joined against it — the first-day table is
+    user-count sized and broadcast-eligible. New + returning = DAU by
+    construction (law-tested)."""
+    ev = _t(spark, sf_dir, "events")
+    per_day = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"), "user_id"
+    ).distinct()
+    first_day = per_day.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        per_day.join(first_day, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.when(F.col("d") == F.col("first_d"), 1)).alias("n_new"),
+            F.count(F.when(F.col("d") != F.col("first_d"), 1)).alias("n_returning"),
+        )
+    )
+
+
+ORACLE_NEW_VS_RETURNING = """
+WITH per_day AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+fd AS (SELECT user_id, min(d) AS first_d FROM per_day GROUP BY user_id)
+SELECT d,
+       CAST(count(CASE WHEN d = first_d THEN 1 END) AS BIGINT) AS n_new,
+       CAST(count(CASE WHEN d <> first_d THEN 1 END) AS BIGINT) AS n_returning
+FROM per_day JOIN fd USING (user_id)
+GROUP BY d
+"""
+
+QUERIES_ANALYTICS["q_new_vs_returning"] = q_new_vs_returning
+ORACLE_ANALYTICS["q_new_vs_returning"] = ORACLE_NEW_VS_RETURNING

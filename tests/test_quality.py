@@ -220,3 +220,21 @@ def test_lm_backoff_bounds_and_split_discipline(spark, sf_dir):
 
     unseen = _bigrams(held).join(_bigrams(train), ["w1", "w2"], "left_anti").count()
     assert unseen > 0
+
+
+def test_dau_wau_and_new_returning_consistency(spark, sf_dir):
+    """Cross-query conservation: per day, n_new + n_returning == dau;
+    wau >= dau; stickiness in (0, 1]."""
+    from airflow_crypto_etl_spark import queries_analytics as qa
+
+    dw = {r["d"]: r for r in qa.q_dau_wau(spark, sf_dir).collect()}
+    nr = {r["d"]: r for r in qa.q_new_vs_returning(spark, sf_dir).collect()}
+    assert set(dw) == set(nr) and dw
+    for d, r in dw.items():
+        assert nr[d]["n_new"] + nr[d]["n_returning"] == r["dau"]
+        assert r["wau"] >= r["dau"] >= 1
+        assert 0.0 < r["stickiness"] <= 1.0
+    # every user is new exactly once
+    total_new = sum(r["n_new"] for r in nr.values())
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert total_new == n_users
