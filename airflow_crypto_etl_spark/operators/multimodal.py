@@ -552,3 +552,250 @@ def sample_frames(df: DataFrame, every: int = 4) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio member of the real-decoder family
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("sample_mean", T.DoubleType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+
+def make_wav(doc_id: int, n_samples: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: sample i is
+    ((doc_id + 3·i) mod 65536) − 32768 — a closed form the oracle can
+    re-derive without touching bytes."""
+    import struct
+
+    samples = [((doc_id + 3 * i) % 65536) - 32768 for i in range(n_samples)]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_wav_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) rows with generated WAV bytes; n_samples is
+    50 + doc_id % 20 so geometry varies per row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [make_wav(int(i), 50 + int(i) % 20) for i in ids],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, f"{id_col} long, payload binary"
+    )
+
+
+def decode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL dependency-free WAV decode: RIFF/WAVE validation, chunk
+    walk to fmt (PCM only) and data, little-endian int16 samples.
+    Emits exact aggregate features: sample_mean is an integer sum over
+    one IEEE division, peak_abs an integer max — both engine-exact for
+    the oracle. Arrow-batched mapInPandas like every media kernel."""
+    import struct
+
+    def decode_one(b: bytes) -> tuple:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        off, fmt, data = 12, None, None
+        while off + 8 <= len(b):
+            tag = b[off : off + 4]
+            (size,) = struct.unpack("<I", b[off + 4 : off + 8])
+            body = b[off + 8 : off + 8 + size]
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif tag == b"data":
+                data = body
+            off += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        codec, n_ch, rate, _bps, _align, bits = fmt
+        if codec != 1 or bits != 16:
+            raise NotImplementedError("only 16-bit PCM supported")
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: 2 * n])
+        return (
+            n_ch,
+            rate,
+            bits,
+            n,
+            n / rate,
+            sum(samples) / n,
+            max(abs(s) for s in samples),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (doc_id, *decode_one(bytes(b)))
+                for doc_id, b in zip(pdf[id_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "n_channels",
+                    "sample_rate",
+                    "bits",
+                    "n_samples",
+                    "duration_s",
+                    "sample_mean",
+                    "peak_abs",
+                ],
+            )
+
+    return df.mapInPandas(batches, WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI — the video member of the real-decoder family
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+_AVI_FRAME_SEED_STEP = 97
+
+
+def make_avi(doc_id: int, n_frames: int, width: int, height: int) -> bytes:
+    """Minimal spec-shaped MJPEG AVI: RIFF('AVI ') with an hdrl LIST
+    (avih main header) and a movi LIST of '00dc' frames, each frame a
+    REAL baseline JPEG from :func:`jpeg.make_jpeg` seeded
+    doc_id + 97·f — so every frame's pixels have a closed form the
+    oracle can re-derive."""
+    import struct
+
+    from .jpeg import make_jpeg
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    frames = [
+        make_jpeg(doc_id + _AVI_FRAME_SEED_STEP * f, width, height)
+        for f in range(n_frames)
+    ]
+    avih = struct.pack(
+        "<14I", 33333, 0, 0, 0, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(b: bytes) -> list[bytes]:
+    """RIFF walk: recurse into LIST chunks, collect '00dc' video
+    frames. Even-byte padding honored per the RIFF spec."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        off = 0
+        while off + 8 <= len(buf):
+            tag = buf[off : off + 4]
+            (size,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            body = buf[off + 8 : off + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"00dc":
+                frames.append(body)
+            off += 8 + size + (size & 1)
+
+    walk(b[12:])
+    return frames
+
+
+def attach_avi_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) rows with generated MJPEG AVIs; frame count is
+    2 + doc_id % 4, geometry the q_multimodal_jpeg block grid."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "payload": [
+                        make_avi(
+                            int(i),
+                            2 + int(i) % 4,
+                            8 * (1 + int(i) % 3),
+                            8 * (1 + int(i) % 2),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(batches, f"{id_col} long, payload binary")
+
+
+def decode_avi_sampled(df: DataFrame, every: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """REAL video frame sampling: RIFF walk → every ``every``-th '00dc'
+    frame → the native baseline-JPEG kernel per frame. Emits per-video
+    totals with an exact integer pixel sum over the sampled frames (one
+    IEEE division at the end). This closes the modality triple: image,
+    audio and (MJPEG) video all decode dependency-free; only codec
+    formats (H.264, vorbis, WebP) remain gated."""
+    from .jpeg import decode_jpeg_bytes
+
+    def decode_one(b: bytes) -> tuple:
+        frames = _avi_frames(b)
+        sampled = frames[::every]
+        if not sampled:
+            raise ValueError("no video frames in AVI")
+        total, n_bytes, w0, h0 = 0, 0, None, None
+        for fr in sampled:
+            w, h, _ncomp, raw = decode_jpeg_bytes(fr)
+            if w0 is None:
+                w0, h0 = w, h
+            elif (w, h) != (w0, h0):
+                raise ValueError("inconsistent frame geometry")
+            total += sum(raw)
+            n_bytes += len(raw)
+        return (len(frames), len(sampled), w0, h0, total / n_bytes)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (doc_id, *decode_one(bytes(b)))
+                for doc_id, b in zip(pdf[id_col], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_frames", "n_sampled", "width", "height", "px_mean"],
+            )
+
+    return df.mapInPandas(batches, VIDEO_SCHEMA)

@@ -1676,3 +1676,80 @@ FROM sizes GROUP BY cluster_size
 
 QUERIES_EXT["q_cluster_sizes"] = q_cluster_sizes
 ORACLE_EXT["q_cluster_sizes"] = _cluster_sizes_oracle()
+
+
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV (RIFF PCM) decode — the audio member of the
+    dependency-free decoder family (PPM/PNG/JPEG/WAV): every doc gets
+    a spec-conformant 16-bit mono WAV whose sample i is
+    ((doc_id + 3i) mod 65536) − 32768; ``decode_wav`` walks RIFF
+    chunks, validates the PCM fmt, and unpacks little-endian int16
+    samples with only the stdlib. The oracle re-derives every feature
+    (duration, exact integer-sum mean, peak) from the generator
+    formula — a header-only stub could not hash-match the sample
+    statistics."""
+    d = mm.attach_wav_payload(_docs(spark, sf_dir))
+    return mm.decode_wav(d)
+
+
+ORACLE_MULTIMODAL_WAV = """
+WITH geo AS (
+  SELECT doc_id, CAST(50 + doc_id % 20 AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT doc_id, n,
+         list_transform(range(0, n),
+                        i -> (doc_id + 3 * i) % 65536 - 32768) AS samples
+  FROM geo)
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(16 AS INTEGER) AS bits,
+       n AS n_samples,
+       CAST(n AS DOUBLE) / 8000 AS duration_s,
+       CAST(list_sum(samples) AS DOUBLE) / n AS sample_mean,
+       CAST(list_max(list_transform(samples, x -> abs(x))) AS BIGINT) AS peak_abs
+FROM s
+"""
+
+QUERIES_EXT["q_multimodal_wav"] = q_multimodal_wav
+ORACLE_EXT["q_multimodal_wav"] = ORACLE_MULTIMODAL_WAV
+
+
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (MJPEG) video decode — the last modality joins the
+    dependency-free family: every doc gets a RIFF AVI whose '00dc'
+    frames are spec-conformant baseline JPEGs; ``decode_avi_sampled``
+    walks the container, samples every 2nd frame, and runs the native
+    JPEG kernel per frame. The oracle re-derives the sampled-pixel
+    mean from the per-frame generator formula (seed doc_id + 97·f) —
+    the 64× numerator/denominator scaling between engine and oracle is
+    a power of two, so the division is bit-identical."""
+    d = mm.attach_avi_payload(_docs(spark, sf_dir))
+    return mm.decode_avi_sampled(d, every=2)
+
+
+ORACLE_MULTIMODAL_VIDEO = """
+WITH geo AS (
+  SELECT doc_id,
+         2 + doc_id % 4 AS nf,
+         1 + doc_id % 3 AS bw,
+         1 + doc_id % 2 AS bh
+  FROM documents),
+s AS (
+  SELECT doc_id, nf, bw, bh,
+         list_sum(flatten(list_transform(range(0, (nf + 1) // 2), si ->
+           flatten(list_transform(range(0, bh), by ->
+             list_transform(range(0, bw), bx ->
+               2 * (((doc_id + 97 * (2 * si)) * 7 + by * 5 + bx * 3) % 128))))))) AS vs
+  FROM geo)
+SELECT doc_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+       CAST(bw * 8 AS INTEGER) AS width,
+       CAST(bh * 8 AS INTEGER) AS height,
+       CAST(vs AS DOUBLE) / (((nf + 1) // 2) * bw * bh) AS px_mean
+FROM s
+"""
+
+QUERIES_EXT["q_multimodal_video"] = q_multimodal_video
+ORACLE_EXT["q_multimodal_video"] = ORACLE_MULTIMODAL_VIDEO

@@ -74,6 +74,8 @@ HEADLINE = [
     # corpus-quality battery representative (three partial-agg passes
     # over the bigram stream + probability join)
     "q_lm_score",
+    # video: container walk + multi-frame JPEG decode per payload
+    "q_multimodal_video",
 ]
 
 
