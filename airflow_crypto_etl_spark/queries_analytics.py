@@ -942,3 +942,134 @@ GROUP BY d
 
 QUERIES_ANALYTICS["q_new_vs_returning"] = q_new_vs_returning
 ORACLE_ANALYTICS["q_new_vs_returning"] = ORACLE_NEW_VS_RETURNING
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — the model-evaluation staple: users ranked
+    by an activity score into ntile(10) buckets (total order via the
+    user-id tiebreak), per-decile positive rate vs the overall rate
+    (positive = a big-spender purchase, value > 150 — a label with
+    both classes present, unlike bare purchase which every user has).
+    All ratios are integer-ratio IEEE divisions written identically in
+    both engines. The global ntile sorts one row per USER (the
+    event stream is collapsed first); at 100 TB you would replace it
+    with precomputed decile boundaries (approx quantiles) joined
+    broadcast, trading exact ties for a scan-only plan."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    d = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), F.col("user_id").asc())),
+    )
+    agg = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("label").alias("n_converted"),
+    )
+    tot = Window.partitionBy()
+    conv_rate = F.col("n_converted").cast("double") / F.col("n_users").cast("double")
+    overall = F.sum("n_converted").over(tot).cast("double") / F.sum("n_users").over(
+        tot
+    ).cast("double")
+    return agg.select(
+        "decile",
+        "n_users",
+        "n_converted",
+        conv_rate.alias("conv_rate"),
+        (conv_rate / overall).alias("lift"),
+    )
+
+
+ORACLE_DECILE_LIFT = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id ASC) AS decile
+  FROM per_user),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(label) AS BIGINT) AS n_converted
+  FROM d GROUP BY decile)
+SELECT decile, n_users, n_converted,
+       CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS conv_rate,
+       (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+         / (CAST(sum(n_converted) OVER () AS DOUBLE)
+            / CAST(sum(n_users) OVER () AS DOUBLE)) AS lift
+FROM agg
+"""
+
+QUERIES_ANALYTICS["q_decile_lift"] = q_decile_lift
+ORACLE_ANALYTICS["q_decile_lift"] = ORACLE_DECILE_LIFT
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the rank form of the Mann-Whitney U statistic:
+    AUC = (Σ ranks of positives − P(P+1)/2) / (P·N), with tied scores
+    getting the average rank of their tie group — computed as
+    (min_rn + max_rn)/2 from a single row_number window, so ties are
+    handled exactly and every quantity before the final division is an
+    integer or half-integer. One per-user collapse, one global sort
+    window (the same decile-boundary caveat as q_decile_lift applies
+    at 100 TB), one tie-group agg."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+            ).otherwise(0)
+        ).alias("label"),
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("score").asc(), F.col("user_id").asc()))
+    ranked = per_user.withColumn("rn", rn)
+    ties = ranked.groupBy("score").agg(
+        ((F.min("rn") + F.max("rn")).cast("double") / F.lit(2.0)).alias("avg_rank")
+    )
+    j = ranked.join(F.broadcast(ties), "score")
+    agg = j.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("avg_rank"))).alias("s_pos"),
+        F.sum("label").alias("p"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    p = F.col("p").cast("double")
+    n = (F.col("n_total") - F.col("p")).cast("double")
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        (F.col("n_total") - F.col("p")).alias("n_neg"),
+        ((F.col("s_pos") - p * (p + F.lit(1.0)) / F.lit(2.0)) / (p * n)).alias("auc"),
+    )
+
+
+ORACLE_AUC = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score ASC, user_id ASC) AS rn
+  FROM per_user),
+ties AS (
+  SELECT score, CAST(min(rn) + max(rn) AS DOUBLE) / 2.0 AS avg_rank
+  FROM ranked GROUP BY score),
+agg AS (
+  SELECT sum(CASE WHEN label = 1 THEN avg_rank END) AS s_pos,
+         CAST(sum(label) AS BIGINT) AS p,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM ranked JOIN ties USING (score))
+SELECT p AS n_pos,
+       n_total - p AS n_neg,
+       (s_pos - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0) / 2.0)
+         / (CAST(p AS DOUBLE) * CAST(n_total - p AS DOUBLE)) AS auc
+FROM agg
+"""
+
+QUERIES_ANALYTICS["q_auc"] = q_auc
+ORACLE_ANALYTICS["q_auc"] = ORACLE_AUC

