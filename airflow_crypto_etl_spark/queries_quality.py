@@ -11,7 +11,11 @@ after the heuristic filters in ``operators/text.py`` / ``llm_prep.py``:
 - IQR and MAD outlier profiling (robust fences on quantized values so
   interpolated quantiles stay exact cross-engine),
 - top user paths (sequence mining over the event stream),
-- Cramér's V effect size (closing the chi-square analysis loop).
+- Cramér's V effect size (closing the chi-square analysis loop),
+- Pareto-frontier skyline, last-touch attribution, Benford audit,
+- BPE merge-pair counting + apply (see ``operators/bpe.py`` for the
+  full iterative trainer), held-out backoff LM scoring, and
+  per-source percent-rank quantile normalization.
 
 Exactness rules shared with the rest of the repo: integer/rational
 arithmetic wherever a sum crosses a shuffle (order-free), single

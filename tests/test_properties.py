@@ -338,3 +338,46 @@ def test_gapfill_spine_is_dense_and_anchored(spark, ticks):
         # interpolated values stay inside the series' observed range
         lo, hi = float(real["close"].min()), float(real["close"].max())
         assert grp["px"].between(lo - 1e-9, hi + 1e-9).all()
+
+
+_WORDS = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=8), min_size=1, max_size=15
+)
+_MERGES = st.lists(
+    st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")),
+    min_size=0,
+    max_size=3,
+)
+
+
+@given(words=_WORDS, merges=_MERGES)
+@_SETTINGS
+def test_bpe_merge_fold_matches_sequential_scanner(spark, words, merges):
+    """The codegen'd greedy fold (operators/bpe.merge_pair_col) must
+    agree with a sequential left-to-right scanner for ANY word and ANY
+    merge sequence — including overlap traps like 'aaa' + (a,a) — and
+    rejoining pieces must always reconstruct the word."""
+    from airflow_crypto_etl_spark.operators import bpe
+
+    def ref_apply(w: str, merges) -> list[str]:
+        s = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        return s
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    syms = F.split("word", "")
+    for a, b in merges:
+        syms = bpe.merge_pair_col(syms, a, b)
+    got = [(r["word"], r["pieces"]) for r in df.select("word", syms.alias("pieces")).collect()]
+    for w, pieces in got:
+        assert pieces == ref_apply(w, merges), (w, merges)
+        assert "".join(pieces) == w
