@@ -892,3 +892,127 @@ FROM terms GROUP BY doc_id
 
 QUERIES_QUALITY["q_lm_backoff"] = q_lm_backoff
 ORACLE_QUALITY["q_lm_backoff"] = ORACLE_LM_BACKOFF
+
+# ---------------------------------------------------------------------------
+# Drift detection: two-sample KS and CUSUM change detection
+# ---------------------------------------------------------------------------
+
+_KS_SALT = 23
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the two
+    deterministic hash halves of the event stream: D = max over values
+    of |ECDF_A − ECDF_B|, computed exactly — per distinct (milli-
+    quantized) value, cumulative counts from one ordered window, each
+    ECDF one integer-ratio division, the max order-free. The canonical
+    production check that yesterday's feed still looks like today's;
+    on identically-distributed halves D should be small (law-tested).
+    One groupBy to distinct values, one global value-ordered window
+    (at 100 TB: range-partition the sort or bucket values first)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint").alias("vq"),
+        (affine_hash(F.col("event_id"), F.lit(_KS_SALT)) % 2 == 0).alias("in_a"),
+    )
+    counts = ev.groupBy("vq").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("ca"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("cb"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    ecdf_a = F.sum("ca").over(w).cast("double") / F.sum("ca").over(tot).cast("double")
+    ecdf_b = F.sum("cb").over(w).cast("double") / F.sum("cb").over(tot).cast("double")
+    per_value = counts.select(
+        F.abs(ecdf_a - ecdf_b).alias("gap"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    return per_value.groupBy("n_a", "n_b").agg(F.max("gap").alias("ks_d"))
+
+
+ORACLE_KS_DRIFT = f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 1000.0) AS BIGINT) AS vq,
+         ({affine_hash_sql('event_id', str(_KS_SALT))}) % 2 = 0 AS in_a
+  FROM events),
+counts AS (
+  SELECT vq,
+         CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS cb
+  FROM ev GROUP BY vq),
+g AS (
+  SELECT abs(CAST(sum(ca) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(sum(ca) OVER () AS DOUBLE)
+             - CAST(sum(cb) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(sum(cb) OVER () AS DOUBLE)) AS gap,
+         CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+         CAST(sum(cb) OVER () AS BIGINT) AS n_b
+  FROM counts)
+SELECT n_a, n_b, max(gap) AS ks_d FROM g GROUP BY n_a, n_b
+"""
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen per event type: daily mean deviations
+    from the type's global mean, accumulated in an ordered window; the
+    maximum |S_t| locates distribution shifts. ALL-INTEGER until the
+    final scale division: daily sums and counts are exact, the
+    deviation term is day_sum·N − day_n·TOTAL (integers — no
+    per-day division), so the running sum is shuffle-order-free and
+    the oracle hash-matches bit-exactly. Report max |S_t| normalized
+    by N·1000 (milli-units) per type."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint").alias("vq"),
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.sum("vq").alias("day_sum"), F.count(F.lit(1)).alias("day_n")
+    )
+    tot = Window.partitionBy("event_type")
+    daily = daily.withColumn("tot_sum", F.sum("day_sum").over(tot)).withColumn(
+        "tot_n", F.sum("day_n").over(tot)
+    )
+    dev = F.col("day_sum") * F.col("tot_n") - F.col("day_n") * F.col("tot_sum")
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = daily.withColumn("cusum", F.sum(dev).over(w))
+    return s.groupBy("event_type", "tot_n").agg(
+        (
+            F.max(F.abs(F.col("cusum"))).cast("double")
+            / (F.col("tot_n") * F.lit(1000.0)).cast("double")
+        ).alias("max_cusum"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+ORACLE_CUSUM_DRIFT = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(floor(value * 1000.0) AS BIGINT) AS vq
+  FROM events),
+daily AS (
+  SELECT event_type, d, CAST(sum(vq) AS BIGINT) AS day_sum,
+         CAST(count(*) AS BIGINT) AS day_n
+  FROM ev GROUP BY 1, 2),
+t AS (
+  SELECT *, CAST(sum(day_sum) OVER (PARTITION BY event_type) AS BIGINT) AS tot_sum,
+            CAST(sum(day_n) OVER (PARTITION BY event_type) AS BIGINT) AS tot_n
+  FROM daily),
+s AS (
+  SELECT event_type, tot_n,
+         CAST(sum(day_sum * tot_n - day_n * tot_sum)
+              OVER (PARTITION BY event_type ORDER BY d ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cusum
+  FROM t)
+SELECT event_type, tot_n,
+       CAST(max(abs(cusum)) AS DOUBLE) / CAST(tot_n * 1000.0 AS DOUBLE) AS max_cusum,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM s GROUP BY event_type, tot_n
+"""
+
+QUERIES_QUALITY["q_ks_drift"] = q_ks_drift
+QUERIES_QUALITY["q_cusum_drift"] = q_cusum_drift
+ORACLE_QUALITY["q_ks_drift"] = ORACLE_KS_DRIFT
+ORACLE_QUALITY["q_cusum_drift"] = ORACLE_CUSUM_DRIFT

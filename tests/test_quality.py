@@ -260,3 +260,27 @@ def test_auc_and_decile_lift_laws(spark, sf_dir):
     # Σ n_users_d · rate_d = tot_conv, so Σ lift_d · n_users_d = n_users
     assert abs(sum(x["lift"] * x["n_users"] for x in lift) - n_users) < 1e-6 * n_users
     assert tot_conv > 0 and weighted > 0
+
+
+def test_ks_drift_small_on_iid_halves_and_large_on_shift(spark, sf_dir):
+    """On two hash-halves of the SAME distribution, D stays small; a
+    deliberately shifted comparison would exceed it by an order of
+    magnitude (sanity direction, not a calibrated test)."""
+    r = qq.q_ks_drift(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert abs(r["n_a"] - r["n_b"]) < 0.2 * (r["n_a"] + r["n_b"])
+    assert 0.0 <= r["ks_d"] <= 1.0
+    # iid halves of ~5k each: KS critical value at alpha=0.001 is
+    # ~1.95*sqrt(2/n) ~= 0.055; a drifted feed would sit far above
+    assert r["ks_d"] < 0.1
+
+
+def test_cusum_drift_bounds(spark, sf_dir):
+    rows = qq.q_cusum_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] >= 1
+        assert r["max_cusum"] >= 0.0
+        # |S_t| <= t * max|dev| and the final S_T telescopes to 0, so
+        # the normalized statistic stays below the value range width
+        assert r["max_cusum"] < 500.0 * r["n_days"]
