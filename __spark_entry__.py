@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_analytics as qa
+from airflow_crypto_etl_spark import queries_experiments as qe
 from airflow_crypto_etl_spark import queries_ext as qx
 from airflow_crypto_etl_spark import queries_market as qm
 from airflow_crypto_etl_spark import queries_pipeline as qp
@@ -77,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qm.QUERIES_MARKET,
         qa.QUERIES_ANALYTICS,
         qq.QUERIES_QUALITY,
+        qe.QUERIES_EXPERIMENTS,
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
@@ -94,4 +96,5 @@ def oracle_sql() -> dict[str, str]:
         qm.ORACLE_MARKET,
         qa.ORACLE_ANALYTICS,
         qq.ORACLE_QUALITY,
+        qe.ORACLE_EXPERIMENTS,
     )

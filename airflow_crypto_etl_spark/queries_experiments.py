@@ -1,0 +1,653 @@
+"""Experimentation & evaluation battery: the measurement layer a team
+runs ON TOP of the ETL output — distinct-count sketches, A/B tests,
+survival curves, search ranking, customer segmentation, record linkage,
+forecast backtesting, and distribution profiling. The reference stops at
+Gold tables (/root/reference/dags/coin_data_pipeline_optimized.py
+builds daily aggregates); these are the queries its consumers would run
+next, re-expressed as partial-aggregable Spark plans with DuckDB oracle
+twins.
+
+House arithmetic rules (see queries_quality.py / OPERATORS.md):
+integer/rational forms wherever possible (cents quantization, rational
+BM25 idf, exact binary 2^-k register sums); ln() only where the 4-dp
+driver normalization gives orders-of-magnitude headroom over libm ulp
+drift; every oracle casts bare literals to DOUBLE (DuckDB parses them
+as DECIMAL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashing import affine_hash, affine_hash_sql
+from .operators import text as tx
+from .queries import _t
+
+QUERIES_EXPERIMENTS: dict = {}
+ORACLE_EXPERIMENTS: dict = {}
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. 2007), portable
+# ---------------------------------------------------------------------------
+
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P  # 64 registers
+_HLL_SALT = 11
+# alpha_64 from the HLL paper: 0.7213 / (1 + 1.079/m) tabulated for m=64
+_HLL_ALPHA = 0.709
+
+
+def hll_registers(ev: DataFrame, key: str = "user_id") -> DataFrame:
+    """The HLL register array (bucket, m_j) for a key column — ONE
+    partial-aggregable groupBy(max) with 64 rows of state. Exposed so
+    the mergeability law (registers of a union == element-wise max of
+    per-shard registers) is testable; that law is what makes the
+    sketch a 100 TB citizen."""
+    h = affine_hash(F.col(key), F.lit(_HLL_SALT))
+    w = F.floor(h / F.lit(_HLL_M)).cast("bigint")  # /64 is exact in binary
+    rho = F.when(w == 0, F.lit(26)).otherwise(F.lit(25) - F.floor(F.log2(w)).cast("bigint"))
+    return (
+        ev.select((h % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch with ENGINE-PORTABLE hashing:
+    h = affine_hash(user_id) (31-bit), register j = h mod 64, and
+    rho = leading zeros of the remaining 25-bit word + 1 (floor(log2)
+    is exact — its argument is an integer and log2 of the bracketing
+    powers of two is representable). The register array is ONE
+    partial-aggregable groupBy(max) — 64 rows of state no matter the
+    input size, and registers from disjoint shards merge by
+    element-wise max (law-tested), which is the whole point at 100 TB:
+    a distinct count over any partitioning with 64 longs of traffic.
+    2^-M_j terms are exact binary fractions, so sum_inv is bit-exact;
+    the small-range linear-counting correction m·ln(m/V) applies below
+    2.5m (ln headroom vs 4-dp normalization ≈ 1e11 ulp)."""
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev)
+    sk = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_present"),
+    ).select(
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias("v_zero"),
+        (F.col("sum_present") + (F.lit(_HLL_M) - F.col("n_present")).cast("double")).alias(
+            "sum_inv"
+        ),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est_raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("sum_inv")
+    out = sk.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).cast("bigint").alias("m"),
+        "v_zero",
+        "sum_inv",
+        est_raw.alias("est_raw"),
+        F.when(
+            (est_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")),
+        )
+        .otherwise(est_raw)
+        .alias("est_corrected"),
+        "exact_distinct",
+    )
+    return out
+
+
+ORACLE_HLL_DISTINCT = f"""
+WITH regs AS (
+  SELECT ({affine_hash_sql('user_id', str(_HLL_SALT))}) % {_HLL_M} AS bucket,
+         max(CASE WHEN CAST(floor(({affine_hash_sql('user_id', str(_HLL_SALT))}) / {_HLL_M}) AS BIGINT) = 0
+                  THEN 26
+                  ELSE 25 - CAST(floor(log2(CAST(floor(({affine_hash_sql('user_id', str(_HLL_SALT))}) / {_HLL_M}) AS BIGINT))) AS BIGINT)
+             END) AS m_j
+  FROM events GROUP BY 1),
+sk AS (
+  SELECT CAST({_HLL_M} - count(*) AS BIGINT) AS v_zero,
+         sum(pow(CAST(2.0 AS DOUBLE), -m_j)) + CAST({_HLL_M} - count(*) AS DOUBLE) AS sum_inv
+  FROM regs),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+SELECT CAST({_HLL_M} AS BIGINT) AS m, v_zero, sum_inv,
+       CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE) / sum_inv AS est_raw,
+       CASE WHEN CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE) / sum_inv
+                 <= CAST({2.5 * _HLL_M} AS DOUBLE) AND v_zero > 0
+            THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE) / CAST(v_zero AS DOUBLE))
+            ELSE CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE) / sum_inv
+       END AS est_corrected,
+       exact_distinct
+FROM sk CROSS JOIN ex
+"""
+
+QUERIES_EXPERIMENTS["q_hll_distinct"] = q_hll_distinct
+ORACLE_EXPERIMENTS["q_hll_distinct"] = ORACLE_HLL_DISTINCT
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: two-proportion z-test on a deterministic split
+# ---------------------------------------------------------------------------
+
+_AB_SALT = 5
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users deterministically hash-split into
+    arms A/B, conversion = user ever made a HIGH-VALUE purchase
+    (value > 150, the same label as q_auc — plain "ever purchased"
+    saturates both arms at rate 1.0 and the z denominator degenerates
+    to 0), and the pooled
+    two-proportion z statistic. One per-user partial-agg pass (the
+    only shuffle, keyed on user_id), then a 2-row arm rollup pivoted
+    into one row — at 100 TB nothing but the per-user collapse moves.
+    All counts integer; the rates and z are divisions/sqrt written in
+    the same order in both engines (sqrt is IEEE-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+        ).alias("converted")
+    )
+    arm = (affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0).alias("in_a")
+    arms = per_user.select(arm, "converted").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("converted"))).alias("c_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted"))).alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b")).cast(
+        "double"
+    )
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a").cast("double") + F.lit(1.0) / F.col("n_b").cast("double"))
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        pa.alias("rate_a"),
+        pb.alias("rate_b"),
+        (pa - pb).alias("lift"),
+        ((pa - pb) / se).alias("z_stat"),
+    )
+
+
+ORACLE_AB_TEST = f"""
+WITH per_user AS (
+  SELECT user_id,
+         ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0 AS in_a,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1),
+arms AS (
+  SELECT CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_a THEN converted END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN NOT in_a THEN converted END) AS BIGINT) AS c_b
+  FROM per_user)
+SELECT n_a, n_b, c_a, c_b,
+       CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS lift,
+       (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z_stat
+FROM arms
+"""
+
+QUERIES_EXPERIMENTS["q_ab_test"] = q_ab_test
+ORACLE_EXPERIMENTS["q_ab_test"] = ORACLE_AB_TEST
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival: first touch → first purchase, censored at last
+# activity
+# ---------------------------------------------------------------------------
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-first-purchase: per user,
+    t0 = first event day, event = first purchase day (always ≥ t0 by
+    construction — one partial-agg pass, no join-back), censored at the
+    last active day otherwise. The life table aggregates to DISTINCT
+    durations BEFORE any window (≤ horizon-days rows, bounded however
+    big the input), then n_at_risk comes from one preceding-exclusive
+    cumulative sum and S(t) = exp(Σ ln((n-d)/n)) over the closed prefix.
+    A zero factor (everyone at risk dies) is tracked with a cumulative
+    flag so ln(0) is never evaluated (DuckDB raises on it); survival is
+    pinned to 0.0 from that step on. Emits the classic KM step rows:
+    event-time, n_risk, n_event, n_censored, survival."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day"), "event_type"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("d_buy"),
+        F.max("day").alias("d_last"),
+    )
+    dur = F.when(
+        F.col("d_buy").isNotNull(), F.datediff(F.col("d_buy"), F.col("d0"))
+    ).otherwise(F.datediff(F.col("d_last"), F.col("d0")))
+    evt = F.when(F.col("d_buy").isNotNull(), 1).otherwise(0)
+    tab = per_user.select(dur.alias("dur_days"), evt.alias("evt"))
+    counts = tab.groupBy("dur_days").agg(
+        F.sum("evt").alias("n_event"),
+        (F.count(F.lit(1)) - F.sum("evt")).alias("n_censored"),
+        F.count(F.lit(1)).alias("n_at"),
+    )
+    tot = Window.partitionBy()
+    prior = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, 0)
+    n_risk = F.sum("n_at").over(tot) - F.coalesce(F.sum("n_at").over(prior), F.lit(0))
+    stepped = counts.withColumn("n_risk", n_risk)
+    factor = (F.col("n_risk") - F.col("n_event")).cast("double") / F.col("n_risk").cast(
+        "double"
+    )
+    stepped = stepped.withColumn(
+        "ln_f", F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))
+    ).withColumn("zeroed", F.max((factor <= 0).cast("int")).over(upto))
+    surv = F.when(F.col("zeroed") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum("ln_f").over(upto))
+    )
+    return (
+        stepped.withColumn("survival", surv)
+        .where(F.col("n_event") > 0)
+        .select("dur_days", "n_risk", "n_event", "n_censored", "survival")
+    )
+
+
+ORACLE_KAPLAN_MEIER = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+per_user AS (
+  SELECT user_id, min(day) AS d0,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS d_buy,
+         max(day) AS d_last
+  FROM ev GROUP BY 1),
+tab AS (
+  SELECT CASE WHEN d_buy IS NOT NULL
+              THEN CAST(date_diff('day', d0, d_buy) AS INT)
+              ELSE CAST(date_diff('day', d0, d_last) AS INT) END AS dur_days,
+         CASE WHEN d_buy IS NOT NULL THEN 1 ELSE 0 END AS evt
+  FROM per_user),
+counts AS (
+  SELECT dur_days, CAST(sum(evt) AS BIGINT) AS n_event,
+         CAST(count(*) - sum(evt) AS BIGINT) AS n_censored,
+         CAST(count(*) AS BIGINT) AS n_at
+  FROM tab GROUP BY 1),
+stepped AS (
+  SELECT *,
+         CAST(sum(n_at) OVER () AS BIGINT)
+           - CAST(coalesce(sum(n_at) OVER (ORDER BY dur_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM counts),
+flagged AS (
+  SELECT *,
+         ln(CASE WHEN CAST(n_risk - n_event AS DOUBLE) / CAST(n_risk AS DOUBLE) > 0
+                 THEN CAST(n_risk - n_event AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                 ELSE CAST(1.0 AS DOUBLE) END) AS ln_f,
+         max(CASE WHEN n_risk - n_event <= 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur_days ROWS UNBOUNDED PRECEDING) AS zeroed
+  FROM stepped)
+SELECT dur_days, n_risk, n_event, n_censored,
+       CASE WHEN zeroed = 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE exp(sum(ln_f) OVER (ORDER BY dur_days ROWS UNBOUNDED PRECEDING))
+       END AS survival
+FROM flagged WHERE n_event > 0
+"""
+
+QUERIES_EXPERIMENTS["q_kaplan_meier"] = q_kaplan_meier
+ORACLE_EXPERIMENTS["q_kaplan_meier"] = ORACLE_KAPLAN_MEIER
+
+
+# ---------------------------------------------------------------------------
+# BM25 search ranking over the document corpus
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K = 15
+_BM25_K1 = 1.25  # exact binary, so the literal is identical in both engines
+_BM25_B = 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus for a fixed query (terms 'spark',
+    'merge', 'window'): the rational idf form (N−df+0.5)/(df+0.5) (no
+    ln — the same bit-exact choice as tfidf_topk), k1=1.25 / b=0.75
+    chosen exact-binary so both engines parse identical doubles. Plan:
+    doc-term counts (partial-agg), the 3-term df table broadcast, doc
+    lengths joined on doc_id, the corpus-size/avg-length scalar a
+    1-row broadcast — the only full-width shuffle is the doc-length
+    join, keyed on doc_id. Top-k by (score desc, doc_id) row_number —
+    a TakeOrdered at scale, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = tx.term_frequencies(docs).where(F.col("term").isin(*_BM25_TERMS))
+    dl = docs.select("doc_id", F.size(tx.tokens_col("text")).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    idf = (F.col("n_docs") - F.col("df_term").cast("double") + F.lit(0.5)) / (
+        F.col("df_term").cast("double") + F.lit(0.5)
+    )
+    denom = F.col("tf").cast("double") + F.lit(_BM25_K1) * (
+        F.lit(1.0)
+        - F.lit(_BM25_B)
+        + F.lit(_BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf").cast("double") * F.lit(_BM25_K1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"), F.count(F.lit(1)).alias("n_terms_matched"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BM25_K)
+        .select("rank", "doc_id", "score", "n_terms_matched")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+ORACLE_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_term FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         sum((stats.n_docs - CAST(d.df_term AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / (CAST(d.df_term AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             * CAST(t.tf AS DOUBLE) * CAST({_BM25_K1 + 1.0} AS DOUBLE)
+             / (CAST(t.tf AS DOUBLE) + CAST({_BM25_K1} AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST({_BM25_B} AS DOUBLE)
+                   + CAST({_BM25_B} AS DOUBLE) * CAST(l.dl AS DOUBLE) / stats.avgdl)))
+           AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+  FROM tf t JOIN dfreq d ON t.term = d.term
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN stats
+  GROUP BY t.doc_id)
+SELECT rank, doc_id, score, n_terms_matched FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {_BM25_K}
+"""
+
+QUERIES_EXPERIMENTS["q_bm25"] = q_bm25
+ORACLE_EXPERIMENTS["q_bm25"] = ORACLE_BM25
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, recency = days from last activity to
+    the corpus horizon (a 1-row broadcast scalar — no empty-partition
+    window over users), frequency = event count, monetary = purchase
+    cents (integer-quantized, exact). Quintiles via ntile(5) with a
+    user_id tiebreak so the assignment is total-ordered and
+    engine-stable; the three windows run over the per-user collapse
+    (one row per user — at 100 TB range-partition that sort, or bucket
+    the ntile by percent_rank). Output: the (r,f,m) segment grid with
+    user counts and revenue."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))), F.lit(0)
+        ).alias("m_cents"),
+    )
+    horizon = per_user.agg(F.max("last_day").alias("horizon"))
+    base = per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.datediff(F.col("horizon"), F.col("last_day")).alias("r_days"),
+        "freq",
+        "m_cents",
+    )
+    r_w = Window.orderBy(F.col("r_days").asc(), F.col("user_id").asc())
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
+    scored = base.select(
+        "user_id",
+        "m_cents",
+        F.ntile(5).over(r_w).alias("r_quint"),
+        F.ntile(5).over(f_w).alias("f_quint"),
+        F.ntile(5).over(m_w).alias("m_quint"),
+    )
+    return scored.groupBy("r_quint", "f_quint", "m_quint").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("m_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+ORACLE_RFM = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+per_user AS (
+  SELECT user_id, max(day) AS last_day, CAST(count(*) AS BIGINT) AS freq,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents END), 0)
+              AS BIGINT) AS m_cents
+  FROM ev GROUP BY 1),
+h AS (SELECT max(last_day) AS horizon FROM per_user),
+base AS (
+  SELECT user_id,
+         CAST(date_diff('day', last_day, horizon) AS INT) AS r_days,
+         freq, m_cents
+  FROM per_user CROSS JOIN h),
+scored AS (
+  SELECT user_id, m_cents,
+         CAST(ntile(5) OVER (ORDER BY r_days ASC, user_id ASC) AS INT) AS r_quint,
+         CAST(ntile(5) OVER (ORDER BY freq DESC, user_id ASC) AS INT) AS f_quint,
+         CAST(ntile(5) OVER (ORDER BY m_cents DESC, user_id ASC) AS INT) AS m_quint
+  FROM base)
+SELECT r_quint, f_quint, m_quint, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(m_cents) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue
+FROM scored GROUP BY 1, 2, 3
+"""
+
+QUERIES_EXPERIMENTS["q_rfm"] = q_rfm
+ORACLE_EXPERIMENTS["q_rfm"] = ORACLE_RFM
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked Levenshtein near-match histogram
+# ---------------------------------------------------------------------------
+
+_LEV_MAX = 2
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidate screen: customer-name pairs BLOCKED by
+    nation (the blocking key bounds the per-block quadratic — at 100 TB
+    use a finer key such as name-prefix+nation, same plan shape), then
+    Levenshtein with Spark's built-in early-exit threshold (distance
+    computation abandons a row once it exceeds the bound — the
+    C-side band optimization). Output is the distance histogram with
+    pair counts and distinct left members, all integers. The self-join
+    shuffles on the block key only; names never leave the JVM."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), _LEV_MAX + 1)
+    near = pairs.select(dist.alias("lev_dist"), F.col("a.c_custkey").alias("left_key")).where(
+        (F.col("lev_dist") >= 0) & (F.col("lev_dist") <= _LEV_MAX)
+    )
+    return near.groupBy("lev_dist").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("left_key").alias("n_left_members"),
+    )
+
+
+ORACLE_EDIT_DISTANCE = f"""
+WITH pairs AS (
+  SELECT a.c_custkey AS left_key,
+         CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev_dist
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+SELECT lev_dist, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT left_key) AS BIGINT) AS n_left_members
+FROM pairs WHERE lev_dist <= {_LEV_MAX} GROUP BY 1
+"""
+
+QUERIES_EXPERIMENTS["q_edit_distance"] = q_edit_distance
+ORACLE_EXPERIMENTS["q_edit_distance"] = ORACLE_EDIT_DISTANCE
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: seasonal-naive (lag-7) with MAE / RMSE / sMAPE
+# ---------------------------------------------------------------------------
+
+_FC_LAG = 7
+
+
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: daily value per event type
+    (integer cents — exact), forecast = the value 7 rows earlier in
+    the per-type day series, errors aggregated per type. MAE and RMSE
+    accumulate INTEGER absolute/squared cent errors (shuffle-order-
+    free) with the divisions and sqrt at the very end; sMAPE is the
+    only per-day double ratio. Window partitioned by event_type — no
+    global sort; the daily collapse is the only shuffled state."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("actual"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.withColumn("forecast", F.lag("actual", _FC_LAG).over(w)).where(
+        F.col("forecast").isNotNull()
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_eval"),
+        (F.sum(err).cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0)).alias(
+            "mae"
+        ),
+        (
+            F.sqrt(F.sum(err * err).cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(100.0)
+        ).alias("rmse"),
+        F.avg(
+            F.lit(2.0)
+            * err.cast("double")
+            / (F.col("actual") + F.col("forecast")).cast("double")
+        ).alias("smape"),
+    )
+
+
+ORACLE_FORECAST_EVAL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+daily AS (
+  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS actual
+  FROM ev GROUP BY 1, 2),
+fc AS (
+  SELECT *, lag(actual, {_FC_LAG}) OVER (PARTITION BY event_type ORDER BY day) AS forecast
+  FROM daily)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_eval,
+       CAST(sum(abs(actual - forecast)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         / CAST(100.0 AS DOUBLE) AS mae,
+       sqrt(CAST(sum((actual - forecast) * (actual - forecast)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) / CAST(100.0 AS DOUBLE) AS rmse,
+       avg(CAST(2.0 AS DOUBLE) * CAST(abs(actual - forecast) AS DOUBLE)
+           / CAST(actual + forecast AS DOUBLE)) AS smape
+FROM fc WHERE forecast IS NOT NULL GROUP BY 1
+"""
+
+QUERIES_EXPERIMENTS["q_forecast_eval"] = q_forecast_eval
+ORACLE_EXPERIMENTS["q_forecast_eval"] = ORACLE_FORECAST_EVAL
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy profile of the event-type mix per day
+# ---------------------------------------------------------------------------
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Shannon entropy of the event-type mix, in bits — the
+    standard drift/diversity profile next to [[q_ks_drift]]. Uses the
+    count identity H = ln(N) − (Σ c·ln c)/N so only integer counts
+    reach ln() (4-dp normalization headroom dwarfs libm ulp drift).
+    Two partial-agg passes ((day,type) then day) — nothing else
+    shuffles; at 100 TB both collapse map-side first."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "event_type"
+    )
+    by_type = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_day = by_type.groupBy("day").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("s_clogc"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    h_nats = F.log(F.col("n_events").cast("double")) - F.col("s_clogc") / F.col(
+        "n_events"
+    ).cast("double")
+    return per_day.select(
+        "day",
+        "n_events",
+        "n_types",
+        (h_nats / F.log(F.lit(2.0))).alias("h_bits"),
+    )
+
+
+ORACLE_ENTROPY = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+by_type AS (
+  SELECT day, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+per_day AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS n_events,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s_clogc,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM by_type GROUP BY 1)
+SELECT day, n_events, n_types,
+       (ln(CAST(n_events AS DOUBLE)) - s_clogc / CAST(n_events AS DOUBLE))
+         / ln(CAST(2.0 AS DOUBLE)) AS h_bits
+FROM per_day
+"""
+
+QUERIES_EXPERIMENTS["q_entropy"] = q_entropy
+ORACLE_EXPERIMENTS["q_entropy"] = ORACLE_ENTROPY

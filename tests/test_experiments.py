@@ -1,0 +1,169 @@
+"""Law tests for the experimentation & evaluation battery
+(queries_experiments.py). Oracle parity is covered by the registry
+sweep; these pin algebraic invariants that would not surface as a hash
+mismatch if both engines drifted together: HLL register mergeability,
+KM monotone telescoping, the z-statistic formula, BM25 against a plain
+Python scorer, ntile balance, Levenshtein against a reference DP, and
+entropy bounds."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from airflow_crypto_etl_spark import queries_experiments as qe
+from airflow_crypto_etl_spark.queries import _t
+
+
+def test_hll_registers_merge_by_elementwise_max(spark, sf_dir):
+    """The distributed-correctness law: sketching two disjoint shards
+    and max-merging the registers must equal sketching the union —
+    this is exactly what partial aggregation does per-partition at
+    scale, so it is the property the 100 TB path rests on."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    full = {r["bucket"]: r["m_j"] for r in qe.hll_registers(ev).collect()}
+    a = qe.hll_registers(ev.where(F.col("event_id") % 2 == 0)).collect()
+    b = qe.hll_registers(ev.where(F.col("event_id") % 2 == 1)).collect()
+    merged: dict = {}
+    for r in list(a) + list(b):
+        merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["m_j"])
+    assert merged == full
+
+
+def test_hll_estimate_near_exact(spark, sf_dir):
+    row = qe.q_hll_distinct(spark, sf_dir).collect()[0]
+    assert row["m"] == 64
+    # raw estimate is the harmonic form of sum_inv
+    assert abs(row["est_raw"] - 0.709 * 64 * 64 / row["sum_inv"]) < 1e-9
+    # m=64 → standard error 1.04/8 = 13%; allow 3 sigma either way
+    assert abs(row["est_corrected"] - row["exact_distinct"]) <= 0.4 * row["exact_distinct"]
+
+
+def test_kaplan_meier_monotone_and_first_step(spark, sf_dir):
+    rows = sorted(qe.q_kaplan_meier(spark, sf_dir).collect(), key=lambda r: r["dur_days"])
+    assert rows, "no KM event steps"
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev + 1e-12
+        assert 0 < r["n_event"] <= r["n_risk"]
+        prev = r["survival"]
+    # at the first event time there are no prior steps: S = (n-d)/n exactly
+    first = rows[0]
+    expect = (first["n_risk"] - first["n_event"]) / first["n_risk"]
+    assert abs(first["survival"] - expect) < 1e-9
+
+
+def test_ab_test_formula(spark, sf_dir):
+    r = qe.q_ab_test(spark, sf_dir).collect()[0]
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r["n_a"] + r["n_b"] == n_users
+    pa, pb = r["c_a"] / r["n_a"], r["c_b"] / r["n_b"]
+    pp = (r["c_a"] + r["c_b"]) / (r["n_a"] + r["n_b"])
+    se = math.sqrt(pp * (1 - pp) * (1 / r["n_a"] + 1 / r["n_b"]))
+    assert abs(r["rate_a"] - pa) < 1e-12 and abs(r["rate_b"] - pb) < 1e-12
+    assert abs(r["z_stat"] - (pa - pb) / se) < 1e-9
+
+
+def test_bm25_matches_python_scorer(spark, sf_dir):
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        term: sum(1 for toks in docs.values() if term in toks) for term in qe._BM25_TERMS
+    }
+    k1, b = qe._BM25_K1, qe._BM25_B
+    scores = {}
+    for did, toks in docs.items():
+        s = 0.0
+        for term in qe._BM25_TERMS:
+            tf = toks.count(term)
+            if tf:
+                idf = (n - df[term] + 0.5) / (df[term] + 0.5)
+                s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s:
+            scores[did] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: qe._BM25_K]
+    got = sorted(qe.q_bm25(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+
+def test_rfm_quintiles_balanced_and_conserve_users(spark, sf_dir):
+    grid = qe.q_rfm(spark, sf_dir).collect()
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in grid) == n_users
+    # ntile law: each dimension's marginal bucket sizes differ by <= 1
+    for dim in ("r_quint", "f_quint", "m_quint"):
+        marg: dict = {}
+        for r in grid:
+            marg[r[dim]] = marg.get(r[dim], 0) + r["n_users"]
+        assert sorted(marg) == [1, 2, 3, 4, 5]
+        assert max(marg.values()) - min(marg.values()) <= 1
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_matches_reference_dp(spark, sf_dir):
+    custs = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).collect()
+    want: dict = {}
+    by_nation: dict = {}
+    for r in custs:
+        by_nation.setdefault(r["c_nationkey"], []).append(r)
+    for rows in by_nation.values():
+        rows = sorted(rows, key=lambda r: r["c_custkey"])
+        for i, a in enumerate(rows):
+            for b in rows[i + 1 :]:
+                d = _lev(a["c_name"], b["c_name"])
+                if d <= qe._LEV_MAX:
+                    want[d] = want.get(d, 0) + 1
+    got = {r["lev_dist"]: r["n_pairs"] for r in qe.q_edit_distance(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_forecast_eval_matches_pandas(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("actual"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["actual"]))
+    got = {r["event_type"]: r for r in qe.q_forecast_eval(spark, sf_dir).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        pairs = [(a, f) for (_, a), (_, f) in zip(pts[qe._FC_LAG :], pts)]
+        if not pairs:
+            assert et not in got
+            continue
+        mae = sum(abs(a - f) for a, f in pairs) / len(pairs) / 100.0
+        assert got[et]["n_days_eval"] == len(pairs)
+        assert abs(got[et]["mae"] - mae) < 1e-9
+
+
+def test_entropy_bounds(spark, sf_dir):
+    rows = qe.q_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-12 <= r["h_bits"] <= math.log2(r["n_types"]) + 1e-12

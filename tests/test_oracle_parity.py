@@ -85,6 +85,9 @@ _PRODUCT_OK = {
     "q_udtf_ngrams",        # lateral UDTF join
     "q_tfidf",              # broadcast 1-row corpus doc-count scalar
     "q_collocations",       # broadcast 1-row corpus doc-count scalar
+    "q_bm25",               # broadcast 1-row (n_docs, avgdl) scalar
+    "q_hll_distinct",       # 1-row sketch x 1-row exact-count scalar
+    "q_rfm",                # broadcast 1-row corpus-horizon scalar
 }
 
 
