@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.hashing import affine_hash, affine_hash_sql
+from .functions.hashing import MERSENNE_P, affine_hash, affine_hash_sql
 from .operators import text as tx
 from .queries import _t
 
@@ -651,3 +651,409 @@ FROM per_day
 
 QUERIES_EXPERIMENTS["q_entropy"] = q_entropy
 ORACLE_EXPERIMENTS["q_entropy"] = ORACLE_ENTROPY
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout (Deng et al. 2013)
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT_DAY = 16  # days 1-15 = pre-period covariate, 16+ = outcome
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED adjusted A/B readout: pre-period purchase spend as the
+    covariate X, post-period spend as the outcome Y, theta = cov(X,Y)
+    / var(X) estimated on the pooled population, and each arm's mean
+    adjusted by theta·(x̄_arm − x̄). Per-user (x, y) cents are exact
+    integers from ONE partial-agg pass; the five pooled moments
+    (ΣX, ΣY, ΣXY, ΣX², n) are exact integer sums (x·y ≲ 2^39 per
+    user — no overflow at any SF that fits int64 row counts) with the
+    two Welford-style ratios taken in doubles at the very end, in the
+    same order in both engines. Everything after the per-user collapse
+    is 1-row/2-row state — the canonical 'big data, small sufficient
+    statistics' experiment pipeline."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofmonth(F.to_date(F.col("ts").cast("timestamp"))).alias("dom"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("cents"),
+    )
+    buy = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(buy & (F.col("dom") < _CUPED_SPLIT_DAY), F.col("cents"))), F.lit(0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(buy & (F.col("dom") >= _CUPED_SPLIT_DAY), F.col("cents"))), F.lit(0)
+        ).alias("y"),
+    ).withColumn("in_a", affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0)
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "n",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mean_x"),
+        (
+            (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n").cast("double"))
+            / (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n").cast("double"))
+        ).alias("theta"),
+    )
+    arms = per_user.agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("y"))).alias("sy_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("y"))).alias("sy_b"),
+        F.sum(F.when(F.col("in_a"), F.col("x"))).alias("sx_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("x"))).alias("sx_b"),
+    )
+    my_a = F.col("sy_a").cast("double") / F.col("n_a").cast("double") / F.lit(100.0)
+    my_b = F.col("sy_b").cast("double") / F.col("n_b").cast("double") / F.lit(100.0)
+    mx_a = F.col("sx_a").cast("double") / F.col("n_a").cast("double") / F.lit(100.0)
+    mx_b = F.col("sx_b").cast("double") / F.col("n_b").cast("double") / F.lit(100.0)
+    mean_x_d = F.col("mean_x") / F.lit(100.0)
+    adj_a = my_a - F.col("theta") * (mx_a - mean_x_d)
+    adj_b = my_b - F.col("theta") * (mx_b - mean_x_d)
+    return arms.crossJoin(F.broadcast(mom)).select(
+        "n_a",
+        "n_b",
+        F.col("theta"),
+        my_a.alias("mean_y_a"),
+        my_b.alias("mean_y_b"),
+        (my_a - my_b).alias("raw_lift"),
+        adj_a.alias("adj_y_a"),
+        adj_b.alias("adj_y_b"),
+        (adj_a - adj_b).alias("cuped_lift"),
+    )
+
+
+ORACLE_CUPED = f"""
+WITH ev AS (
+  SELECT user_id, date_part('day', CAST(ts AS DATE)) AS dom, event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND dom < {_CUPED_SPLIT_DAY}
+                                THEN cents END), 0) AS BIGINT) AS x,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND dom >= {_CUPED_SPLIT_DAY}
+                                THEN cents END), 0) AS BIGINT) AS y,
+         ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0 AS in_a
+  FROM ev GROUP BY user_id),
+mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_x,
+         (CAST(sum(x * y) AS DOUBLE)
+            - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         / (CAST(sum(x * x) AS DOUBLE)
+            - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+           AS theta
+  FROM per_user),
+arms AS (
+  SELECT CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_a THEN y END) AS BIGINT) AS sy_a,
+         CAST(sum(CASE WHEN NOT in_a THEN y END) AS BIGINT) AS sy_b,
+         CAST(sum(CASE WHEN in_a THEN x END) AS BIGINT) AS sx_a,
+         CAST(sum(CASE WHEN NOT in_a THEN x END) AS BIGINT) AS sx_b
+  FROM per_user)
+SELECT n_a, n_b, theta,
+       CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_y_a,
+       CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_y_b,
+       CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE) AS raw_lift,
+       CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                    - mean_x / CAST(100.0 AS DOUBLE)) AS adj_y_a,
+       CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                    - mean_x / CAST(100.0 AS DOUBLE)) AS adj_y_b,
+       (CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                    - mean_x / CAST(100.0 AS DOUBLE)))
+       - (CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - theta * (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE)
+                    - mean_x / CAST(100.0 AS DOUBLE))) AS cuped_lift
+FROM arms CROSS JOIN mom
+"""
+
+QUERIES_EXPERIMENTS["q_cuped"] = q_cuped
+ORACLE_EXPERIMENTS["q_cuped"] = ORACLE_CUPED
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch vs exact percentiles
+# ---------------------------------------------------------------------------
+
+_QS_WIDTH = 5.0
+_QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE fixed-width histogram:
+    bucket = floor(value/5) is one partial-aggregable groupBy whose
+    state is bounded by the value domain (~100 buckets), never by the
+    row count — the shape that answers p50/p90/p99 over 100 TB with a
+    shuffle measured in kilobytes. Estimates interpolate linearly
+    inside the covering bucket from one preceding-exclusive cumulative
+    window over the ~100-row collapse; the exact percentile (which
+    needs the full sort) rides along to expose the sketch error.
+    Exact-percentile interpolation is rounded at 4dp (last-ulp
+    divergence across engines, the q_time_to_convert precedent)."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    hist = (
+        ev.groupBy(F.floor(F.col("value") / F.lit(_QS_WIDTH)).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy()
+    prior = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn("n", F.sum("c").over(tot)).withColumn(
+        "cum_prev", F.coalesce(F.sum("c").over(prior), F.lit(0))
+    )
+    ests = []
+    for q in _QS_QUANTILES:
+        t = F.lit(q) * F.col("n").cast("double")
+        inside = (t - F.col("cum_prev").cast("double")) / F.col("c").cast("double")
+        est = (F.col("b").cast("double") + inside) * F.lit(_QS_WIDTH)
+        covering = (F.col("cum_prev").cast("double") < t) & (
+            (F.col("cum_prev") + F.col("c")).cast("double") >= t
+        )
+        ests.append(F.max(F.when(covering, est)).alias(f"p{int(q * 100)}_sketch"))
+    sk = hist.agg(*ests)
+    exact = ev.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"p{int(q * 100)}_exact")
+            for q in _QS_QUANTILES
+        ]
+    )
+    return sk.crossJoin(F.broadcast(exact))
+
+
+ORACLE_QUANTILE_SKETCH = f"""
+WITH hist AS (
+  SELECT CAST(floor(value / {_QS_WIDTH}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT *, CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(coalesce(sum(c) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+  FROM hist),
+sk AS (
+  SELECT
+    {", ".join(
+        f"max(CASE WHEN CAST(cum_prev AS DOUBLE) < CAST({q} AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" AND CAST(cum_prev + c AS DOUBLE) >= CAST({q} AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" THEN (CAST(b AS DOUBLE) + (CAST({q} AS DOUBLE) * CAST(n AS DOUBLE)"
+        f" - CAST(cum_prev AS DOUBLE)) / CAST(c AS DOUBLE)) * {_QS_WIDTH} END)"
+        f" AS p{int(q * 100)}_sketch"
+        for q in _QS_QUANTILES
+    )}
+  FROM cum),
+ex AS (
+  SELECT
+    {", ".join(
+        f"round(quantile_cont(value, CAST({q} AS DOUBLE)), 4) AS p{int(q * 100)}_exact"
+        for q in _QS_QUANTILES
+    )}
+  FROM events)
+SELECT * FROM sk CROSS JOIN ex
+"""
+
+QUERIES_EXPERIMENTS["q_quantile_sketch"] = q_quantile_sketch
+ORACLE_EXPERIMENTS["q_quantile_sketch"] = ORACLE_QUANTILE_SKETCH
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson-bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 200
+_BOOT_SALT = 29
+_BOOT_STRIDE = 1009  # > _BOOT_R so (user, replicate) keys never collide
+# Poisson(1) CDF ladder: P(W <= k) for k = 0..5; weights capped at 6
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for mean per-user purchase spend — THE
+    resampling scheme that distributes (Chamandy et al., Google 2012):
+    each (user, replicate) draws an independent Poisson(1) weight, so
+    no replicate needs a global sample-with-replacement pass. The
+    weight is DETERMINISTIC: u = affine_hash(user·1009 + r)/P uniform
+    in [0,1) stepped through the Poisson CDF ladder (17-digit literals,
+    identical doubles in both engines). Per-user spend collapses first
+    (integer cents); the replicate fan-out is over users×200, weighted
+    sums are exact integers, and the percentile CI reads off the
+    200-row replicate frame. At 100 TB: fan-out stays proportional to
+    users, every aggregation partial — no shuffle carries more than
+    (R × arms) rows. Point estimate and the 2.5%/97.5% bounds rounded
+    at 4dp (exact-percentile interpolation, q_time_to_convert
+    precedent)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(100.0)).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("cents")
+    )
+    fan = per_user.select(
+        "user_id", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
+    )
+    u = affine_hash(
+        F.col("user_id") * _BOOT_STRIDE + F.col("r"), F.lit(_BOOT_SALT)
+    ).cast("double") / F.lit(float(MERSENNE_P))
+    w = (
+        F.when(u < _POIS_CDF[0], 0)
+        .when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2)
+        .when(u < _POIS_CDF[3], 3)
+        .when(u < _POIS_CDF[4], 4)
+        .when(u < _POIS_CDF[5], 5)
+        .otherwise(6)
+    )
+    reps = (
+        fan.select("r", "cents", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("wsum"),
+            F.sum("w").alias("wn"),
+        )
+        .where(F.col("wn") > 0)
+        .select(
+            (F.col("wsum").cast("double") / F.col("wn").cast("double") / F.lit(100.0)).alias(
+                "rep_mean"
+            )
+        )
+    )
+    ci = reps.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.expr("percentile(rep_mean, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(rep_mean, 0.975)"), 4).alias("ci_hi"),
+    )
+    point = per_user.agg(
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0)
+        ).alias("point_mean")
+    )
+    return ci.crossJoin(F.broadcast(point)).select(
+        "n_replicates", "point_mean", "ci_lo", "ci_hi"
+    )
+
+
+_BOOT_U = affine_hash_sql(f"(user_id * {_BOOT_STRIDE} + r)", str(_BOOT_SALT))
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 100.0) AS BIGINT) END), 0)
+              AS BIGINT) AS cents
+  FROM events GROUP BY 1),
+fan AS (
+  SELECT user_id, cents, CAST(unnest(range(0, {_BOOT_R})) AS BIGINT) AS r
+  FROM per_user),
+weighted AS (
+  SELECT r, cents,
+         CASE WHEN CAST(({_BOOT_U}) AS DOUBLE) / CAST({MERSENNE_P} AS DOUBLE) < {_POIS_CDF[0]!r} THEN 0
+              WHEN CAST(({_BOOT_U}) AS DOUBLE) / CAST({MERSENNE_P} AS DOUBLE) < {_POIS_CDF[1]!r} THEN 1
+              WHEN CAST(({_BOOT_U}) AS DOUBLE) / CAST({MERSENNE_P} AS DOUBLE) < {_POIS_CDF[2]!r} THEN 2
+              WHEN CAST(({_BOOT_U}) AS DOUBLE) / CAST({MERSENNE_P} AS DOUBLE) < {_POIS_CDF[3]!r} THEN 3
+              WHEN CAST(({_BOOT_U}) AS DOUBLE) / CAST({MERSENNE_P} AS DOUBLE) < {_POIS_CDF[4]!r} THEN 4
+              WHEN CAST(({_BOOT_U}) AS DOUBLE) / CAST({MERSENNE_P} AS DOUBLE) < {_POIS_CDF[5]!r} THEN 5
+              ELSE 6 END AS w
+  FROM fan),
+reps AS (
+  SELECT r, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+              / CAST(100.0 AS DOUBLE) AS rep_mean
+  FROM weighted GROUP BY r HAVING sum(w) > 0),
+ci AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+         round(quantile_cont(rep_mean, CAST(0.025 AS DOUBLE)), 4) AS ci_lo,
+         round(quantile_cont(rep_mean, CAST(0.975 AS DOUBLE)), 4) AS ci_hi
+  FROM reps),
+pt AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS point_mean
+  FROM per_user)
+SELECT n_replicates, point_mean, ci_lo, ci_hi FROM ci CROSS JOIN pt
+"""
+
+QUERIES_EXPERIMENTS["q_bootstrap_ci"] = q_bootstrap_ci
+ORACLE_EXPERIMENTS["q_bootstrap_ci"] = ORACLE_BOOTSTRAP_CI
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: pairwise Jaccard between event-type user sets
+# ---------------------------------------------------------------------------
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap: for every pair of event types, the
+    Jaccard similarity of their user sets. The (type, user) frame
+    dedupes in one partial-agg pass; the pair fan-out self-joins ON
+    user_id (co-partitioned, never cartesian) and its width is bounded
+    by |types|² per user, not by events. |A∪B| = |A|+|B|−|A∩B| keeps
+    everything integer until one division per pair."""
+    aud = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    out = inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        (F.col("n_both").cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM aud GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM aud a JOIN aud b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b, i.n_both,
+       CAST(i.n_both AS DOUBLE) / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON i.type_a = sa.event_type
+JOIN sizes sb ON i.type_b = sb.event_type
+"""
+
+QUERIES_EXPERIMENTS["q_audience_overlap"] = q_audience_overlap
+ORACLE_EXPERIMENTS["q_audience_overlap"] = ORACLE_AUDIENCE_OVERLAP

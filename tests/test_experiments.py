@@ -167,3 +167,77 @@ def test_entropy_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert -1e-12 <= r["h_bits"] <= math.log2(r["n_types"]) + 1e-12
+
+
+def test_cuped_theta_and_lift_formula(spark, sf_dir):
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.dayofmonth(F.to_date(F.col("ts").cast("timestamp"))).alias("dom"),
+            "event_type",
+            F.floor(F.col("value") * 100.0).cast("bigint").alias("cents"),
+        )
+        .collect()
+    )
+    xs: dict = {}
+    ys: dict = {}
+    for r in ev:
+        xs.setdefault(r["user_id"], 0)
+        ys.setdefault(r["user_id"], 0)
+        if r["event_type"] == "purchase":
+            if r["dom"] < qe._CUPED_SPLIT_DAY:
+                xs[r["user_id"]] += r["cents"]
+            else:
+                ys[r["user_id"]] += r["cents"]
+    n = len(xs)
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[u] * ys[u] for u in xs)
+    sxx = sum(x * x for x in xs.values())
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    row = qe.q_cuped(spark, sf_dir).collect()[0]
+    assert row["n_a"] + row["n_b"] == n
+    assert abs(row["theta"] - theta) < 1e-9
+    assert abs(row["raw_lift"] - (row["mean_y_a"] - row["mean_y_b"])) < 1e-12
+    assert abs(row["cuped_lift"] - (row["adj_y_a"] - row["adj_y_b"])) < 1e-12
+    # CUPED preserves the POOLED mean: weighted adj means == weighted raw means
+    pooled_raw = (row["mean_y_a"] * row["n_a"] + row["mean_y_b"] * row["n_b"]) / n
+    pooled_adj = (row["adj_y_a"] * row["n_a"] + row["adj_y_b"] * row["n_b"]) / n
+    assert abs(pooled_raw - pooled_adj) < 1e-9
+
+
+def test_quantile_sketch_within_bucket_width(spark, sf_dir):
+    row = qe.q_quantile_sketch(spark, sf_dir).collect()[0]
+    for q in (50, 90, 99):
+        sk, ex = row[f"p{q}_sketch"], row[f"p{q}_exact"]
+        assert sk is not None and ex is not None
+        # the interpolated estimate lives inside the covering bucket,
+        # so it can miss the exact percentile by at most one width
+        assert abs(sk - ex) <= qe._QS_WIDTH + 1e-9
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_dir):
+    a = qe.q_bootstrap_ci(spark, sf_dir).collect()[0]
+    b = qe.q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert a == b  # hash-derived weights: bit-identical on rerun
+    assert a["n_replicates"] == qe._BOOT_R
+    assert a["ci_lo"] <= a["ci_hi"]
+    # Poisson bootstrap of a mean over a non-degenerate sample: the
+    # point estimate should fall inside (or at worst on) the 95% CI
+    assert a["ci_lo"] - 1e-9 <= a["point_mean"] <= a["ci_hi"] + 1e-9
+
+
+def test_audience_overlap_bounds(spark, sf_dir):
+    rows = qe.q_audience_overlap(spark, sf_dir).collect()
+    types = {
+        r["event_type"]
+        for r in _t(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    k = len(types)
+    assert len(rows) <= k * (k - 1) // 2
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        union = r["n_a"] + r["n_b"] - r["n_both"]
+        assert abs(r["jaccard"] - r["n_both"] / union) < 1e-12
+        assert 0.0 < r["jaccard"] <= 1.0

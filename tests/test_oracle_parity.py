@@ -88,6 +88,9 @@ _PRODUCT_OK = {
     "q_bm25",               # broadcast 1-row (n_docs, avgdl) scalar
     "q_hll_distinct",       # 1-row sketch x 1-row exact-count scalar
     "q_rfm",                # broadcast 1-row corpus-horizon scalar
+    "q_cuped",              # 2-arm row x broadcast 1-row pooled-theta scalar
+    "q_quantile_sketch",    # 1-row sketch x 1-row exact-percentile scalar
+    "q_bootstrap_ci",       # 1-row CI x broadcast 1-row point-estimate scalar
 }
 
 
