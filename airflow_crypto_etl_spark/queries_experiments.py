@@ -1057,3 +1057,278 @@ JOIN sizes sb ON i.type_b = sb.event_type
 
 QUERIES_EXPERIMENTS["q_audience_overlap"] = q_audience_overlap
 ORACLE_EXPERIMENTS["q_audience_overlap"] = ORACLE_AUDIENCE_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimate on the hash split
+# ---------------------------------------------------------------------------
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: per-user pre/post purchase spend
+    (the q_cuped period split), arm means from the SAME single
+    per-user collapse, DiD = (ȳA_post − ȳA_pre) − (ȳB_post − ȳB_pre).
+    Sufficient statistics are 8 exact integers (per-arm Σpre, Σpost,
+    n); only the four means and their differences are doubles, taken
+    in the same order in both engines. One shuffle total at any
+    scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.dayofmonth(F.to_date(F.col("ts").cast("timestamp"))).alias("dom"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("cents"),
+    )
+    buy = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(buy & (F.col("dom") < _CUPED_SPLIT_DAY), F.col("cents"))), F.lit(0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(buy & (F.col("dom") >= _CUPED_SPLIT_DAY), F.col("cents"))), F.lit(0)
+        ).alias("post"),
+    ).withColumn("in_a", affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0)
+    s = per_user.agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("pre"))).alias("pre_a"),
+        F.sum(F.when(F.col("in_a"), F.col("post"))).alias("post_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("pre"))).alias("pre_b"),
+        F.sum(F.when(~F.col("in_a"), F.col("post"))).alias("post_b"),
+    )
+    def mean(tot, n):
+        return F.col(tot).cast("double") / F.col(n).cast("double") / F.lit(100.0)
+    delta_a = mean("post_a", "n_a") - mean("pre_a", "n_a")
+    delta_b = mean("post_b", "n_b") - mean("pre_b", "n_b")
+    return s.select(
+        "n_a",
+        "n_b",
+        mean("pre_a", "n_a").alias("mean_pre_a"),
+        mean("post_a", "n_a").alias("mean_post_a"),
+        mean("pre_b", "n_b").alias("mean_pre_b"),
+        mean("post_b", "n_b").alias("mean_post_b"),
+        delta_a.alias("delta_a"),
+        delta_b.alias("delta_b"),
+        (delta_a - delta_b).alias("did"),
+    )
+
+
+ORACLE_DIFF_IN_DIFF = f"""
+WITH ev AS (
+  SELECT user_id, date_part('day', CAST(ts AS DATE)) AS dom, event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND dom < {_CUPED_SPLIT_DAY}
+                                THEN cents END), 0) AS BIGINT) AS pre,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' AND dom >= {_CUPED_SPLIT_DAY}
+                                THEN cents END), 0) AS BIGINT) AS post,
+         ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0 AS in_a
+  FROM ev GROUP BY user_id),
+s AS (
+  SELECT CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_a THEN pre END) AS BIGINT) AS pre_a,
+         CAST(sum(CASE WHEN in_a THEN post END) AS BIGINT) AS post_a,
+         CAST(sum(CASE WHEN NOT in_a THEN pre END) AS BIGINT) AS pre_b,
+         CAST(sum(CASE WHEN NOT in_a THEN post END) AS BIGINT) AS post_b
+  FROM per_user)
+SELECT n_a, n_b,
+       CAST(pre_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_pre_a,
+       CAST(post_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_post_a,
+       CAST(pre_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_pre_b,
+       CAST(post_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_post_b,
+       CAST(post_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - CAST(pre_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE) AS delta_a,
+       CAST(post_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - CAST(pre_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE) AS delta_b,
+       (CAST(post_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - CAST(pre_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE))
+       - (CAST(post_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         - CAST(pre_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE)) AS did
+FROM s
+"""
+
+QUERIES_EXPERIMENTS["q_diff_in_diff"] = q_diff_in_diff
+ORACLE_EXPERIMENTS["q_diff_in_diff"] = ORACLE_DIFF_IN_DIFF
+
+
+# ---------------------------------------------------------------------------
+# Model calibration: reliability bins + Brier score
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration readout for the q_auc score/label pair (score =
+    per-user event count, label = high-value purchase): scores map to
+    [0,1] via percent_rank with a user_id tiebreak (integer-ratio
+    exact), decile reliability bins compare mean predicted vs observed
+    rate, and the Brier score rides along per bin (Σ(p−y)² decomposes
+    over bins; the global Brier is the n-weighted bin mean — law-
+    tested). The window runs over the per-user collapse; every bin
+    statistic is a single division of exact sums at the end."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score"),
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+        ).alias("label"),
+    )
+    w = Window.orderBy(F.col("score").asc(), F.col("user_id").asc())
+    ranked = per_user.withColumn("p", F.percent_rank().over(w))
+    binned = ranked.withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("p") * F.lit(float(_CAL_BINS))).cast("int"),
+            F.lit(_CAL_BINS - 1),
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p").alias("mean_pred"),
+        (F.sum("label").cast("double") / F.count(F.lit(1)).cast("double")).alias("obs_rate"),
+        F.avg(
+            (F.col("p") - F.col("label").cast("double"))
+            * (F.col("p") - F.col("label").cast("double"))
+        ).alias("brier"),
+    )
+
+
+ORACLE_CALIBRATION = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS label
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT *, percent_rank() OVER (ORDER BY score ASC, user_id ASC) AS p
+  FROM per_user),
+binned AS (
+  SELECT *, least(CAST(floor(p * CAST({_CAL_BINS} AS DOUBLE)) AS INT), {_CAL_BINS - 1}) AS bin
+  FROM ranked)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       avg(p) AS mean_pred,
+       CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS obs_rate,
+       avg((p - CAST(label AS DOUBLE)) * (p - CAST(label AS DOUBLE))) AS brier
+FROM binned GROUP BY 1
+"""
+
+QUERIES_EXPERIMENTS["q_calibration"] = q_calibration
+ORACLE_EXPERIMENTS["q_calibration"] = ORACLE_CALIBRATION
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: KM cohorts compared across the A/B arms
+# ---------------------------------------------------------------------------
+
+
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing time-to-first-purchase between the two
+    hash arms — the inferential companion to [[q_kaplan_meier]]. The
+    stratified life table aggregates per (arm, duration) FIRST, the
+    joint event times come from the combined table, and at each event
+    time arm A contributes observed d_A, expected d·n_A/n and
+    hypergeometric variance d(n−d)n_A·n_B/(n²(n−1)). Observed and d
+    are integers; expected/variance are per-row rationals summed as
+    doubles with the chi-square ratio at the very end. Everything
+    after the per-user collapse is bounded by the duration domain.
+    Emits one row: O_A, E_A, variance, chi2 (1 df)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day"), "event_type"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("day"))).alias("d_buy"),
+        F.max("day").alias("d_last"),
+    )
+    dur = F.when(
+        F.col("d_buy").isNotNull(), F.datediff(F.col("d_buy"), F.col("d0"))
+    ).otherwise(F.datediff(F.col("d_last"), F.col("d0")))
+    evt = F.when(F.col("d_buy").isNotNull(), 1).otherwise(0)
+    arm_a = (affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0).cast("int")
+    tab = per_user.select(dur.alias("dur"), evt.alias("evt"), arm_a.alias("a"))
+    cells = tab.groupBy("dur").agg(
+        F.sum("evt").alias("d"),
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.col("evt") * F.col("a")).alias("d_a"),
+        F.sum("a").alias("n_at_a"),
+    )
+    tot = Window.partitionBy()
+    prior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    cells = (
+        cells.withColumn(
+            "n_risk",
+            F.sum("n_at").over(tot) - F.coalesce(F.sum("n_at").over(prior), F.lit(0)),
+        )
+        .withColumn(
+            "n_risk_a",
+            F.sum("n_at_a").over(tot) - F.coalesce(F.sum("n_at_a").over(prior), F.lit(0)),
+        )
+        .where((F.col("d") > 0) & (F.col("n_risk") > 1))
+    )
+    n, na, d = (
+        F.col("n_risk").cast("double"),
+        F.col("n_risk_a").cast("double"),
+        F.col("d").cast("double"),
+    )
+    expected = d * na / n
+    variance = (
+        d * (n - d) * na * (n - na) / (n * n * (n - F.lit(1.0)))
+    )
+    agg = cells.agg(
+        F.sum("d_a").alias("o_a"),
+        F.sum(expected).alias("e_a"),
+        F.sum(variance).alias("var_a"),
+    )
+    dev = F.col("o_a").cast("double") - F.col("e_a")
+    return agg.select(
+        "o_a", "e_a", "var_a", (dev * dev / F.col("var_a")).alias("chi2")
+    )
+
+
+ORACLE_LOGRANK = f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+per_user AS (
+  SELECT user_id, min(day) AS d0,
+         min(CASE WHEN event_type = 'purchase' THEN day END) AS d_buy,
+         max(day) AS d_last
+  FROM ev GROUP BY 1),
+tab AS (
+  SELECT CASE WHEN d_buy IS NOT NULL
+              THEN CAST(date_diff('day', d0, d_buy) AS INT)
+              ELSE CAST(date_diff('day', d0, d_last) AS INT) END AS dur,
+         CASE WHEN d_buy IS NOT NULL THEN 1 ELSE 0 END AS evt,
+         CASE WHEN ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0
+              THEN 1 ELSE 0 END AS a
+  FROM per_user),
+cells AS (
+  SELECT dur, CAST(sum(evt) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS n_at,
+         CAST(sum(evt * a) AS BIGINT) AS d_a, CAST(sum(a) AS BIGINT) AS n_at_a
+  FROM tab GROUP BY 1),
+risk AS (
+  SELECT *,
+         CAST(sum(n_at) OVER () AS BIGINT)
+           - CAST(coalesce(sum(n_at) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+         CAST(sum(n_at_a) OVER () AS BIGINT)
+           - CAST(coalesce(sum(n_at_a) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk_a
+  FROM cells),
+kept AS (SELECT * FROM risk WHERE d > 0 AND n_risk > 1),
+agg AS (
+  SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+         sum(CAST(d AS DOUBLE) * CAST(n_risk_a AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS e_a,
+         sum(CAST(d AS DOUBLE) * CAST(n_risk - d AS DOUBLE)
+             * CAST(n_risk_a AS DOUBLE) * CAST(n_risk - n_risk_a AS DOUBLE)
+             / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)
+                * (CAST(n_risk AS DOUBLE) - CAST(1.0 AS DOUBLE)))) AS var_a
+  FROM kept)
+SELECT o_a, e_a, var_a,
+       (CAST(o_a AS DOUBLE) - e_a) * (CAST(o_a AS DOUBLE) - e_a) / var_a AS chi2
+FROM agg
+"""
+
+QUERIES_EXPERIMENTS["q_logrank"] = q_logrank
+ORACLE_EXPERIMENTS["q_logrank"] = ORACLE_LOGRANK

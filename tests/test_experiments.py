@@ -241,3 +241,104 @@ def test_audience_overlap_bounds(spark, sf_dir):
         union = r["n_a"] + r["n_b"] - r["n_both"]
         assert abs(r["jaccard"] - r["n_both"] / union) < 1e-12
         assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_diff_in_diff_formula(spark, sf_dir):
+    r = qe.q_diff_in_diff(spark, sf_dir).collect()[0]
+    assert abs(r["delta_a"] - (r["mean_post_a"] - r["mean_pre_a"])) < 1e-12
+    assert abs(r["delta_b"] - (r["mean_post_b"] - r["mean_pre_b"])) < 1e-12
+    assert abs(r["did"] - (r["delta_a"] - r["delta_b"])) < 1e-12
+    # same split and periods as q_cuped: arm sizes must agree
+    c = qe.q_cuped(spark, sf_dir).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (c["n_a"], c["n_b"])
+
+
+def test_calibration_brier_decomposition(spark, sf_dir):
+    rows = qe.q_calibration(spark, sf_dir).collect()
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_users
+    for r in rows:
+        assert 0.0 <= r["obs_rate"] <= 1.0
+        assert 0.0 <= r["mean_pred"] <= 1.0
+    # bins are ordered in predicted probability by construction
+    by_bin = sorted(rows, key=lambda r: r["bin"])
+    preds = [r["mean_pred"] for r in by_bin]
+    assert preds == sorted(preds)
+    # global Brier equals the n-weighted mean of per-bin Briers AND a
+    # direct recompute from the per-user frame
+    global_brier = sum(r["brier"] * r["n"] for r in rows) / n_users
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("score"),
+            F.max(
+                ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+            ).alias("label"),
+        )
+        .collect()
+    )
+    ranked = sorted(per_user, key=lambda r: (r["score"], r["user_id"]))
+    n = len(ranked)
+    # percent_rank with ties: rank of first peer / (n-1)
+    first_at: dict = {}
+    for i, r in enumerate(ranked):
+        first_at.setdefault(r["score"], i)
+    direct = sum(
+        (first_at[r["score"]] / (n - 1) - r["label"]) ** 2 for r in ranked
+    ) / n
+    assert abs(global_brier - direct) < 1e-9
+
+
+def test_logrank_against_python_life_table(spark, sf_dir):
+    from airflow_crypto_etl_spark.functions.hashing import KNUTH, MERSENNE_P
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+        )
+        .collect()
+    )
+    users: dict = {}
+    for r in ev:
+        u = users.setdefault(r["user_id"], {"d0": r["day"], "buy": None, "last": r["day"]})
+        u["d0"] = min(u["d0"], r["day"])
+        u["last"] = max(u["last"], r["day"])
+        if r["event_type"] == "purchase":
+            u["buy"] = r["day"] if u["buy"] is None else min(u["buy"], r["day"])
+    a_hash = lambda x: ((1 + qe._AB_SALT * KNUTH) % MERSENNE_P * x
+                        + (7 + qe._AB_SALT * 40503) % MERSENNE_P) % MERSENNE_P
+    tab = []
+    for uid, u in users.items():
+        if u["buy"] is not None:
+            tab.append(((u["buy"] - u["d0"]).days, 1, int(a_hash(uid) % 2 == 0)))
+        else:
+            tab.append(((u["last"] - u["d0"]).days, 0, int(a_hash(uid) % 2 == 0)))
+    cells: dict = {}
+    for dur, evt, a in tab:
+        c = cells.setdefault(dur, [0, 0, 0, 0])  # d, n_at, d_a, n_at_a
+        c[0] += evt
+        c[1] += 1
+        c[2] += evt * a
+        c[3] += a
+    n_risk, n_risk_a = len(tab), sum(a for _, _, a in tab)
+    o = e = v = 0.0
+    for dur in sorted(cells):
+        d, n_at, d_a, n_at_a = cells[dur]
+        if d > 0 and n_risk > 1:
+            o += d_a
+            e += d * n_risk_a / n_risk
+            v += (
+                d * (n_risk - d) * n_risk_a * (n_risk - n_risk_a)
+                / (n_risk * n_risk * (n_risk - 1))
+            )
+        n_risk -= n_at
+        n_risk_a -= n_at_a
+    r = qe.q_logrank(spark, sf_dir).collect()[0]
+    assert r["o_a"] == o
+    assert abs(r["e_a"] - e) < 1e-9
+    assert abs(r["var_a"] - v) < 1e-9
+    assert abs(r["chi2"] - (o - e) ** 2 / v) < 1e-9
