@@ -913,9 +913,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan = per_user.select(
         "user_id", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r")
     )
-    u = affine_hash(
-        F.col("user_id") * _BOOT_STRIDE + F.col("r"), F.lit(_BOOT_SALT)
-    ).cast("double") / F.lit(float(MERSENNE_P))
+    # mod-P reduce BEFORE the stride multiply: user_id*1009 alone
+    # overflows int64 once ids pass ~9e15 (and a billion-id corpus
+    # would overflow inside affine_hash's a*x product) — (id mod P) is
+    # < 2^31, so (id mod P)*1009 + r < 2^42 and the affine product
+    # stays < 2^62. ANSI mode would have made the overflow an error,
+    # not a wrong answer, but the reduction makes it correct everywhere.
+    combined = ((F.col("user_id") % MERSENNE_P) * _BOOT_STRIDE + F.col("r")) % MERSENNE_P
+    u = affine_hash(combined, F.lit(_BOOT_SALT)).cast("double") / F.lit(float(MERSENNE_P))
     w = (
         F.when(u < _POIS_CDF[0], 0)
         .when(u < _POIS_CDF[1], 1)
@@ -954,7 +959,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BOOT_U = affine_hash_sql(f"(user_id * {_BOOT_STRIDE} + r)", str(_BOOT_SALT))
+_BOOT_U = affine_hash_sql(
+    f"(((user_id % {MERSENNE_P}) * {_BOOT_STRIDE} + r) % {MERSENNE_P})", str(_BOOT_SALT)
+)
 
 ORACLE_BOOTSTRAP_CI = f"""
 WITH per_user AS (

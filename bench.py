@@ -76,6 +76,12 @@ HEADLINE = [
     "q_lm_score",
     # video: container walk + multi-frame JPEG decode per payload
     "q_multimodal_video",
+    # experimentation battery representatives: the 64-register sketch
+    # (pure partial-agg), BM25 (tokenize + broadcast-df scoring), and
+    # the 200-replicate Poisson bootstrap (users x R fan-out)
+    "q_hll_distinct",
+    "q_bm25",
+    "q_bootstrap_ci",
 ]
 
 

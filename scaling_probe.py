@@ -54,6 +54,32 @@ def inflate(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
     return out
 
 
+def _bm25_score(d: DataFrame) -> DataFrame:
+    """The scoring core of queries_experiments.q_bm25 (tokenize →
+    3-term tf → broadcast df + 1-row corpus stats → per-doc sum)."""
+    from airflow_crypto_etl_spark.operators import text as tx
+    from airflow_crypto_etl_spark import queries_experiments as qex
+
+    tf = tx.term_frequencies(d).where(F.col("term").isin(*qex._BM25_TERMS))
+    dl = d.select("doc_id", F.size(tx.tokens_col("text")).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_term"))
+    idf = (F.col("n_docs") - F.col("df_term") + F.lit(0.5)) / (F.col("df_term") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(qex._BM25_K1) * (
+        F.lit(1.0 - qex._BM25_B) + F.lit(qex._BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * F.lit(qex._BM25_K1 + 1.0) / denom).alias("score"))
+    )
+
+
 def _collocations_pairs(d: DataFrame) -> DataFrame:
     """The pair-count core of queries_analytics.q_collocations (df
     prune → doc-keyed self-join → exact pair counts)."""
@@ -148,6 +174,11 @@ def main() -> None:
         # Baseline JPEG decode (r5): Arrow-batched mapInPandas, per-doc
         # Huffman+IDCT — embarrassingly parallel, ratio must stay ~N
         "jpeg_decode": lambda d: jp.decode_jpeg(jp.attach_jpeg_payload(d)),
+        # BM25 scoring (r5-late): tokenize + explode is the linear
+        # term; the df table is 3 terms (broadcast) and the corpus
+        # stats are 1 row, so the ratio must stay ~N — a blow-up would
+        # mean the doc-length join stopped being keyed on doc_id
+        "bm25_score": _bm25_score,
         # rand()-free shard shuffle (r5): one hash shuffle + per-shard
         # rank windows (16 shards deepen N× each) → ~N·log N
         "shuffle_shards": lambda d: lp.shuffle_shards(d),
@@ -207,6 +238,35 @@ def main() -> None:
     # user count scales N× (shifted ids), per-user depth constant, so
     # the window sort is ~N·log N at worst
     ev_cases["attribution_last_touch"] = lambda d: qq.attribution_events(d)
+
+    # HLL sketch (r5-late): the register table is 64 rows whatever the
+    # input — the probe bounds the SCAN term (ratio ~N); a blow-up
+    # would mean the groupBy(max) stopped partial-aggregating.
+    from airflow_crypto_etl_spark import queries_experiments as qex
+
+    ev_cases["hll_registers"] = lambda d: qex.hll_registers(d)
+
+    # Poisson bootstrap (r5-late): per-user collapse then users×200
+    # fan-out into 200 replicate partials — both terms linear in users
+    # (which inflate N× via shifted ids), so the ratio must stay ~N.
+    def bootstrap_case(d: DataFrame) -> DataFrame:
+        from airflow_crypto_etl_spark.functions.hashing import MERSENNE_P, affine_hash
+
+        per_user = d.groupBy("user_id").agg(F.sum("value").alias("v"))
+        fan = per_user.select(
+            "user_id", "v",
+            F.explode(F.sequence(F.lit(0), F.lit(qex._BOOT_R - 1))).alias("r"),
+        )
+        combined = (
+            (F.col("user_id") % MERSENNE_P) * qex._BOOT_STRIDE + F.col("r")
+        ) % MERSENNE_P
+        u = affine_hash(combined, F.lit(qex._BOOT_SALT)).cast("double") / F.lit(
+            float(MERSENNE_P)
+        )
+        w = F.when(u < qex._POIS_CDF[0], 0).when(u < qex._POIS_CDF[1], 1).otherwise(2)
+        return fan.groupBy("r").agg(F.sum(w * F.col("v")).alias("ws"))
+
+    ev_cases["bootstrap_reps"] = bootstrap_case
 
     results = {}
     for name, fn in cases.items():
