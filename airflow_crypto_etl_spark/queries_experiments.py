@@ -1339,3 +1339,241 @@ FROM agg
 
 QUERIES_EXPERIMENTS["q_logrank"] = q_logrank
 ORACLE_EXPERIMENTS["q_logrank"] = ORACLE_LOGRANK
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test between the A/B arms
+# ---------------------------------------------------------------------------
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U comparing purchase-value distributions between
+    the hash arms — the nonparametric companion to [[q_ab_test]].
+    Tie-averaged ranks come from the q_auc construction (one
+    row_number window over milli-quantized values, (min+max)/2 per
+    tie group — integers/half-integers, exact); the tie-corrected
+    variance needs only Σ(t³−t) over tie-group sizes (exact integer).
+    U, its null mean, and z are divisions/sqrt at the very end. The
+    global rank window runs over purchase rows only; at 100 TB
+    range-partition that sort (the same note as every rank statistic
+    here)."""
+    ev = _t(spark, sf_dir, "events")
+    arm_a = affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0
+    x = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * F.lit(1000.0)).cast("bigint").alias("v"),
+            arm_a.cast("int").alias("a"),
+            "event_id",
+        )
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("event_id").asc())
+    ranked = x.withColumn("rn", F.row_number().over(w))
+    ties = ranked.groupBy("v").agg(
+        ((F.min("rn") + F.max("rn")).cast("double") / F.lit(2.0)).alias("avg_rank"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    joined = ranked.join(ties, "v")
+    agg = joined.agg(
+        F.sum("a").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("a")).alias("n_b"),
+        F.sum(F.when(F.col("a") == 1, F.col("avg_rank"))).alias("r_a"),
+    )
+    tie_term = ties.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_cubes")
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("r_a") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_cubes").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    return agg.crossJoin(F.broadcast(tie_term)).select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        ((u_a - na * nb / F.lit(2.0)) / F.sqrt(var)).alias("z_stat"),
+    )
+
+
+ORACLE_MANN_WHITNEY = f"""
+WITH x AS (
+  SELECT CAST(floor(value * 1000.0) AS BIGINT) AS v,
+         CASE WHEN ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0
+              THEN 1 ELSE 0 END AS a,
+         event_id
+  FROM events WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY v ASC, event_id ASC) AS rn FROM x),
+ties AS (
+  SELECT v, CAST(min(rn) + max(rn) AS DOUBLE) / CAST(2.0 AS DOUBLE) AS avg_rank,
+         CAST(count(*) AS BIGINT) AS t
+  FROM ranked GROUP BY v),
+agg AS (
+  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+         CAST(count(*) - sum(a) AS BIGINT) AS n_b,
+         sum(CASE WHEN a = 1 THEN avg_rank END) AS r_a
+  FROM ranked JOIN ties USING (v)),
+tt AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubes FROM ties)
+SELECT n_a, n_b,
+       r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(1.0 AS DOUBLE))
+               / CAST(2.0 AS DOUBLE) AS u_a,
+       (r_a - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / CAST(2.0 AS DOUBLE)
+        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(2.0 AS DOUBLE))
+       / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / CAST(12.0 AS DOUBLE)
+              * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 - CAST(tie_cubes AS DOUBLE)
+                   / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                      * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(1.0 AS DOUBLE)))))
+         AS z_stat
+FROM agg CROSS JOIN tt
+"""
+
+QUERIES_EXPERIMENTS["q_mann_whitney"] = q_mann_whitney
+ORACLE_EXPERIMENTS["q_mann_whitney"] = ORACLE_MANN_WHITNEY
+
+
+# ---------------------------------------------------------------------------
+# Effect size: Cohen's d / Hedges' g between the arms
+# ---------------------------------------------------------------------------
+
+
+def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect size of per-user spend between the arms:
+    Cohen's d from the pooled SD and Hedges' small-sample correction
+    g = d·(1 − 3/(4n−9)). Sufficient statistics are six exact integer
+    sums (per-arm n, Σx, Σx² in cents) from one per-user collapse;
+    every double op is written in the same order in both engines.
+    The whole statistic travels as ~3 longs per arm at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(100.0)).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("x")
+    ).withColumn("in_a", affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0)
+    s = per_user.agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("x"))).alias("sx_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("x"))).alias("sx_b"),
+        F.sum(F.when(F.col("in_a"), F.col("x") * F.col("x"))).alias("sxx_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("x") * F.col("x"))).alias("sxx_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("sx_a").cast("double") / na / F.lit(100.0)
+    mean_b = F.col("sx_b").cast("double") / nb / F.lit(100.0)
+    ss_a = F.col("sxx_a").cast("double") - F.col("sx_a").cast("double") * F.col(
+        "sx_a"
+    ).cast("double") / na
+    ss_b = F.col("sxx_b").cast("double") - F.col("sx_b").cast("double") * F.col(
+        "sx_b"
+    ).cast("double") / nb
+    sp = F.sqrt((ss_a + ss_b) / (na + nb - F.lit(2.0))) / F.lit(100.0)
+    d = (mean_a - mean_b) / sp
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0)))
+    return s.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        sp.alias("pooled_sd"),
+        d.alias("cohens_d"),
+        g.alias("hedges_g"),
+    )
+
+
+ORACLE_EFFECT_SIZE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 100.0) AS BIGINT) END), 0)
+              AS BIGINT) AS x,
+         ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0 AS in_a
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_a THEN x END) AS BIGINT) AS sx_a,
+         CAST(sum(CASE WHEN NOT in_a THEN x END) AS BIGINT) AS sx_b,
+         CAST(sum(CASE WHEN in_a THEN x * x END) AS BIGINT) AS sxx_a,
+         CAST(sum(CASE WHEN NOT in_a THEN x * x END) AS BIGINT) AS sxx_b
+  FROM per_user),
+c AS (
+  SELECT *,
+         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_a,
+         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / CAST(100.0 AS DOUBLE) AS mean_b,
+         sqrt(((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+                  / CAST(n_a AS DOUBLE))
+               + (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+                  / CAST(n_b AS DOUBLE)))
+              / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - CAST(2.0 AS DOUBLE)))
+           / CAST(100.0 AS DOUBLE) AS pooled_sd
+  FROM s)
+SELECT n_a, n_b, mean_a, mean_b, pooled_sd,
+       (mean_a - mean_b) / pooled_sd AS cohens_d,
+       (mean_a - mean_b) / pooled_sd
+         * (CAST(1.0 AS DOUBLE) - CAST(3.0 AS DOUBLE)
+            / (CAST(4.0 AS DOUBLE) * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               - CAST(9.0 AS DOUBLE))) AS hedges_g
+FROM c
+"""
+
+QUERIES_EXPERIMENTS["q_effect_size"] = q_effect_size
+ORACLE_EXPERIMENTS["q_effect_size"] = ORACLE_EFFECT_SIZE
+
+
+# ---------------------------------------------------------------------------
+# Daily sample-ratio-mismatch (SRM) guardrail
+# ---------------------------------------------------------------------------
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The #1 real-world experiment guardrail: daily sample-ratio
+    mismatch. For each day, distinct active users per arm and the
+    1-df chi-square against the expected 50/50 split — a drifting
+    assignment (bot traffic, logging loss, redirect bugs) shows up
+    here before any metric moves. One (day, user) dedup pass, one
+    (day, arm) rollup; counts integer, chi2 = (n_a−n_b)²/(n_a+n_b)
+    one division per day."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    ).distinct()
+    arm_a = (affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0).cast("int")
+    daily = ev.select("day", arm_a.alias("a")).groupBy("day").agg(
+        F.sum("a").alias("n_a"), (F.count(F.lit(1)) - F.sum("a")).alias("n_b")
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    return daily.select(
+        "day",
+        "n_a",
+        "n_b",
+        (diff * diff / (F.col("n_a") + F.col("n_b")).cast("double")).alias("chi2"),
+    )
+
+
+ORACLE_SRM_CHECK = f"""
+WITH ev AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+daily AS (
+  SELECT day,
+         CAST(sum(CASE WHEN ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM ev GROUP BY 1)
+SELECT day, n_a, n_b,
+       CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+         / CAST(n_a + n_b AS DOUBLE) AS chi2
+FROM daily
+"""
+
+QUERIES_EXPERIMENTS["q_srm_check"] = q_srm_check
+ORACLE_EXPERIMENTS["q_srm_check"] = ORACLE_SRM_CHECK

@@ -342,3 +342,106 @@ def test_logrank_against_python_life_table(spark, sf_dir):
     assert abs(r["e_a"] - e) < 1e-9
     assert abs(r["var_a"] - v) < 1e-9
     assert abs(r["chi2"] - (o - e) ** 2 / v) < 1e-9
+
+
+def _arm_a(uid):
+    from airflow_crypto_etl_spark.functions.hashing import KNUTH, MERSENNE_P
+
+    a = (1 + qe._AB_SALT * KNUTH) % MERSENNE_P
+    b = (7 + qe._AB_SALT * 40503) % MERSENNE_P
+    return (a * uid + b) % MERSENNE_P % 2 == 0
+
+
+def test_mann_whitney_against_python_ranks(spark, sf_dir):
+    rows = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 1000.0).cast("bigint").alias("v"),
+            "user_id",
+        )
+        .collect()
+    )
+    import math as m
+
+    samples = sorted((r["v"], 1 if _arm_a(r["user_id"]) else 0) for r in rows)
+    n = len(samples)
+    # tie-averaged ranks
+    ranks: dict = {}
+    i = 0
+    vals = [v for v, _ in samples]
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        ranks[vals[i]] = (i + 1 + j) / 2  # avg of ranks i+1 .. j
+        i = j
+    n_a = sum(a for _, a in samples)
+    n_b = n - n_a
+    r_a = sum(ranks[v] for v, a in samples if a)
+    u_a = r_a - n_a * (n_a + 1) / 2
+    tie_cubes = 0
+    from collections import Counter
+
+    for t in Counter(vals).values():
+        tie_cubes += t * t * t - t
+    var = n_a * n_b / 12 * ((n + 1) - tie_cubes / (n * (n - 1)))
+    z = (u_a - n_a * n_b / 2) / m.sqrt(var)
+    got = qe.q_mann_whitney(spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert abs(got["u_a"] - u_a) < 1e-9
+    assert abs(got["z_stat"] - z) < 1e-9
+
+
+def test_effect_size_against_python_moments(spark, sf_dir):
+    import math as m
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.floor(F.col("value") * 100.0).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("x")
+        )
+        .collect()
+    )
+    xa = [r["x"] for r in per_user if _arm_a(r["user_id"])]
+    xb = [r["x"] for r in per_user if not _arm_a(r["user_id"])]
+    na, nb = len(xa), len(xb)
+    mean_a, mean_b = sum(xa) / na / 100, sum(xb) / nb / 100
+    ss_a = sum(x * x for x in xa) - sum(xa) ** 2 / na
+    ss_b = sum(x * x for x in xb) - sum(xb) ** 2 / nb
+    sp = m.sqrt((ss_a + ss_b) / (na + nb - 2)) / 100
+    d = (mean_a - mean_b) / sp
+    g = d * (1 - 3 / (4 * (na + nb) - 9))
+    got = qe.q_effect_size(spark, sf_dir).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert abs(got["mean_a"] - mean_a) < 1e-9
+    assert abs(got["pooled_sd"] - sp) < 1e-9
+    assert abs(got["cohens_d"] - d) < 1e-9
+    assert abs(got["hedges_g"] - g) < 1e-9
+
+
+def test_srm_check_chi2_and_conservation(spark, sf_dir):
+    rows = qe.q_srm_check(spark, sf_dir).collect()
+    assert rows
+    daily_users = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .count()
+        .collect()
+    )
+    want = {r["day"]: r["count"] for r in daily_users}
+    for r in rows:
+        assert r["n_a"] + r["n_b"] == want[r["day"]]
+        expect = (r["n_a"] - r["n_b"]) ** 2 / (r["n_a"] + r["n_b"])
+        assert abs(r["chi2"] - expect) < 1e-9

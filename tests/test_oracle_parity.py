@@ -91,6 +91,7 @@ _PRODUCT_OK = {
     "q_cuped",              # 2-arm row x broadcast 1-row pooled-theta scalar
     "q_quantile_sketch",    # 1-row sketch x 1-row exact-percentile scalar
     "q_bootstrap_ci",       # 1-row CI x broadcast 1-row point-estimate scalar
+    "q_mann_whitney",       # 1-row rank sums x broadcast 1-row tie-term scalar
 }
 
 
