@@ -1577,3 +1577,37 @@ FROM daily
 
 QUERIES_EXPERIMENTS["q_srm_check"] = q_srm_check
 ORACLE_EXPERIMENTS["q_srm_check"] = ORACLE_SRM_CHECK
+
+
+# ---------------------------------------------------------------------------
+# Streaming experiment monitor (the A/B readout, live)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-arm event/conversion counts computed BY THE STREAMING
+    ENGINE (availableNow bounded replay, complete mode) — the live
+    dashboard twin of [[q_ab_test]]. Same affine-hash arm split as
+    every batch readout here, so online and offline scorecards join
+    1:1. Deterministic replay → fully hash-checked against plain
+    SQL."""
+    from .streaming.windows import streaming_ab_monitor
+
+    return streaming_ab_monitor(spark, sf_dir)
+
+
+ORACLE_STREAM_AB = f"""
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CASE WHEN ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END AS conv
+  FROM events)
+SELECT window_start, arm, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(conv) AS BIGINT) AS n_conv,
+       CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conv_rate
+FROM ev GROUP BY 1, 2
+"""
+
+QUERIES_EXPERIMENTS["q_stream_ab"] = q_stream_ab
+ORACLE_EXPERIMENTS["q_stream_ab"] = ORACLE_STREAM_AB

@@ -103,6 +103,38 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str, duration: str = "1 hour
     )
 
 
+def streaming_ab_monitor(spark: SparkSession, sf_dir: str, duration: str = "1 hour") -> DataFrame:
+    """Live experiment monitor run BY THE STREAMING ENGINE: hourly
+    tumbling windows × hash arm, event and high-value-conversion
+    counts with the windowed conversion rate — the dashboard feed an
+    experimentation platform tails while an A/B test runs. The arm is
+    the same deterministic affine-hash split as the batch readouts
+    (queries_experiments), so the streaming emission joins 1:1 with
+    the offline scorecards. Complete-mode bounded replay → emission
+    equals the batch twin and is fully hash-checked. State is
+    (windows × 2 arms) rows — bounded by the horizon, not traffic."""
+    from ..functions.hashing import affine_hash
+
+    ev = stream_events(spark, sf_dir)
+    arm = F.when(affine_hash(F.col("user_id"), F.lit(5)) % 2 == 0, "A").otherwise("B")
+    conv = ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+    agg = (
+        ev.select(F.col("ts"), arm.alias("arm"), conv.alias("conv"))
+        .groupBy(F.window("ts", duration).alias("w"), "arm")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("conv").alias("n_conv"))
+    )
+    out = run_available_now(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "arm",
+        "n_events",
+        "n_conv",
+        (F.col("n_conv").cast("double") / F.col("n_events").cast("double")).alias(
+            "conv_rate"
+        ),
+    )
+
+
 def streaming_session(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
     """Session windows with watermark in append mode (the only mode
     session-window streaming aggregations support) — the stateful

@@ -445,3 +445,32 @@ def test_srm_check_chi2_and_conservation(spark, sf_dir):
         assert r["n_a"] + r["n_b"] == want[r["day"]]
         expect = (r["n_a"] - r["n_b"]) ** 2 / (r["n_a"] + r["n_b"])
         assert abs(r["chi2"] - expect) < 1e-9
+
+
+def test_stream_ab_matches_batch_rollup(spark, sf_dir):
+    """The streaming emission must equal the batch groupBy twin row for
+    row (bounded replay determinism), and each window's arm counts must
+    reconcile with the global event count."""
+    got = {(r["window_start"], r["arm"]): r for r in qe.q_stream_ab(spark, sf_dir).collect()}
+    batch = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("window_start"),
+            F.when(qe.affine_hash(F.col("user_id"), F.lit(qe._AB_SALT)) % 2 == 0, "A")
+            .otherwise("B")
+            .alias("arm"),
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+            .cast("int")
+            .alias("conv"),
+        )
+        .groupBy("window_start", "arm")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("conv").alias("n_conv"))
+        .collect()
+    )
+    assert len(batch) == len(got)
+    total = 0
+    for r in batch:
+        g = got[(r["window_start"], r["arm"])]
+        assert (g["n_events"], g["n_conv"]) == (r["n_events"], r["n_conv"])
+        total += r["n_events"]
+    assert total == _t(spark, sf_dir, "events").count()
