@@ -1611,3 +1611,155 @@ FROM ev GROUP BY 1, 2
 
 QUERIES_EXPERIMENTS["q_stream_ab"] = q_stream_ab
 ORACLE_EXPERIMENTS["q_stream_ab"] = ORACLE_STREAM_AB
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index between the hash halves
+# ---------------------------------------------------------------------------
+
+_PSI_WIDTH = 50.0  # value domain ~0-500 → ~10 buckets
+_PSI_SALT = 23  # same event-hash halves as queries_quality.q_ks_drift
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the model-monitoring drift metric
+    next to [[q_ks_drift]]/[[q_cusum_drift]]: fixed-width value buckets
+    (domain-bounded, mergeable — same shape as the quantile sketch),
+    per-half proportions, PSI = Σ (p_a−p_b)·ln(p_a/p_b). Proportions
+    are integer-ratio divisions; ln of their ratio has 4-dp headroom.
+    Empty-on-one-side buckets use the standard ε=1e-6 floor (exact
+    literal both engines). One partial-agg groupBy; the rollup is
+    ~10 rows. Also emits the bucket count and max per-bucket
+    contribution for triage."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / F.lit(_PSI_WIDTH)).cast("bigint").alias("b"),
+        (affine_hash(F.col("event_id"), F.lit(_PSI_SALT)) % 2 == 0).alias("in_a"),
+    )
+    counts = ev.groupBy("b").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("ca"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("cb"),
+    )
+    tot = Window.partitionBy()
+    eps = F.lit(1e-06)
+    pa = F.greatest(
+        F.col("ca").cast("double") / F.sum("ca").over(tot).cast("double"), eps
+    )
+    pb = F.greatest(
+        F.col("cb").cast("double") / F.sum("cb").over(tot).cast("double"), eps
+    )
+    per_bucket = counts.select(((pa - pb) * F.log(pa / pb)).alias("contrib"))
+    return per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("contrib").alias("psi"),
+        F.max("contrib").alias("max_contrib"),
+    )
+
+
+ORACLE_PSI = f"""
+WITH ev AS (
+  SELECT CAST(floor(value / {_PSI_WIDTH}) AS BIGINT) AS b,
+         ({affine_hash_sql('event_id', str(_PSI_SALT))}) % 2 = 0 AS in_a
+  FROM events),
+counts AS (
+  SELECT b, CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS cb
+  FROM ev GROUP BY 1),
+per_bucket AS (
+  SELECT (greatest(CAST(ca AS DOUBLE) / CAST(sum(ca) OVER () AS DOUBLE),
+                   CAST(1e-06 AS DOUBLE))
+          - greatest(CAST(cb AS DOUBLE) / CAST(sum(cb) OVER () AS DOUBLE),
+                     CAST(1e-06 AS DOUBLE)))
+         * ln(greatest(CAST(ca AS DOUBLE) / CAST(sum(ca) OVER () AS DOUBLE),
+                       CAST(1e-06 AS DOUBLE))
+              / greatest(CAST(cb AS DOUBLE) / CAST(sum(cb) OVER () AS DOUBLE),
+                         CAST(1e-06 AS DOUBLE))) AS contrib
+  FROM counts)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets, sum(contrib) AS psi,
+       max(contrib) AS max_contrib
+FROM per_bucket
+"""
+
+QUERIES_EXPERIMENTS["q_psi"] = q_psi
+ORACLE_EXPERIMENTS["q_psi"] = ORACLE_PSI
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous treatment effect: per-spend-quintile lift
+# ---------------------------------------------------------------------------
+
+
+def q_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level treatment effects: conversion lift per monetary
+    quintile — does the experiment help whales or minnows? Quintiles
+    come from the SAME total-order ntile as [[q_rfm]] (pre-treatment-
+    style covariate, so the split is orthogonal to the arm hash);
+    per (quintile, arm) the conversion rollup is integer counts and
+    the lift one subtraction of two divisions. The ntile window runs
+    over the per-user collapse; everything downstream is 10 rows."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(100.0)).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("m_cents"),
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+        ).alias("converted"),
+    ).withColumn("in_a", affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0)
+    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
+    seg = per_user.withColumn("m_quint", F.ntile(5).over(m_w))
+    grid = seg.groupBy("m_quint").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        F.coalesce(F.sum(F.when(F.col("in_a"), F.col("converted"))), F.lit(0)).alias("c_a"),
+        F.coalesce(F.sum(F.when(~F.col("in_a"), F.col("converted"))), F.lit(0)).alias("c_b"),
+    )
+    # tiny segments can leave an arm empty — rate is undefined (null),
+    # not a division error (ANSI mode raises on /0)
+    ra = F.when(
+        F.col("n_a") > 0, F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    )
+    rb = F.when(
+        F.col("n_b") > 0, F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    )
+    return grid.select(
+        "m_quint", "n_a", "n_b", "c_a", "c_b",
+        ra.alias("rate_a"), rb.alias("rate_b"), (ra - rb).alias("lift"),
+    )
+
+
+ORACLE_HTE_SEGMENTS = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 100.0) AS BIGINT) END), 0)
+              AS BIGINT) AS m_cents,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END)
+           AS converted,
+         ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0 AS in_a
+  FROM events GROUP BY user_id),
+seg AS (
+  SELECT *, CAST(ntile(5) OVER (ORDER BY m_cents DESC, user_id ASC) AS INT) AS m_quint
+  FROM per_user),
+grid AS (
+  SELECT m_quint,
+         CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b,
+         CAST(coalesce(sum(CASE WHEN in_a THEN converted END), 0) AS BIGINT) AS c_a,
+         CAST(coalesce(sum(CASE WHEN NOT in_a THEN converted END), 0) AS BIGINT) AS c_b
+  FROM seg GROUP BY 1)
+SELECT m_quint, n_a, n_b, c_a, c_b,
+       CASE WHEN n_a > 0 THEN CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+       CASE WHEN n_b > 0 THEN CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+       (CASE WHEN n_a > 0 THEN CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) END)
+         - (CASE WHEN n_b > 0 THEN CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) END) AS lift
+FROM grid
+"""
+
+QUERIES_EXPERIMENTS["q_hte_segments"] = q_hte_segments
+ORACLE_EXPERIMENTS["q_hte_segments"] = ORACLE_HTE_SEGMENTS

@@ -474,3 +474,27 @@ def test_stream_ab_matches_batch_rollup(spark, sf_dir):
         assert (g["n_events"], g["n_conv"]) == (r["n_events"], r["n_conv"])
         total += r["n_events"]
     assert total == _t(spark, sf_dir, "events").count()
+
+
+def test_psi_symmetric_halves_small_and_formula(spark, sf_dir):
+    r = qe.q_psi(spark, sf_dir).collect()[0]
+    # iid hash halves of the same distribution: PSI well under the
+    # classic 0.1 "no shift" threshold, and non-negative (each term
+    # (pa-pb)·ln(pa/pb) >= 0)
+    assert 0.0 <= r["psi"] < 0.1
+    assert r["max_contrib"] <= r["psi"] + 1e-12
+    assert r["n_buckets"] >= 2
+
+
+def test_hte_segments_reconcile_with_global_ab(spark, sf_dir):
+    rows = qe.q_hte_segments(spark, sf_dir).collect()
+    ab = qe.q_ab_test(spark, sf_dir).collect()[0]
+    assert sum(r["n_a"] for r in rows) == ab["n_a"]
+    assert sum(r["n_b"] for r in rows) == ab["n_b"]
+    assert sum(r["c_a"] for r in rows) == ab["c_a"]
+    assert sum(r["c_b"] for r in rows) == ab["c_b"]
+    for r in rows:
+        if r["rate_a"] is not None and r["rate_b"] is not None:
+            assert abs(r["lift"] - (r["rate_a"] - r["rate_b"])) < 1e-12
+        for rate in (r["rate_a"], r["rate_b"]):
+            assert rate is None or 0.0 <= rate <= 1.0
