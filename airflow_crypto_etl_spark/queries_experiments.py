@@ -1763,3 +1763,169 @@ FROM grid
 
 QUERIES_EXPERIMENTS["q_hte_segments"] = q_hte_segments
 ORACLE_EXPERIMENTS["q_hte_segments"] = ORACLE_HTE_SEGMENTS
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between the two halves of the month
+# ---------------------------------------------------------------------------
+
+
+def q_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the event-type mix of the
+    first and second half of the month — the symmetric, bounded
+    ([0, ln 2]) member of the drift family ([[q_psi]], [[q_ks_drift]]).
+    JSD = H(m) − (H(p)+H(q))/2 with m the midpoint mixture; every
+    H uses the count identity from [[q_entropy]] so only integer-ratio
+    proportions reach ln. One (half, type) partial-agg collapse
+    (≤ 2·|types| rows) does all the work."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.dayofmonth(F.to_date(F.col("ts").cast("timestamp"))) < _CUPED_SPLIT_DAY).alias(
+            "first_half"
+        ),
+        "event_type",
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("first_half"), 1)).alias("cp"),
+        F.count(F.when(~F.col("first_half"), 1)).alias("cq"),
+    )
+    tot = Window.partitionBy()
+    np_, nq = F.sum("cp").over(tot).cast("double"), F.sum("cq").over(tot).cast("double")
+    p = F.col("cp").cast("double") / np_
+    q = F.col("cq").cast("double") / nq
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0) - F.when(m > 0, m * F.log(m)).otherwise(F.lit(0.0))
+    per_type = cells.select(term.alias("contrib"), np_.alias("n_p"), nq.alias("n_q"))
+    return per_type.groupBy("n_p", "n_q").agg(
+        F.sum("contrib").alias("jsd_nats"),
+        (F.sum("contrib") / F.log(F.lit(2.0))).alias("jsd_bits"),
+    )
+
+
+ORACLE_JSD = f"""
+WITH ev AS (
+  SELECT date_part('day', CAST(ts AS DATE)) < {_CUPED_SPLIT_DAY} AS first_half,
+         event_type
+  FROM events),
+cells AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN first_half THEN 1 END) AS BIGINT) AS cp,
+         CAST(count(CASE WHEN NOT first_half THEN 1 END) AS BIGINT) AS cq
+  FROM ev GROUP BY 1),
+per_type AS (
+  SELECT ((CASE WHEN CAST(cp AS DOUBLE) / CAST(sum(cp) OVER () AS DOUBLE) > 0
+                THEN CAST(cp AS DOUBLE) / CAST(sum(cp) OVER () AS DOUBLE)
+                     * ln(CAST(cp AS DOUBLE) / CAST(sum(cp) OVER () AS DOUBLE))
+                ELSE CAST(0.0 AS DOUBLE) END
+           + CASE WHEN CAST(cq AS DOUBLE) / CAST(sum(cq) OVER () AS DOUBLE) > 0
+                  THEN CAST(cq AS DOUBLE) / CAST(sum(cq) OVER () AS DOUBLE)
+                       * ln(CAST(cq AS DOUBLE) / CAST(sum(cq) OVER () AS DOUBLE))
+                  ELSE CAST(0.0 AS DOUBLE) END) / CAST(2.0 AS DOUBLE)
+          - CASE WHEN (CAST(cp AS DOUBLE) / CAST(sum(cp) OVER () AS DOUBLE)
+                       + CAST(cq AS DOUBLE) / CAST(sum(cq) OVER () AS DOUBLE))
+                      / CAST(2.0 AS DOUBLE) > 0
+                 THEN (CAST(cp AS DOUBLE) / CAST(sum(cp) OVER () AS DOUBLE)
+                       + CAST(cq AS DOUBLE) / CAST(sum(cq) OVER () AS DOUBLE))
+                      / CAST(2.0 AS DOUBLE)
+                      * ln((CAST(cp AS DOUBLE) / CAST(sum(cp) OVER () AS DOUBLE)
+                            + CAST(cq AS DOUBLE) / CAST(sum(cq) OVER () AS DOUBLE))
+                           / CAST(2.0 AS DOUBLE))
+                 ELSE CAST(0.0 AS DOUBLE) END) AS contrib,
+         CAST(sum(cp) OVER () AS DOUBLE) AS n_p,
+         CAST(sum(cq) OVER () AS DOUBLE) AS n_q
+  FROM cells)
+SELECT n_p, n_q, sum(contrib) AS jsd_nats,
+       sum(contrib) / ln(CAST(2.0 AS DOUBLE)) AS jsd_bits
+FROM per_type GROUP BY 1, 2
+"""
+
+QUERIES_EXPERIMENTS["q_jsd"] = q_jsd
+ORACLE_EXPERIMENTS["q_jsd"] = ORACLE_JSD
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact, tie-averaged) frequency vs spend
+# ---------------------------------------------------------------------------
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between per-user event frequency
+    and purchase spend: tie-averaged ranks for BOTH variables via the
+    q_auc construction (row_number window + per-value (min+max)/2 —
+    half-integers, exact), then Pearson on the ranks from five exact
+    sums (Σr, Σs, Σrs, Σr², Σs² — half-integer arithmetic stays exact
+    in doubles far beyond any realistic n), one sqrt/division at the
+    end. Two rank windows over the per-user collapse, everything else
+    1-row state."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("f"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * F.lit(100.0)).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("m"),
+    )
+    wf = Window.orderBy(F.col("f").asc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("m").asc(), F.col("user_id").asc())
+    rn = per_user.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rm", F.row_number().over(wm)
+    )
+    tie_f = rn.groupBy("f").agg(
+        ((F.min("rf") + F.max("rf")).cast("double") / F.lit(2.0)).alias("r")
+    )
+    tie_m = rn.groupBy("m").agg(
+        ((F.min("rm") + F.max("rm")).cast("double") / F.lit(2.0)).alias("s")
+    )
+    j = rn.join(tie_f, "f").join(tie_m, "m")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("r") * F.col("s")).alias("srs"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum(F.col("s") * F.col("s")).alias("sss"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("srs") - F.col("sr") * F.col("ss") / n
+    vr = F.col("srr") - F.col("sr") * F.col("sr") / n
+    vs = F.col("sss") - F.col("ss") * F.col("ss") / n
+    return agg.select("n", (cov / F.sqrt(vr * vs)).alias("spearman_rho"))
+
+
+ORACLE_SPEARMAN = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS f,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                THEN CAST(floor(value * 100.0) AS BIGINT) END), 0)
+              AS BIGINT) AS m
+  FROM events GROUP BY 1),
+rn AS (
+  SELECT *, row_number() OVER (ORDER BY f ASC, user_id ASC) AS rf,
+         row_number() OVER (ORDER BY m ASC, user_id ASC) AS rm
+  FROM per_user),
+tie_f AS (
+  SELECT f, CAST(min(rf) + max(rf) AS DOUBLE) / CAST(2.0 AS DOUBLE) AS r
+  FROM rn GROUP BY f),
+tie_m AS (
+  SELECT m, CAST(min(rm) + max(rm) AS DOUBLE) / CAST(2.0 AS DOUBLE) AS s
+  FROM rn GROUP BY m),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(r) AS sr, sum(s) AS ss,
+         sum(r * s) AS srs, sum(r * r) AS srr, sum(s * s) AS sss
+  FROM rn JOIN tie_f USING (f) JOIN tie_m USING (m))
+SELECT n,
+       (srs - sr * ss / CAST(n AS DOUBLE))
+         / sqrt((srr - sr * sr / CAST(n AS DOUBLE))
+                * (sss - ss * ss / CAST(n AS DOUBLE))) AS spearman_rho
+FROM agg
+"""
+
+QUERIES_EXPERIMENTS["q_spearman"] = q_spearman
+ORACLE_EXPERIMENTS["q_spearman"] = ORACLE_SPEARMAN

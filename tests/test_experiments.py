@@ -498,3 +498,61 @@ def test_hte_segments_reconcile_with_global_ab(spark, sf_dir):
             assert abs(r["lift"] - (r["rate_a"] - r["rate_b"])) < 1e-12
         for rate in (r["rate_a"], r["rate_b"]):
             assert rate is None or 0.0 <= rate <= 1.0
+
+
+def test_jsd_bounds(spark, sf_dir):
+    r = qe.q_jsd(spark, sf_dir).collect()[0]
+    # JSD is symmetric and bounded: 0 <= JSD <= ln 2 (== 1 bit)
+    assert -1e-12 <= r["jsd_nats"] <= math.log(2) + 1e-12
+    assert abs(r["jsd_bits"] - r["jsd_nats"] / math.log(2)) < 1e-12
+    assert r["n_p"] > 0 and r["n_q"] > 0
+
+
+def test_spearman_against_python_ranks(spark, sf_dir):
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("f"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.floor(F.col("value") * 100.0).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("m"),
+        )
+        .collect()
+    )
+
+    def tie_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    fs = [r["f"] for r in per_user]
+    ms = [r["m"] for r in per_user]
+    rf, rm = tie_ranks(fs), tie_ranks(ms)
+    n = len(fs)
+    sr, ss = sum(rf), sum(rm)
+    srs = sum(a * b for a, b in zip(rf, rm))
+    srr = sum(a * a for a in rf)
+    sss = sum(b * b for b in rm)
+    rho = (srs - sr * ss / n) / math.sqrt(
+        (srr - sr * sr / n) * (sss - ss * ss / n)
+    )
+    got = qe.q_spearman(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert abs(got["spearman_rho"] - rho) < 1e-9
+    assert -1.0 - 1e-12 <= got["spearman_rho"] <= 1.0 + 1e-12
