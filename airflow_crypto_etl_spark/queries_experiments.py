@@ -1929,3 +1929,163 @@ FROM agg
 
 QUERIES_EXPERIMENTS["q_spearman"] = q_spearman
 ORACLE_EXPERIMENTS["q_spearman"] = ORACLE_SPEARMAN
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per user by cohort age
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-seen day, cumulative
+    purchase revenue per cohort member by day offset — the growth
+    twin of [[q_cohort_retention]]'s activity grid. Revenue cells are
+    integer cents from a (cohort, offset) partial-agg collapse; the
+    running sum is one per-cohort ordered window over ≤ horizon rows;
+    cum_ltv = cum_cents / cohort_size / 100 is a single exact-integer
+    division chain per cell. The first-day join build side is one row
+    per user and co-partitioned with the event shuffle at scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("cents"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        ev.join(first, "user_id")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.withColumn("cum_cents", F.sum("rev_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_size",
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        (
+            F.col("cum_cents").cast("double")
+            / F.col("cohort_size").cast("double")
+            / F.lit(100.0)
+        ).alias("cum_ltv_per_user"),
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+         CAST(floor(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+sizes AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first GROUP BY 1),
+cells AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, e.day) AS INT) AS day_offset,
+         CAST(sum(e.cents) AS BIGINT) AS rev_cents
+  FROM ev e JOIN first f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2),
+cum AS (
+  SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM cells)
+SELECT c.cohort_day, c.day_offset, s.cohort_size,
+       CAST(c.rev_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue,
+       CAST(c.cum_cents AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         / CAST(100.0 AS DOUBLE) AS cum_ltv_per_user
+FROM cum c JOIN sizes s ON c.cohort_day = s.cohort_day
+"""
+
+QUERIES_EXPERIMENTS["q_cohort_ltv"] = q_cohort_ltv
+ORACLE_EXPERIMENTS["q_cohort_ltv"] = ORACLE_COHORT_LTV
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis from the observed rates
+# ---------------------------------------------------------------------------
+
+
+def q_power_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment planning readout: per-arm sample size required to
+    detect the OBSERVED rate difference at alpha=0.05 (two-sided) /
+    80% power — n = (z_a·√(2p̄q̄) + z_b·√(p_a q_a + p_b q_b))² / Δ²,
+    computed from the same integer conversion counts as [[q_ab_test]].
+    z constants are 17-digit literals (identical doubles in both
+    engines); one ceil at the end. The answer to 'how much longer
+    must this test run', straight from the sufficient statistics."""
+    za = 1.959963984540054  # Phi^-1(0.975)
+    zb = 0.8416212335729143  # Phi^-1(0.80)
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+        ).alias("converted")
+    ).withColumn("in_a", affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0)
+    s = per_user.agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("converted"))).alias("c_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted"))).alias("c_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pbar = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    delta = pa - pb
+    num = F.lit(za) * F.sqrt(F.lit(2.0) * pbar * (F.lit(1.0) - pbar)) + F.lit(
+        zb
+    ) * F.sqrt(pa * (F.lit(1.0) - pa) + pb * (F.lit(1.0) - pb))
+    return s.select(
+        pa.alias("rate_a"),
+        pb.alias("rate_b"),
+        delta.alias("observed_delta"),
+        F.ceil(num * num / (delta * delta)).cast("bigint").alias("n_per_arm_required"),
+    )
+
+
+ORACLE_POWER_AB = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END)
+           AS converted,
+         ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0 AS in_a
+  FROM events GROUP BY user_id),
+s AS (
+  SELECT CAST(count(CASE WHEN in_a THEN 1 END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN NOT in_a THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN in_a THEN converted END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN NOT in_a THEN converted END) AS BIGINT) AS c_b
+  FROM per_user),
+c AS (
+  SELECT CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pbar
+  FROM s)
+SELECT pa AS rate_a, pb AS rate_b, pa - pb AS observed_delta,
+       CAST(ceil((CAST(1.959963984540054 AS DOUBLE)
+                    * sqrt(CAST(2.0 AS DOUBLE) * pbar * (CAST(1.0 AS DOUBLE) - pbar))
+                  + CAST(0.8416212335729143 AS DOUBLE)
+                    * sqrt(pa * (CAST(1.0 AS DOUBLE) - pa)
+                           + pb * (CAST(1.0 AS DOUBLE) - pb)))
+                 * (CAST(1.959963984540054 AS DOUBLE)
+                    * sqrt(CAST(2.0 AS DOUBLE) * pbar * (CAST(1.0 AS DOUBLE) - pbar))
+                  + CAST(0.8416212335729143 AS DOUBLE)
+                    * sqrt(pa * (CAST(1.0 AS DOUBLE) - pa)
+                           + pb * (CAST(1.0 AS DOUBLE) - pb)))
+                 / ((pa - pb) * (pa - pb))) AS BIGINT) AS n_per_arm_required
+FROM c
+"""
+
+QUERIES_EXPERIMENTS["q_power_ab"] = q_power_ab
+ORACLE_EXPERIMENTS["q_power_ab"] = ORACLE_POWER_AB

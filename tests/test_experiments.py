@@ -556,3 +556,45 @@ def test_spearman_against_python_ranks(spark, sf_dir):
     assert got["n"] == n
     assert abs(got["spearman_rho"] - rho) < 1e-9
     assert -1.0 - 1e-12 <= got["spearman_rho"] <= 1.0 + 1e-12
+
+
+def test_cohort_ltv_monotone_and_conserves_revenue(spark, sf_dir):
+    rows = qe.q_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_day"], []).append(r)
+    total = 0.0
+    for curve in by_cohort.values():
+        curve.sort(key=lambda r: r["day_offset"])
+        prev = 0.0
+        for r in curve:
+            assert r["cum_ltv_per_user"] >= prev - 1e-12  # LTV never decreases
+            prev = r["cum_ltv_per_user"]
+            assert r["day_offset"] >= 0
+            total += r["revenue"]
+    want = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .agg((F.sum(F.floor(F.col("value") * 100.0).cast("bigint")) / 100.0).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert abs(total - want) < 1e-6
+
+
+def test_power_ab_formula(spark, sf_dir):
+    import math as m
+
+    r = qe.q_power_ab(spark, sf_dir).collect()[0]
+    pa, pb = r["rate_a"], r["rate_b"]
+    pbar = None
+    ab = qe.q_ab_test(spark, sf_dir).collect()[0]
+    assert abs(pa - ab["rate_a"]) < 1e-12 and abs(pb - ab["rate_b"]) < 1e-12
+    pbar = (ab["c_a"] + ab["c_b"]) / (ab["n_a"] + ab["n_b"])
+    za, zb = 1.959963984540054, 0.8416212335729143
+    num = za * m.sqrt(2 * pbar * (1 - pbar)) + zb * m.sqrt(
+        pa * (1 - pa) + pb * (1 - pb)
+    )
+    want = m.ceil(num * num / (pa - pb) ** 2)
+    assert r["n_per_arm_required"] == want
+    assert r["n_per_arm_required"] > 0
