@@ -2089,3 +2089,76 @@ FROM c
 
 QUERIES_EXPERIMENTS["q_power_ab"] = q_power_ab
 ORACLE_EXPERIMENTS["q_power_ab"] = ORACLE_POWER_AB
+
+
+# ---------------------------------------------------------------------------
+# Association rules over event-type baskets
+# ---------------------------------------------------------------------------
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    for each unordered type pair, support, both directional
+    confidences P(B|A) and P(A|B), and lift — the directional reading
+    of [[q_audience_overlap]]'s symmetric Jaccard. Same bounded
+    co-occurrence plan (dedup pass, user-keyed self-join, |types|²
+    fan-out per user), integer counts end-to-end with one division per
+    statistic; lift is written (n_both·N)/(n_a·n_b) so a single
+    integer product feeds a single division."""
+    aud = _t(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    n_users = aud.select("user_id").distinct().count()
+    sizes = aud.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = aud.alias("a")
+    b = aud.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    out = inter.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        (F.col("n_both").cast("double") / F.lit(float(n_users))).alias("support"),
+        (F.col("n_both").cast("double") / F.col("n_a").cast("double")).alias("conf_a_to_b"),
+        (F.col("n_both").cast("double") / F.col("n_b").cast("double")).alias("conf_b_to_a"),
+        (
+            (F.col("n_both") * F.lit(n_users)).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+ORACLE_BASKET_RULES = """
+WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM aud),
+sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM aud GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM aud a JOIN aud b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i.type_a, i.type_b, i.n_both,
+       CAST(i.n_both AS DOUBLE) / CAST(nu.n_users AS DOUBLE) AS support,
+       CAST(i.n_both AS DOUBLE) / CAST(sa.n AS DOUBLE) AS conf_a_to_b,
+       CAST(i.n_both AS DOUBLE) / CAST(sb.n AS DOUBLE) AS conf_b_to_a,
+       CAST(i.n_both * nu.n_users AS DOUBLE) / CAST(sa.n * sb.n AS DOUBLE) AS lift
+FROM inter i
+JOIN sizes sa ON i.type_a = sa.event_type
+JOIN sizes sb ON i.type_b = sb.event_type
+CROSS JOIN nu
+"""
+
+QUERIES_EXPERIMENTS["q_basket_rules"] = q_basket_rules
+ORACLE_EXPERIMENTS["q_basket_rules"] = ORACLE_BASKET_RULES

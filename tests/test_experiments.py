@@ -598,3 +598,20 @@ def test_power_ab_formula(spark, sf_dir):
     want = m.ceil(num * num / (pa - pb) ** 2)
     assert r["n_per_arm_required"] == want
     assert r["n_per_arm_required"] > 0
+
+
+def test_basket_rules_consistent_with_audience_overlap(spark, sf_dir):
+    rules = {(r["type_a"], r["type_b"]): r for r in qe.q_basket_rules(spark, sf_dir).collect()}
+    overlap = {
+        (r["type_a"], r["type_b"]): r for r in qe.q_audience_overlap(spark, sf_dir).collect()
+    }
+    n_users = _t(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert set(rules) == set(overlap)
+    for key, r in rules.items():
+        o = overlap[key]
+        assert r["n_both"] == o["n_both"]
+        assert abs(r["conf_a_to_b"] - r["n_both"] / o["n_a"]) < 1e-12
+        assert abs(r["conf_b_to_a"] - r["n_both"] / o["n_b"]) < 1e-12
+        assert abs(r["support"] - r["n_both"] / n_users) < 1e-12
+        assert abs(r["lift"] - r["n_both"] * n_users / (o["n_a"] * o["n_b"])) < 1e-12
+        assert 0.0 < r["conf_a_to_b"] <= 1.0 and 0.0 < r["conf_b_to_a"] <= 1.0
