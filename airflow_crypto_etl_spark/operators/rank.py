@@ -63,15 +63,19 @@ OrderSpec = Sequence[tuple[str, bool]]
 _PCT_ACCURACY = 10000
 _MAX_HEAVY = 16
 _FALLBACK_BUCKETS = 32
+# driver state is buckets × |groups| cells; 128 quantile buckets keep
+# that bounded while still splitting any realistic sort across a fleet
+_MAX_BUCKETS = 128
 
 
 def _n_buckets(df: DataFrame, buckets: int | None) -> int:
     if buckets is not None:
-        return max(1, buckets)
+        return max(1, min(buckets, _MAX_BUCKETS))
     try:
-        return max(1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
-        return _FALLBACK_BUCKETS
+        n = _FALLBACK_BUCKETS
+    return max(1, min(n, _MAX_BUCKETS))
 
 
 def _order_exprs(order: OrderSpec) -> list[Column]:
@@ -141,8 +145,8 @@ def _bucket_col(splits: list[tuple], order: OrderSpec) -> Column:
 
 
 def _when_chain(key_cols: Sequence[str], mapping: dict, default) -> Column:
-    """CASE chain ``(key_tuple) -> literal`` — bounded by construction
-    (buckets × groups entries), evaluated in whole-stage codegen."""
+    """CASE chain ``(key_tuple) -> literal`` for SMALL mappings
+    (|groups| entries), evaluated in whole-stage codegen."""
     expr: Column = F.lit(default)
     for key, val in mapping.items():
         cond = None
@@ -151,6 +155,25 @@ def _when_chain(key_cols: Sequence[str], mapping: dict, default) -> Column:
             cond = eq if cond is None else cond & eq
         expr = F.when(cond, F.lit(val)).otherwise(expr)
     return expr
+
+
+def _offset_join(
+    d: DataFrame, key_cols: Sequence[str], mapping: dict, out_col: str
+) -> DataFrame:
+    """Attach a literal BIGINT per key tuple via a broadcast equi-join
+    of a driver-built bounded table (buckets × groups rows). A CASE
+    chain would also work but makes the optimizer chew on thousands of
+    nested conditionals when the bucket count is large — the join form
+    is O(1) expression depth at any scale."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = [StructField(c, d.schema[c].dataType) for c in key_cols]
+    fields.append(StructField(out_col, LongType()))
+    schema = StructType(fields)
+    rows = [tuple(k) + (int(v),) for k, v in mapping.items()]
+    lut = d.sparkSession.createDataFrame(rows, schema)
+    joined = d.join(F.broadcast(lut), on=list(key_cols), how="left")
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long")))
 
 
 def _rank_frame(
@@ -172,11 +195,11 @@ def _rank_frame(
     for r in sorted(cells, key=lambda r: r["__gr_b"]):
         offsets[(r["__gr_b"],)] = run
         run += r["__c"]
-    d = df.withColumn("__gr_b", bucket)
+    d = _offset_join(df.withColumn("__gr_b", bucket), ["__gr_b"], offsets, "__gr_off")
     w = Window.partitionBy("__gr_b").orderBy(*_order_exprs(order))
-    off = _when_chain(["__gr_b"], offsets, 0).cast("long")
     return (
-        d.withColumn(out, F.row_number().over(w).cast("long") + off).drop("__gr_b"),
+        d.withColumn(out, F.row_number().over(w).cast("long") + F.col("__gr_off"))
+        .drop("__gr_b", "__gr_off"),
         run,
     )
 
@@ -276,10 +299,14 @@ def grouped_rank(
         g = tuple(r[c] for c in group_cols)
         carry[(r["__gr_b"],) + g] = seen.get(g, 0)
         seen[g] = seen.get(g, 0) + r["__c"]
-    d = df.withColumn("__gr_b", bucket)
+    d = _offset_join(
+        df.withColumn("__gr_b", bucket), ["__gr_b", *group_cols], carry, "__gr_cin"
+    )
     w = Window.partitionBy("__gr_b", *group_cols).orderBy(*_order_exprs(order))
-    cin = _when_chain(["__gr_b", *group_cols], carry, 0).cast("long")
-    return d.withColumn(out, F.row_number().over(w).cast("long") + cin).drop("__gr_b")
+    return (
+        d.withColumn(out, F.row_number().over(w).cast("long") + F.col("__gr_cin"))
+        .drop("__gr_b", "__gr_cin")
+    )
 
 
 def grouped_cumsum(
@@ -307,19 +334,20 @@ def grouped_cumsum(
         s = r["__s"] or 0
         carry[(r["__gr_b"],) + g] = totals.get(g, 0)
         totals[g] = totals.get(g, 0) + s
-    d = df.withColumn("__gr_b", bucket)
+    d = _offset_join(
+        df.withColumn("__gr_b", bucket), ["__gr_b", *group_cols], carry, "__gr_cin"
+    )
     w = (
         Window.partitionBy("__gr_b", *group_cols)
         .orderBy(*_order_exprs(order))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cin = _when_chain(["__gr_b", *group_cols], carry, 0).cast("long")
-    d = d.withColumn(out, F.sum(value_col).over(w).cast("long") + cin)
+    d = d.withColumn(out, F.sum(value_col).over(w).cast("long") + F.col("__gr_cin"))
     if total_out is not None:
         d = d.withColumn(
             total_out, _when_chain(list(group_cols), totals, 0).cast("long")
         )
-    return d.drop("__gr_b")
+    return d.drop("__gr_b", "__gr_cin")
 
 
 def grouped_percentiles(
@@ -346,10 +374,11 @@ def grouped_percentiles(
         g = r[group_col]
         carry[(r["__gr_b"], g)] = group_n.get(g, 0)
         group_n[g] = group_n.get(g, 0) + r["__c"]
-    d = df.withColumn("__gr_b", bucket)
+    d = _offset_join(
+        df.withColumn("__gr_b", bucket), ["__gr_b", group_col], carry, "__gr_cin"
+    )
     w = Window.partitionBy("__gr_b", group_col).orderBy(*_order_exprs(order))
-    cin = _when_chain(["__gr_b", group_col], carry, 0).cast("long")
-    rn = F.row_number().over(w).cast("long") + cin
+    rn = F.row_number().over(w).cast("long") + F.col("__gr_cin")
     d = d.withColumn("__gr_rn", rn)
     # covering ranks per (group, p): pos = p·(n−1), rows floor(pos)+1
     # and ceil(pos)+1; keep only those rows, then assemble literally

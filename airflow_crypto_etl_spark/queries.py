@@ -577,12 +577,22 @@ WHERE rn = 1
 
 
 def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 — sort semantics made value-visible: rank within partition by
-    price (deterministic tiebreak on key)."""
+    """O1 — sort semantics made value-visible: rank within status by
+    price (deterministic tiebreak on key). o_orderstatus has THREE
+    values, so a plain partitioned window is three giant sort tasks at
+    100 TB — this is the DISTRIBUTED grouped rank instead
+    (operators/rank.grouped_rank: price-quantile buckets × status
+    partitions + literal carry-ins)."""
+    from .operators import rank as rk
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-    from pyspark.sql import Window
-    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return o.withColumn("price_rank", F.row_number().over(w))
+    r = rk.grouped_rank(
+        o,
+        ["o_orderstatus"],
+        [("o_totalprice", False), ("o_orderkey", True)],
+        out="price_rank",
+    )
+    return r.withColumn("price_rank", F.col("price_rank").cast("int"))
 
 
 ORACLE_SORT = """

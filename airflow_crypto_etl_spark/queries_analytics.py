@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.hashing import affine_hash_sql
+from .operators import rank as rk
 from .queries import _t
 
 # ---------------------------------------------------------------------------
@@ -106,16 +107,22 @@ GROUP BY cohort_day, day_offset
 
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorize event values to each type's exact [p05, p95]: the
-    percentile aggregation collapses to one row per event_type (tiny),
-    which broadcasts back over the fact — the standard
-    normalize-by-group-statistic shape at scale (never a window over
-    the full fact). Clipped values rounded at 6dp: the exact
-    percentile's linear interpolation can differ in the last ulp
-    across engines (same guard as q_stats)."""
+    bounds come from the DISTRIBUTED exact per-group percentile
+    (operators/rank.grouped_percentiles — quantile-literal buckets +
+    one partitioned window; the covering two rows per (group, p) are
+    interpolated with Spark percentile's own (1−d)·lo + d·hi), then
+    broadcast back over the fact. The previous ``percentile()`` agg
+    concentrated each group into one sort task — the measured 100 TB
+    lesson (BASELINE.md: 4× probe 2.7→10.2 riding spill thresholds).
+    Clipped values rounded at 6dp: the interpolation can differ in the
+    last ulp across engines (same guard as q_stats)."""
     ev = _t(spark, sf_dir, "events")
-    bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p_lo"),
-        F.expr("percentile(value, 0.95)").alias("p_hi"),
+    bounds = rk.grouped_percentiles(
+        ev, "event_type", "value", [0.05, 0.95], tiebreak="event_id"
+    ).select(
+        "event_type",
+        F.col("p_0_05").alias("p_lo"),
+        F.col("p_0_95").alias("p_hi"),
     )
     return (
         ev.join(F.broadcast(bounds), "event_type")
@@ -951,10 +958,10 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (positive = a big-spender purchase, value > 150 — a label with
     both classes present, unlike bare purchase which every user has).
     All ratios are integer-ratio IEEE divisions written identically in
-    both engines. The global ntile sorts one row per USER (the
-    event stream is collapsed first); at 100 TB you would replace it
-    with precomputed decile boundaries (approx quantiles) joined
-    broadcast, trading exact ties for a scan-only plan."""
+    both engines. The decile assignment is the DISTRIBUTED exact ntile
+    (operators/rank.py): quantile-literal buckets + one partitioned
+    window + literal offsets — no single-partition sort even though the
+    tile is exact down to the user_id tiebreak."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("score"),
@@ -964,9 +971,8 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("label"),
     )
-    d = per_user.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("score").desc(), F.col("user_id").asc())),
+    d = rk.ranked_ntile(
+        per_user, [("score", False), ("user_id", True)], 10, out="decile"
     )
     agg = d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -1014,11 +1020,12 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC via the rank form of the Mann-Whitney U statistic:
     AUC = (Σ ranks of positives − P(P+1)/2) / (P·N), with tied scores
     getting the average rank of their tie group — computed as
-    (min_rn + max_rn)/2 from a single row_number window, so ties are
+    (min_rn + max_rn)/2 from a single row_number pass, so ties are
     handled exactly and every quantity before the final division is an
-    integer or half-integer. One per-user collapse, one global sort
-    window (the same decile-boundary caveat as q_decile_lift applies
-    at 100 TB), one tie-group agg."""
+    integer or half-integer. One per-user collapse, one DISTRIBUTED
+    total-order rank (operators/rank.py — partitioned window over
+    quantile-literal buckets, no single-partition sort), one tie-group
+    agg."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("score"),
@@ -1028,8 +1035,7 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("label"),
     )
-    rn = F.row_number().over(Window.orderBy(F.col("score").asc(), F.col("user_id").asc()))
-    ranked = per_user.withColumn("rn", rn)
+    ranked = rk.ranked(per_user, [("score", True), ("user_id", True)], out="rn")
     ties = ranked.groupBy("score").agg(
         ((F.min("rn") + F.max("rn")).cast("double") / F.lit(2.0)).alias("avg_rank")
     )

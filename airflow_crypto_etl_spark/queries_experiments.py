@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.hashing import MERSENNE_P, affine_hash, affine_hash_sql
+from .operators import rank as rk
 from .operators import text as tx
+from .operators.dedup import register_cache
 from .queries import _t
 
 QUERIES_EXPERIMENTS: dict = {}
@@ -327,8 +329,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-term counts (partial-agg), the 3-term df table broadcast, doc
     lengths joined on doc_id, the corpus-size/avg-length scalar a
     1-row broadcast — the only full-width shuffle is the doc-length
-    join, keyed on doc_id. Top-k by (score desc, doc_id) row_number —
-    a TakeOrdered at scale, never a global sort."""
+    join, keyed on doc_id. Top-k by (score desc, doc_id) is
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge, never a global sort); the rank column is a
+    window over the ALREADY-LIMITED k rows (bounded, allowlisted in
+    the no-unpartitioned-window gate)."""
     docs = _t(spark, sf_dir, "documents")
     tf = tx.term_frequencies(docs).where(F.col("term").isin(*_BM25_TERMS))
     dl = docs.select("doc_id", F.size(tx.tokens_col("text")).cast("bigint").alias("dl"))
@@ -353,11 +358,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"), F.count(F.lit(1)).alias("n_terms_matched"))
     )
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(_BM25_K)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _BM25_K)
-        .select("rank", "doc_id", "score", "n_terms_matched")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score", "n_terms_matched"
     )
 
 
@@ -410,12 +414,15 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per user, recency = days from last activity to
     the corpus horizon (a 1-row broadcast scalar — no empty-partition
     window over users), frequency = event count, monetary = purchase
-    cents (integer-quantized, exact). Quintiles via ntile(5) with a
-    user_id tiebreak so the assignment is total-ordered and
-    engine-stable; the three windows run over the per-user collapse
-    (one row per user — at 100 TB range-partition that sort, or bucket
-    the ntile by percent_rank). Output: the (r,f,m) segment grid with
-    user counts and revenue."""
+    cents (integer-quantized, exact). Quintiles via the DISTRIBUTED
+    exact ntile (operators/rank.py — quantile-literal buckets + one
+    partitioned window each, heavy values like m_cents=0 sub-split by
+    the user_id tiebreak) so the assignment is total-ordered,
+    engine-stable, and never a single-partition sort. The per-user
+    collapse is cached (session-scoped, operators.dedup.release_caches)
+    because three rank passes and their bounded boundary jobs reuse
+    it. Output: the (r,f,m) segment grid with user counts and
+    revenue."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.to_date(F.col("ts").cast("timestamp")).alias("day"),
@@ -436,16 +443,11 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "m_cents",
     )
-    r_w = Window.orderBy(F.col("r_days").asc(), F.col("user_id").asc())
-    f_w = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
-    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
-    scored = base.select(
-        "user_id",
-        "m_cents",
-        F.ntile(5).over(r_w).alias("r_quint"),
-        F.ntile(5).over(f_w).alias("f_quint"),
-        F.ntile(5).over(m_w).alias("m_quint"),
-    )
+    base = register_cache(base.select("user_id", "r_days", "freq", "m_cents"))
+    scored = rk.ranked_ntile(base, [("r_days", True), ("user_id", True)], 5, out="r_quint")
+    scored = rk.ranked_ntile(scored, [("freq", False), ("user_id", True)], 5, out="f_quint")
+    scored = rk.ranked_ntile(scored, [("m_cents", False), ("user_id", True)], 5, out="m_quint")
+    scored = scored.select("user_id", "m_cents", "r_quint", "f_quint", "m_quint")
     return scored.groupBy("r_quint", "f_quint", "m_quint").agg(
         F.count(F.lit(1)).alias("n_users"),
         (F.sum("m_cents").cast("double") / F.lit(100.0)).alias("revenue"),
@@ -1174,8 +1176,10 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), decile reliability bins compare mean predicted vs observed
     rate, and the Brier score rides along per bin (Σ(p−y)² decomposes
     over bins; the global Brier is the n-weighted bin mean — law-
-    tested). The window runs over the per-user collapse; every bin
-    statistic is a single division of exact sums at the end."""
+    tested). The rank-to-[0,1] map is the DISTRIBUTED percent_rank
+    (operators/rank.py — same IEEE division, no single-partition
+    sort); every bin statistic is a single division of exact sums at
+    the end."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("score"),
@@ -1183,8 +1187,9 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
         ).alias("label"),
     )
-    w = Window.orderBy(F.col("score").asc(), F.col("user_id").asc())
-    ranked = per_user.withColumn("p", F.percent_rank().over(w))
+    ranked = rk.ranked_percent_rank(
+        per_user, [("score", True), ("user_id", True)], out="p"
+    )
     binned = ranked.withColumn(
         "bin",
         F.least(
@@ -1354,9 +1359,10 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie group — integers/half-integers, exact); the tie-corrected
     variance needs only Σ(t³−t) over tie-group sizes (exact integer).
     U, its null mean, and z are divisions/sqrt at the very end. The
-    global rank window runs over purchase rows only; at 100 TB
-    range-partition that sort (the same note as every rank statistic
-    here)."""
+    rank runs over purchase rows only via the DISTRIBUTED total-order
+    rank (operators/rank.py) — the single-partition sort this family
+    used to plan is gone; the purchase frame is cached because the
+    rank's bounded boundary/cells jobs reuse it."""
     ev = _t(spark, sf_dir, "events")
     arm_a = affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0
     x = (
@@ -1367,8 +1373,8 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
-    w = Window.orderBy(F.col("v").asc(), F.col("event_id").asc())
-    ranked = x.withColumn("rn", F.row_number().over(w))
+    x = register_cache(x)
+    ranked = rk.ranked(x, [("v", True), ("event_id", True)], out="rn")
     ties = ranked.groupBy("v").agg(
         ((F.min("rn") + F.max("rn")).cast("double") / F.lit(2.0)).alias("avg_rank"),
         F.count(F.lit(1)).alias("t"),
@@ -1691,11 +1697,12 @@ ORACLE_EXPERIMENTS["q_psi"] = ORACLE_PSI
 def q_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level treatment effects: conversion lift per monetary
     quintile — does the experiment help whales or minnows? Quintiles
-    come from the SAME total-order ntile as [[q_rfm]] (pre-treatment-
-    style covariate, so the split is orthogonal to the arm hash);
-    per (quintile, arm) the conversion rollup is integer counts and
-    the lift one subtraction of two divisions. The ntile window runs
-    over the per-user collapse; everything downstream is 10 rows."""
+    come from the SAME total-order DISTRIBUTED ntile as [[q_rfm]]
+    (pre-treatment-style covariate, so the split is orthogonal to the
+    arm hash); per (quintile, arm) the conversion rollup is integer
+    counts and the lift one subtraction of two divisions. The rank
+    runs over the per-user collapse with no single-partition sort;
+    everything downstream is 10 rows."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.coalesce(
@@ -1711,8 +1718,9 @@ def q_hte_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
         ).alias("converted"),
     ).withColumn("in_a", affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0)
-    m_w = Window.orderBy(F.col("m_cents").desc(), F.col("user_id").asc())
-    seg = per_user.withColumn("m_quint", F.ntile(5).over(m_w))
+    seg = rk.ranked_ntile(
+        per_user, [("m_cents", False), ("user_id", True)], 5, out="m_quint"
+    )
     grid = seg.groupBy("m_quint").agg(
         F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
         F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
@@ -1857,8 +1865,8 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-integers, exact), then Pearson on the ranks from five exact
     sums (Σr, Σs, Σrs, Σr², Σs² — half-integer arithmetic stays exact
     in doubles far beyond any realistic n), one sqrt/division at the
-    end. Two rank windows over the per-user collapse, everything else
-    1-row state."""
+    end. Two DISTRIBUTED total-order ranks (operators/rank.py) over
+    the cached per-user collapse, everything else 1-row state."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("f"),
@@ -1872,11 +1880,9 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("m"),
     )
-    wf = Window.orderBy(F.col("f").asc(), F.col("user_id").asc())
-    wm = Window.orderBy(F.col("m").asc(), F.col("user_id").asc())
-    rn = per_user.withColumn("rf", F.row_number().over(wf)).withColumn(
-        "rm", F.row_number().over(wm)
-    )
+    per_user = register_cache(per_user)
+    rn = rk.ranked(per_user, [("f", True), ("user_id", True)], out="rf")
+    rn = rk.ranked(rn, [("m", True), ("user_id", True)], out="rm")
     tie_f = rn.groupBy("f").agg(
         ((F.min("rf") + F.max("rf")).cast("double") / F.lit(2.0)).alias("r")
     )

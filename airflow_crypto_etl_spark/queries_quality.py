@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.hashing import affine_hash, affine_hash_sql
+from .operators import rank as rk
 from .operators.text import tokens_col
 from .queries import _t
 
@@ -201,21 +202,23 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Heavy documents (w > total/n) legitimately get n_copies ≥ 2, as in
     classic PPS systematic sampling.
 
-    Scale: one window pass per stratum (languages parallelize); for a
-    single giant stratum the cumsum becomes the two-pass per-partition
-    offset pattern used by ``llm_prep.pack_sequences``."""
+    Scale: the per-stratum running sum is the DISTRIBUTED grouped
+    cumsum (operators/rank.grouped_cumsum): hash-order quantile
+    buckets, one window partitioned by (bucket, lang), literal
+    carry-ins — a handful of giant strata no longer serialize into
+    one sort task each; the stratum totals ride along as literals."""
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "lang", F.col("n_chars").alias("w"))
         .withColumn("h", affine_hash(F.col("doc_id"), F.lit(_WS_SALT)))
     )
-    w_cum = (
-        Window.partitionBy("lang")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    d = d.withColumn("cum", F.sum("w").over(w_cum)).withColumn(
-        "total", F.sum("w").over(Window.partitionBy("lang"))
+    d = rk.grouped_cumsum(
+        d,
+        ["lang"],
+        [("h", True), ("doc_id", True)],
+        "w",
+        out="cum",
+        total_out="total",
     )
     d = d.withColumn(
         "n_copies",

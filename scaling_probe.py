@@ -37,6 +37,13 @@ from airflow_crypto_etl_spark.sources.tables import load_table
 
 INFLATE = int(os.environ.get("SPARK_GRAFT_INFLATE", "4"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# comma-separated case names to probe (empty = all) — lets a targeted
+# re-measure of one fixed plan run in seconds instead of the full sweep
+ONLY = {s for s in os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if s}
+
+
+def want(name: str) -> bool:
+    return not ONLY or name in ONLY
 
 
 def inflate(df: DataFrame, key_cols: list[str], n: int) -> DataFrame:
@@ -219,21 +226,47 @@ def main() -> None:
     # shuffle of per-group partials, so the ratio must stay ~N.
     ev_cases["ohlc_candles"] = lambda d: tsx.ohlc(tsx.with_market_cols(d))
 
-    # Winsorization (r5): exact per-group percentile is the known scale
-    # hazard here (sort-based agg holds each group's values); groups
-    # stay fixed (5 event types) while values deepen N× — the ratio
-    # must stay ~N·log N, and a blow-up would mean the percentile agg
-    # stopped being a single-pass sort per group.
+    # Winsorization (r6): the bounds now come from the DISTRIBUTED
+    # per-group percentile (operators/rank.grouped_percentiles) — the
+    # r5 probe measured the old percentile() agg concentrating each
+    # group into one sort task (4×: 2.7→10.2 riding spill thresholds);
+    # the rank-based bounds spread every group over quantile buckets,
+    # so the ratio must stay ~N·log N with no spill cliff.
     def winsorize_case(d: DataFrame) -> DataFrame:
-        bounds = d.groupBy("event_type").agg(
-            F.expr("percentile(value, 0.05)").alias("p_lo"),
-            F.expr("percentile(value, 0.95)").alias("p_hi"),
+        from airflow_crypto_etl_spark.operators import rank as rkp
+
+        bounds = rkp.grouped_percentiles(
+            d, "event_type", "value", [0.05, 0.95], tiebreak="event_id"
+        ).select(
+            "event_type",
+            F.col("p_0_05").alias("p_lo"),
+            F.col("p_0_95").alias("p_hi"),
         )
         return d.join(F.broadcast(bounds), "event_type").select(
             "event_id", F.greatest("p_lo", F.least("p_hi", F.col("value"))).alias("w")
         )
 
     ev_cases["winsorize"] = winsorize_case
+
+    # Distributed total-order rank (r6): the Mann-Whitney tie-rank core
+    # over purchase rows — the round-5 verdict's worst single-partition
+    # member. With operators/rank.ranked the sort spreads over quantile
+    # buckets (boundary + cells jobs included in the timing), so the
+    # ratio must stay ~N·log N; the old global window form serialized
+    # the whole relation through one task.
+    def mw_rank_case(d: DataFrame) -> DataFrame:
+        from airflow_crypto_etl_spark.operators import rank as rkp
+
+        x = d.filter(F.col("event_type") == "purchase").select(
+            F.floor(F.col("value") * F.lit(1000.0)).cast("bigint").alias("v"),
+            "event_id",
+        )
+        ranked = rkp.ranked(x, [("v", True), ("event_id", True)], out="rn")
+        return ranked.groupBy("v").agg(
+            ((F.min("rn") + F.max("rn")).cast("double") / F.lit(2.0)).alias("avg_rank")
+        )
+
+    ev_cases["mann_whitney_rank"] = mw_rank_case
     # last-touch attribution (r5-late): ignore-nulls window per user —
     # user count scales N× (shifted ids), per-user depth constant, so
     # the window sort is ~N·log N at worst
@@ -270,6 +303,8 @@ def main() -> None:
 
     results = {}
     for name, fn in cases.items():
+        if not want(name):
+            continue
         small = li
         big = inflate(li, ["l_orderkey"], INFLATE)
         fn(small).count()  # warm
@@ -277,6 +312,8 @@ def main() -> None:
         t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
     for name, fn in doc_cases.items():
+        if not want(name):
+            continue
         big = inflate(docs, ["doc_id"], INFLATE)
         fn(docs).count(); dd.release_caches()
         t0 = time.perf_counter(); fn(docs).count(); t1 = time.perf_counter() - t0
@@ -285,12 +322,16 @@ def main() -> None:
         dd.release_caches()
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
     for name, fn in or_cases.items():
+        if not want(name):
+            continue
         big = inflate(orders, ["o_orderkey"], INFLATE)
         fn(orders).count()
         t0 = time.perf_counter(); fn(orders).count(); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); fn(big).count(); tn = time.perf_counter() - t0
         results[name] = {"t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)}
     for name, fn in ev_cases.items():
+        if not want(name):
+            continue
         big = inflate(ev, ["user_id", "event_id"], INFLATE)
         fn(ev).count()
         t0 = time.perf_counter(); fn(ev).count(); t1 = time.perf_counter() - t0
@@ -308,13 +349,14 @@ def main() -> None:
         nodes = d.select("user_id").distinct()
         return gr.pagerank(edges, nodes, iters=2)
 
-    big_ev = inflate(ev, ["user_id", "event_id"], INFLATE)
-    pagerank_case(ev).count()  # warm
-    t0 = time.perf_counter(); pagerank_case(ev).count(); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); pagerank_case(big_ev).count(); tn = time.perf_counter() - t0
-    results["pagerank"] = {
-        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
-    }
+    if want("pagerank"):
+        big_ev = inflate(ev, ["user_id", "event_id"], INFLATE)
+        pagerank_case(ev).count()  # warm
+        t0 = time.perf_counter(); pagerank_case(ev).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); pagerank_case(big_ev).count(); tn = time.perf_counter() - t0
+        results["pagerank"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
 
     # Label propagation (r5-late): same shuffle budget per round as a
     # PageRank iteration (edge-label equi-join + (node,label) partial
@@ -326,12 +368,13 @@ def main() -> None:
             iters=2,
         )
 
-    label_prop_case(ev).count()  # warm
-    t0 = time.perf_counter(); label_prop_case(ev).count(); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); label_prop_case(big_ev).count(); tn = time.perf_counter() - t0
-    results["label_prop"] = {
-        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
-    }
+    if want("label_prop"):
+        label_prop_case(ev).count()  # warm
+        t0 = time.perf_counter(); label_prop_case(ev).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); label_prop_case(big_ev).count(); tn = time.perf_counter() - t0
+        results["label_prop"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
 
     # Triangle counting (r5): copy-inflation shifts user ids, so the
     # inflated graph is N disjoint copies — wedge joins stay bounded by
@@ -339,13 +382,14 @@ def main() -> None:
     def triangles_case(d: DataFrame) -> DataFrame:
         return gr.triangle_count(gr.transition_edges(d))
 
-    big_ev2 = inflate(ev, ["user_id", "event_id"], INFLATE)
-    triangles_case(ev).count()  # warm
-    t0 = time.perf_counter(); triangles_case(ev).count(); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); triangles_case(big_ev2).count(); tn = time.perf_counter() - t0
-    results["triangles"] = {
-        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
-    }
+    if want("triangles"):
+        big_ev2 = inflate(ev, ["user_id", "event_id"], INFLATE)
+        triangles_case(ev).count()  # warm
+        t0 = time.perf_counter(); triangles_case(ev).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); triangles_case(big_ev2).count(); tn = time.perf_counter() - t0
+        results["triangles"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
 
     # Bloom build+probe (r5): both sides linear scans + a bounded-size
     # bit_or partial agg; probe joins a broadcast ≤2048-row word table
@@ -357,13 +401,14 @@ def main() -> None:
         bloom = jn.bloom_build(cust.where(F.col("c_acctbal") > 9000), "c_custkey")
         return jn.bloom_probe(d.select(F.col("o_orderkey").alias("k")), "k", bloom)
 
-    big_or = inflate(orders, ["o_orderkey"], INFLATE)
-    bloom_case(orders).count()  # warm
-    t0 = time.perf_counter(); bloom_case(orders).count(); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); bloom_case(big_or).count(); tn = time.perf_counter() - t0
-    results["bloom_probe"] = {
-        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
-    }
+    if want("bloom_probe"):
+        big_or = inflate(orders, ["o_orderkey"], INFLATE)
+        bloom_case(orders).count()  # warm
+        t0 = time.perf_counter(); bloom_case(orders).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); bloom_case(big_or).count(); tn = time.perf_counter() - t0
+        results["bloom_probe"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
 
     # Lloyd k-means (r5): per iteration one assignment scan (centroid
     # literals ride the closure) + one k·dim partial-agg shuffle whose
@@ -372,13 +417,14 @@ def main() -> None:
     # copy inflation: copies are true duplicates, so its OUTPUT is
     # quadratic in copies — same reasoning as minhash_signatures above.)
     emb = load_table(spark, SF_DIR, "embeddings")
-    big_emb = inflate(emb, ["vec_id"], INFLATE)
-    sim.kmeans_assign(emb, k=8, iters=1).count()  # warm
-    t0 = time.perf_counter(); sim.kmeans_assign(emb, k=8, iters=1).count(); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); sim.kmeans_assign(big_emb, k=8, iters=1).count(); tn = time.perf_counter() - t0
-    results["kmeans_assign"] = {
-        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
-    }
+    if want("kmeans_assign"):
+        big_emb = inflate(emb, ["vec_id"], INFLATE)
+        sim.kmeans_assign(emb, k=8, iters=1).count()  # warm
+        t0 = time.perf_counter(); sim.kmeans_assign(emb, k=8, iters=1).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); sim.kmeans_assign(big_emb, k=8, iters=1).count(); tn = time.perf_counter() - t0
+        results["kmeans_assign"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
 
     # Incremental-dedup lookup: the BATCH stays fixed while the corpus
     # INDEX inflates N× — the daily-ingest shape. The index is read from
@@ -388,28 +434,29 @@ def main() -> None:
     # a linear index scan), and the per-minhash estimate over matches.
     # The ratio should stay far below N — the index is scanned (cheap,
     # id+sig columns only), never re-shingled and never shuffled.
-    import shutil
-    import tempfile
+    if want("minhash_lookup_fixed_batch"):
+        import shutil
+        import tempfile
 
-    batch = docs.limit(500).select(
-        (F.col("doc_id") + 5_000_000_000).alias("doc_id"), "text"
-    )
-    tmp = tempfile.mkdtemp(prefix="aces_probe_index_")
-    try:
-        for tag, corpus in (("1", docs), ("N", inflate(docs, ["doc_id"], INFLATE))):
-            dd.minhash_signatures(corpus).write.mode("overwrite").parquet(f"{tmp}/sig{tag}")
-            sig = spark.read.parquet(f"{tmp}/sig{tag}")
-            dd.minhash_bands(sig).write.mode("overwrite").parquet(f"{tmp}/bands{tag}")
-        s1, b1 = spark.read.parquet(f"{tmp}/sig1"), spark.read.parquet(f"{tmp}/bands1")
-        sN, bN = spark.read.parquet(f"{tmp}/sigN"), spark.read.parquet(f"{tmp}/bandsN")
-        dd.minhash_lookup(batch, s1, b1).count()  # warm
-        t0 = time.perf_counter(); dd.minhash_lookup(batch, s1, b1).count(); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); dd.minhash_lookup(batch, sN, bN).count(); tn = time.perf_counter() - t0
-        results["minhash_lookup_fixed_batch"] = {
-            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
-        }
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        batch = docs.limit(500).select(
+            (F.col("doc_id") + 5_000_000_000).alias("doc_id"), "text"
+        )
+        tmp = tempfile.mkdtemp(prefix="aces_probe_index_")
+        try:
+            for tag, corpus in (("1", docs), ("N", inflate(docs, ["doc_id"], INFLATE))):
+                dd.minhash_signatures(corpus).write.mode("overwrite").parquet(f"{tmp}/sig{tag}")
+                sig = spark.read.parquet(f"{tmp}/sig{tag}")
+                dd.minhash_bands(sig).write.mode("overwrite").parquet(f"{tmp}/bands{tag}")
+            s1, b1 = spark.read.parquet(f"{tmp}/sig1"), spark.read.parquet(f"{tmp}/bands1")
+            sN, bN = spark.read.parquet(f"{tmp}/sigN"), spark.read.parquet(f"{tmp}/bandsN")
+            dd.minhash_lookup(batch, s1, b1).count()  # warm
+            t0 = time.perf_counter(); dd.minhash_lookup(batch, s1, b1).count(); t1 = time.perf_counter() - t0
+            t0 = time.perf_counter(); dd.minhash_lookup(batch, sN, bN).count(); tn = time.perf_counter() - t0
+            results["minhash_lookup_fixed_batch"] = {
+                "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     # Window-indicator family: the SERIES lengthens N× (disjoint bucket
     # ranges per copy) while symbols stay fixed — each symbol partition
@@ -420,25 +467,26 @@ def main() -> None:
     # tick→hourly_close aggregation N times — otherwise the measured
     # ratio conflates linear agg cost with the window-scan behavior this
     # probe claims to bound (r4 ADVICE)
-    closes = tsx.hourly_close(tsx.with_market_cols(ev)).localCheckpoint(eager=True)
+    if want("bollinger_long_series"):
+        closes = tsx.hourly_close(tsx.with_market_cols(ev)).localCheckpoint(eager=True)
 
-    def lengthen(cl: DataFrame, n: int) -> DataFrame:
-        parts = [
-            cl.withColumn("bucket", F.col("bucket") + F.expr(f"INTERVAL {i * 100000} HOUR"))
-            for i in range(n)
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        def lengthen(cl: DataFrame, n: int) -> DataFrame:
+            parts = [
+                cl.withColumn("bucket", F.col("bucket") + F.expr(f"INTERVAL {i * 100000} HOUR"))
+                for i in range(n)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
 
-    long_closes = lengthen(closes, INFLATE)
-    tsx.bollinger(closes).count()  # warm
-    t0 = time.perf_counter(); tsx.bollinger(closes).count(); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); tsx.bollinger(long_closes).count(); tn = time.perf_counter() - t0
-    results["bollinger_long_series"] = {
-        "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
-    }
+        long_closes = lengthen(closes, INFLATE)
+        tsx.bollinger(closes).count()  # warm
+        t0 = time.perf_counter(); tsx.bollinger(closes).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); tsx.bollinger(long_closes).count(); tn = time.perf_counter() - t0
+        results["bollinger_long_series"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
 
     print(json.dumps({"inflate": INFLATE, "queries": results}))
 

@@ -95,14 +95,58 @@ _PRODUCT_OK = {
 }
 
 
+# Queries whose plans legitimately contain an UNPARTITIONED WindowExec —
+# every entry windows a BOUNDED relation (post-aggregation cardinality
+# capped by a domain, never by row count), where "move all rows to one
+# partition" is a constant-size driver-adjacent step. Any rank statistic
+# over an unbounded relation must use operators/rank.py instead (the
+# round-5 verdict's scale-killer family — q_auc, q_decile_lift's ntile,
+# q_rfm, q_calibration, q_mann_whitney, q_spearman, q_hte_segments,
+# q_sample_weighted, q_sort, q_winsorize all swapped in round 6).
+_GLOBAL_WINDOW_OK = {
+    "q_benford": "first-digit histogram: ≤ 9 rows",
+    "q_bm25": "rank over the ALREADY-LIMITED top-k rows (TakeOrdered upstream)",
+    "q_decile_lift": "overall-rate window over the 10-row decile rollup",
+    "q_jsd": "per-event-type cells: bounded by the type domain",
+    "q_kaplan_meier": "life table keyed by duration days (bounded domain)",
+    "q_ks_drift": "distinct milli-quantized values (bounded value domain)",
+    "q_logrank": "joint life table keyed by duration days (bounded domain)",
+    "q_psi": "fixed-width value buckets (bounded domain)",
+    "q_quantile_sketch": "~100-bucket mergeable histogram (bounded domain)",
+}
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """Window-style physical operators with an EMPTY partition spec in
+    the pre-AQE physical plan — each is a single-partition global sort
+    of its input at scale."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    found: list[str] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                found.append(name)
+        kids = node.children()
+        for i in range(kids.length()):
+            stack.append(kids.apply(i))
+    return found
+
+
 def _assert_published_contract(name, df):
-    """Two invariants for every registered query:
+    """Three invariants for every registered query:
 
     1. No DecimalType in the final schema — the driver's oracle side
        materializes DECIMAL as float64, so decimal output fails the
        value hash on representation (round-1: 8/50 checked queries).
     2. Plan hygiene — no row-at-a-time Python UDF (BatchEvalPython) and
        no undeclared cartesian/nested-loop product in the plan.
+    3. No UNPARTITIONED window over an unbounded relation (round-6 gate):
+       a global `Window.orderBy` moves every row to ONE partition — the
+       scale-killer the distributed rank primitive exists to avoid.
+       Bounded-relation exceptions are allowlisted with their bound.
     """
     from airflow_crypto_etl_spark.queries import has_decimal
 
@@ -118,6 +162,15 @@ def _assert_published_contract(name, df):
     if name not in _PRODUCT_OK:
         bad = [m for m in ("CartesianProduct", "BroadcastNestedLoopJoin") if m in plan]
         assert not bad, f"{name}: undeclared product join {bad} in plan"
+    if name not in _GLOBAL_WINDOW_OK:
+        try:
+            gw = _unpartitioned_windows(df)
+        except Exception:
+            gw = []  # plan introspection is best-effort
+        assert not gw, (
+            f"{name}: unpartitioned window {gw} — single-partition sort at "
+            f"scale; use operators/rank.py or allowlist with the bound"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
