@@ -35,6 +35,22 @@ from pyspark.sql import functions as F
 from .text import tokens_col
 
 
+def _persistent_ids(sc) -> set[int]:
+    """Ids of currently-persisted RDDs (the JVM registry that owns
+    localCheckpoint blocks — DataFrame.unpersist only clears the SQL
+    cache manager, never these)."""
+    return {int(k) for k in sc._jsc.getPersistentRDDs().keySet()}
+
+
+def _release_persistent(sc, ids: set[int]) -> None:
+    """Unpersist exactly the given RDD ids — the previous round's
+    checkpoint blocks — leaving every other cache untouched."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet()):
+        if int(rid) in ids:
+            jmap.get(rid).unpersist()
+
+
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n, syms) distinct-word vocabulary: counts plus the
     character-symbol array every merge operates on."""
@@ -84,7 +100,10 @@ def train_bpe(
     heavy work (pair counts, merge application) stays distributed.
     Stops early when no pair repeats (max count 1 still merges, count
     0 cannot happen on a non-empty vocab with multi-char words)."""
+    sc = docs.sparkSession.sparkContext
+    before = _persistent_ids(sc)
     vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    owned = _persistent_ids(sc) - before
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -99,8 +118,15 @@ def train_bpe(
         merges.append((a, b))
         vocab = vocab.withColumn("syms", merge_pair_col(F.col("syms"), a, b))
         # flat lineage per round (the PageRank pattern): without this,
-        # round k re-derives k chained folds per evaluation
+        # round k re-derives k chained folds per evaluation. Release
+        # the PREVIOUS round's checkpoint blocks once the new one is
+        # materialized — otherwise an n_merges run pins up to n vocab
+        # copies in executor storage until driver GC (r5 ADVICE).
+        pre = _persistent_ids(sc)
         vocab = vocab.localCheckpoint(eager=True)
+        fresh = _persistent_ids(sc) - pre
+        _release_persistent(sc, owned)
+        owned = fresh
     return merges, vocab
 
 

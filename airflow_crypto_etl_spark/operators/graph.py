@@ -168,6 +168,11 @@ def label_propagation(
     on (node, label), and a per-node row_number argmax — the same
     shuffle budget as a PageRank iteration, with CONSTANT-size label
     state (one row per node). ``nodes`` must carry a ``node`` column."""
+    # contract: self-loops are IGNORED. Dropping src==dst before the
+    # union matters because symmetrization would otherwise double a
+    # self-loop's weight (r5 ADVICE — the shipped caller pre-filters
+    # them, but the operator must not depend on that).
+    edges = edges.where(F.col("src") != F.col("dst"))
     und = (
         edges.select("src", "dst", "w")
         .unionByName(

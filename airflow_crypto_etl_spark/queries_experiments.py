@@ -132,6 +132,18 @@ ORACLE_EXPERIMENTS["q_hll_distinct"] = ORACLE_HLL_DISTINCT
 # ---------------------------------------------------------------------------
 
 _AB_SALT = 5
+# shared batch/stream conversion definition: streaming_ab_monitor's
+# emission must hash-join 1:1 with the offline scorecards, so the arm
+# salt and this predicate are imported there, never re-literalized
+# (r5 ADVICE)
+CONVERSION_VALUE_MIN = 150.0
+
+
+def conversion_pred():
+    """The experiment's conversion event: a high-value purchase."""
+    return (F.col("event_type") == "purchase") & (
+        F.col("value") > F.lit(CONVERSION_VALUE_MIN)
+    )
 
 
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,8 +37,11 @@ def read_media_dir(
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
     doc_id = F.regexp_extract(F.col("path"), r"([0-9]+)\.[A-Za-z0-9]+$", 1)
+    # try_cast, not cast: under ANSI mode a digit run longer than int64
+    # (a 20-digit filename) must degrade to the documented null id, not
+    # abort the whole ingest (r5 ADVICE)
     return df.select(
-        F.when(doc_id != "", doc_id).cast("bigint").alias(id_col),
+        F.when(doc_id != "", doc_id).try_cast("bigint").alias(id_col),
         F.col("length").alias("n_bytes"),
         F.col("content").alias("payload"),
     )

@@ -77,15 +77,20 @@ def read_json_with_quarantine(
     filter that references ONLY the internal corrupt column on a raw
     file scan (it could not know which other columns to parse), and
     the cache also makes good/bad two reads of one parse rather than
-    two parses. At 100 TB the quarantine side is a trickle written to
-    its own path for replay after a parser fix."""
+    two parses. The cache is registered in the session-scoped registry
+    (``operators.dedup.register_cache``) so repeated bronze ingests do
+    not pin parses until driver GC — ``release_caches()`` reclaims
+    them once consumers are done (r5 ADVICE). At 100 TB the quarantine
+    side is a trickle written to its own path for replay after a
+    parser fix."""
+    from ..operators.dedup import register_cache
+
     aug = T.StructType(schema.fields + [T.StructField("_corrupt_record", T.StringType())])
-    df = (
+    df = register_cache(
         spark.read.schema(aug)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
-        .cache()
     )
     good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(

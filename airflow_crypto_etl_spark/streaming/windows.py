@@ -114,10 +114,13 @@ def streaming_ab_monitor(spark: SparkSession, sf_dir: str, duration: str = "1 ho
     equals the batch twin and is fully hash-checked. State is
     (windows × 2 arms) rows — bounded by the horizon, not traffic."""
     from ..functions.hashing import affine_hash
+    from ..queries_experiments import _AB_SALT, conversion_pred
 
     ev = stream_events(spark, sf_dir)
-    arm = F.when(affine_hash(F.col("user_id"), F.lit(5)) % 2 == 0, "A").otherwise("B")
-    conv = ((F.col("event_type") == "purchase") & (F.col("value") > 150.0)).cast("int")
+    arm = F.when(
+        affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0, "A"
+    ).otherwise("B")
+    conv = conversion_pred().cast("int")
     agg = (
         ev.select(F.col("ts"), arm.alias("arm"), conv.alias("conv"))
         .groupBy(F.window("ts", duration).alias("w"), "arm")
