@@ -7,6 +7,13 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementations live in ``airflow_crypto_etl_spark`` (see SURVEY.md §2
 for the operator-by-operator mapping); this module is a thin adapter.
+
+``MANIFEST.json`` (regenerate: ``python scripts/gen_manifest.py``)
+groups the registry family → query names so a driver sampling K of the
+250 queries can STRATIFY by family and hit every family each round; it
+also records which entries are oracle-hash-checked vs rows-only
+(currently: none rows-only). The parity suite asserts the committed
+manifest matches the live registry.
 """
 
 from __future__ import annotations
@@ -42,6 +49,7 @@ def _finalized(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkS
 
     run.__name__ = getattr(fn, "__name__", "query")
     run.__doc__ = fn.__doc__
+    run.__wrapped__ = fn  # lets MANIFEST.json group queries by module
     return run
 
 

@@ -196,6 +196,24 @@ def test_entry_smoke(spark):
     assert len(df.schema) >= 5
 
 
+def test_manifest_is_current():
+    """MANIFEST.json (the driver's stratified-sampling index) must match
+    the live registry — a stale manifest silently unbalances which
+    families the driver's K-sample exercises."""
+    import json
+    import pathlib
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(root / "scripts"))
+    try:
+        from gen_manifest import build
+    finally:
+        sys.path.pop(0)
+    committed = json.loads((root / "MANIFEST.json").read_text())
+    assert committed == build(), "MANIFEST.json stale — run scripts/gen_manifest.py"
+
+
 def test_no_rdd_probe_on_query_paths():
     """Grep-gate (r4 verdict item 6): `.rdd` access inside the package
     forces an RDD-conversion analyzer pass per call — a hidden tax on
