@@ -591,23 +591,61 @@ def attach_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, schema)
 
 
-def decode_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """REAL JPEG decode as a DataFrame verb: Arrow-batched
-    ``mapInPandas`` over (id, payload), the same executor batch shape as
-    the PPM/PNG kernels — the three decoders are drop-in peers behind
-    identical plumbing. px_mean is an exact integer sum divided once
+def _decode_jpeg_rows(doc_ids, payloads):
+    """Shared decode loop for both batch surfaces: per payload the real
+    baseline-JPEG kernel, px_mean as an exact integer sum divided once
     (IEEE-reproducible, oracle-comparable)."""
+    out = {k: [] for k in ("doc_id", "width", "height", "n_components", "n_px_bytes", "px_mean")}
+    for doc_id, b in zip(doc_ids, payloads):
+        w, h, ncomp, px = decode_jpeg_bytes(bytes(b))
+        out["doc_id"].append(doc_id)
+        out["width"].append(w)
+        out["height"].append(h)
+        out["n_components"].append(ncomp)
+        out["n_px_bytes"].append(len(px))
+        out["px_mean"].append(sum(px) / len(px))
+    return out
+
+
+def decode_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEG decode as a DataFrame verb, on the ``mapInArrow``
+    surface (r5 verdict item 4): the batch arrives as a
+    ``pyarrow.RecordBatch`` whose binary buffers feed the kernel
+    directly — no pandas frame materializes on either side, one less
+    copy per batch, which trims the Python-worker oversubscription
+    variance the pandas path measured at the 4× probe.
+    Bit-identical to :func:`decode_jpeg_pandas` (agreement-tested)."""
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            cols = _decode_jpeg_rows(
+                rb.column(id_col).to_pylist(), rb.column("payload").to_pylist()
+            )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: pa.array(cols["doc_id"], pa.int64()),
+                    "width": pa.array(cols["width"], pa.int32()),
+                    "height": pa.array(cols["height"], pa.int32()),
+                    "n_components": pa.array(cols["n_components"], pa.int32()),
+                    "n_px_bytes": pa.array(cols["n_px_bytes"], pa.int32()),
+                    "px_mean": pa.array(cols["px_mean"], pa.float64()),
+                }
+            )
+
+    return df.mapInArrow(batches, JPEG_SCHEMA)
+
+
+def decode_jpeg_pandas(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The same decode on the ``mapInPandas`` surface — kept as the
+    agreement twin for :func:`decode_jpeg` (the PPM/PNG kernels' batch
+    shape)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
-                w, h, ncomp, px = decode_jpeg_bytes(bytes(b))
-                rows.append((doc_id, w, h, ncomp, len(px), sum(px) / len(px)))
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "width", "height", "n_components", "n_px_bytes", "px_mean"],
-            )
+            cols = _decode_jpeg_rows(pdf[id_col], pdf["payload"])
+            ids = cols.pop("doc_id")
+            yield pd.DataFrame({id_col: ids, **cols})
 
     return df.mapInPandas(batches, JPEG_SCHEMA)
 

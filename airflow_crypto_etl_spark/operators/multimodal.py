@@ -762,35 +762,67 @@ def attach_avi_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, f"{id_col} long, payload binary")
 
 
-def decode_avi_sampled(df: DataFrame, every: int = 2, id_col: str = "doc_id") -> DataFrame:
-    """REAL video frame sampling: RIFF walk → every ``every``-th '00dc'
-    frame → the native baseline-JPEG kernel per frame. Emits per-video
-    totals with an exact integer pixel sum over the sampled frames (one
-    IEEE division at the end). This closes the modality triple: image,
-    audio and (MJPEG) video all decode dependency-free; only codec
-    formats (H.264, vorbis, WebP) remain gated."""
+def _decode_avi_one(b: bytes, every: int) -> tuple:
+    """RIFF walk → every ``every``-th '00dc' frame → the native
+    baseline-JPEG kernel per frame; exact integer pixel sum over the
+    sampled frames, one IEEE division at the end."""
     from .jpeg import decode_jpeg_bytes
 
-    def decode_one(b: bytes) -> tuple:
-        frames = _avi_frames(b)
-        sampled = frames[::every]
-        if not sampled:
-            raise ValueError("no video frames in AVI")
-        total, n_bytes, w0, h0 = 0, 0, None, None
-        for fr in sampled:
-            w, h, _ncomp, raw = decode_jpeg_bytes(fr)
-            if w0 is None:
-                w0, h0 = w, h
-            elif (w, h) != (w0, h0):
-                raise ValueError("inconsistent frame geometry")
-            total += sum(raw)
-            n_bytes += len(raw)
-        return (len(frames), len(sampled), w0, h0, total / n_bytes)
+    frames = _avi_frames(b)
+    sampled = frames[::every]
+    if not sampled:
+        raise ValueError("no video frames in AVI")
+    total, n_bytes, w0, h0 = 0, 0, None, None
+    for fr in sampled:
+        w, h, _ncomp, raw = decode_jpeg_bytes(fr)
+        if w0 is None:
+            w0, h0 = w, h
+        elif (w, h) != (w0, h0):
+            raise ValueError("inconsistent frame geometry")
+        total += sum(raw)
+        n_bytes += len(raw)
+    return (len(frames), len(sampled), w0, h0, total / n_bytes)
+
+
+def decode_avi_sampled(df: DataFrame, every: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """REAL video frame sampling on the ``mapInArrow`` surface (r5
+    verdict item 4 — the heaviest pure-Python kernel gains the most
+    from skipping the pandas materialization on both sides of the
+    batch). Closes the modality triple: image, audio and (MJPEG) video
+    all decode dependency-free; only codec formats (H.264, vorbis,
+    WebP) remain gated. Bit-identical to
+    :func:`decode_avi_sampled_pandas` (agreement-tested)."""
+    import pyarrow as pa
+
+    def batches(it):
+        for rb in it:
+            ids = rb.column(id_col).to_pylist()
+            payloads = rb.column("payload").to_pylist()
+            rows = [_decode_avi_one(bytes(b), every) for b in payloads]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: pa.array(ids, pa.int64()),
+                    "n_frames": pa.array([r[0] for r in rows], pa.int64()),
+                    "n_sampled": pa.array([r[1] for r in rows], pa.int64()),
+                    "width": pa.array([r[2] for r in rows], pa.int32()),
+                    "height": pa.array([r[3] for r in rows], pa.int32()),
+                    "px_mean": pa.array([r[4] for r in rows], pa.float64()),
+                }
+            )
+
+    return df.mapInArrow(batches, VIDEO_SCHEMA)
+
+
+def decode_avi_sampled_pandas(
+    df: DataFrame, every: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """The same sampling decode on ``mapInPandas`` — the agreement twin
+    for :func:`decode_avi_sampled`."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = [
-                (doc_id, *decode_one(bytes(b)))
+                (doc_id, *_decode_avi_one(bytes(b), every))
                 for doc_id, b in zip(pdf[id_col], pdf["payload"])
             ]
             yield pd.DataFrame(

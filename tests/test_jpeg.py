@@ -169,3 +169,13 @@ def test_unified_dispatch_decodes_all_three_formats(spark):
     assert (out[3]["width"], out[3]["height"]) == (4 + 3 % 5, 3 + 3 % 4)
     assert (out[4]["width"], out[4]["height"]) == (4 + 4 % 5, 3 + 4 % 4)
     assert (out[5]["width"], out[5]["height"]) == (8 * (1 + 5 % 3), 8 * (1 + 5 % 2))
+
+
+def test_decode_jpeg_arrow_pandas_agreement(spark, sf_dir):
+    """The mapInArrow decode (the registered path) must be bit-identical
+    to the mapInPandas twin — same kernel, different batch surface."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(40)
+    payload = J.attach_jpeg_payload(docs)
+    arrow = {r["doc_id"]: tuple(r) for r in J.decode_jpeg(payload).collect()}
+    pandas = {r["doc_id"]: tuple(r) for r in J.decode_jpeg_pandas(payload).collect()}
+    assert arrow == pandas and len(arrow) == 40

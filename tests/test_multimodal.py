@@ -310,3 +310,13 @@ def test_decode_avi_rejects_garbage(spark):
     bad = spark.createDataFrame([(1, bytearray(b"RIFFxxxxWAVEdata"))], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="not a RIFF/AVI|PythonException|Py4J"):
         mm.decode_avi_sampled(bad).collect()
+
+
+def test_decode_avi_arrow_pandas_agreement(spark, sf_dir):
+    """mapInArrow AVI sampling (the registered path) must be
+    bit-identical to the mapInPandas twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(24)
+    payload = mm.attach_avi_payload(docs)
+    arrow = {r["doc_id"]: tuple(r) for r in mm.decode_avi_sampled(payload, every=2).collect()}
+    pandas = {r["doc_id"]: tuple(r) for r in mm.decode_avi_sampled_pandas(payload, every=2).collect()}
+    assert arrow == pandas and len(arrow) == 24
