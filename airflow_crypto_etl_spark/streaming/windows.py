@@ -42,12 +42,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     import os
 
-    batch_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    raw = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # multi-file layout (e.g. the derived sf1 bench set): the
+        # file source streams the part files of the directory itself
+        raw = spark.readStream.schema(batch_schema).parquet(path)
+    else:
+        # flat single-file layout (the driver's testdata): the file
+        # source needs a directory, so stream the parent with a glob
+        raw = (
+            spark.readStream.schema(batch_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return _restore_nanos_timestamps(raw)
 
 
