@@ -190,3 +190,98 @@ def test_ranked_empty_input(spark):
     assert rk.ranked(d, [("k", True)], buckets=4).count() == 0
     assert rk.ranked_ntile(d, [("k", True)], 4, buckets=4).count() == 0
     assert rk.ranked_percent_rank(d, [("k", True)], buckets=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis laws: the primitive must agree with the naive window form on
+# ARBITRARY data. Values are drawn from a tiny range so nearly every
+# quantile boundary is a duplicated (heavy) value — the adversarial case
+# for the bucket construction — and the tiebreak is made unique so the
+# order is total (the primitive's documented contract).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+_RANK_SCHEMA = T.StructType(
+    [
+        T.StructField("v", T.LongType()),
+        T.StructField("tid", T.LongType()),
+        T.StructField("g", T.LongType()),
+    ]
+)
+
+_RANK_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-2, max_value=2),  # v: heavy duplicates
+        st.integers(min_value=0, max_value=9),  # tid seed (made unique)
+        st.integers(min_value=0, max_value=2),  # g: 3 groups
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+_RANK_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _rank_df(spark, rows):
+    uniq = [(v, 10 * i + t, g) for i, (v, t, g) in enumerate(rows)]
+    return spark.createDataFrame(uniq or [], schema=_RANK_SCHEMA)
+
+
+@given(rows=_RANK_ROWS, asc=st.booleans(), buckets=st.integers(min_value=1, max_value=6))
+@_RANK_SETTINGS
+def test_law_ranked_is_row_number(spark, rows, asc, buckets):
+    d = _rank_df(spark, rows)
+    order = [("v", asc), ("tid", True)]
+    oexp = [F.col("v").asc() if asc else F.col("v").desc(), F.col("tid").asc()]
+    truth = d.withColumn("rn", F.row_number().over(Window.orderBy(*oexp)).cast("long"))
+    got = rk.ranked(d, order, out="rn", buckets=buckets)
+    assert _collected(got, ["tid", "rn"]) == _collected(truth, ["tid", "rn"])
+
+
+@given(rows=_RANK_ROWS, k=st.integers(min_value=1, max_value=7))
+@_RANK_SETTINGS
+def test_law_ntile_is_window_ntile(spark, rows, k):
+    d = _rank_df(spark, rows)
+    truth = d.withColumn("t", F.ntile(k).over(Window.orderBy("v", "tid")))
+    got = rk.ranked_ntile(d, [("v", True), ("tid", True)], k, out="t", buckets=4)
+    assert _collected(got, ["tid", "t"]) == _collected(truth, ["tid", "t"])
+
+
+@given(rows=_RANK_ROWS, buckets=st.integers(min_value=1, max_value=6))
+@_RANK_SETTINGS
+def test_law_grouped_rank_is_partitioned_row_number(spark, rows, buckets):
+    d = _rank_df(spark, rows)
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("tid").asc())
+    truth = d.withColumn("rn", F.row_number().over(w).cast("long"))
+    got = rk.grouped_rank(
+        d, ["g"], [("v", False), ("tid", True)], out="rn", buckets=buckets
+    )
+    assert _collected(got, ["tid", "rn"]) == _collected(truth, ["tid", "rn"])
+
+
+@given(rows=_RANK_ROWS)
+@_RANK_SETTINGS
+def test_law_grouped_cumsum_is_running_sum(spark, rows):
+    d = _rank_df(spark, rows)
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "tid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    truth = d.withColumn("cum", F.sum("v").over(w).cast("long")).withColumn(
+        "total", F.sum("v").over(Window.partitionBy("g")).cast("long")
+    )
+    got = rk.grouped_cumsum(
+        d, ["g"], [("v", True), ("tid", True)], "v",
+        out="cum", total_out="total", buckets=4,
+    )
+    assert _collected(got, ["tid", "cum", "total"]) == _collected(
+        truth, ["tid", "cum", "total"]
+    )
