@@ -13,9 +13,11 @@ exact and identical everywhere:
   P = 2^31 - 1 (Mersenne prime) and Knuth-multiplier-derived a_i — the
   standard MinHash construction (Broder 1997).
 
-All arithmetic stays within int64 (acc < 2^30, a_i < 2^31 ⇒ products
-< 2^61), so Spark BIGINT and DuckDB BIGINT behave identically — these
-expressions run inside whole-stage codegen, no UDFs.
+All arithmetic stays within int64 for ANY bigint input (acc < 2^30;
+a_i < 2^31 and the affine input is reduced mod P before the multiply,
+so products stay < 2^62), so Spark BIGINT and DuckDB BIGINT behave
+identically — these expressions run inside whole-stage codegen, no
+UDFs.
 """
 
 from __future__ import annotations
@@ -45,14 +47,20 @@ def char_hash_sql(expr: str) -> str:
 
 
 def affine_hash(x: Column, i: Column) -> Column:
-    """Spark: i-th member of the MinHash affine family applied to x."""
+    """Spark: i-th member of the MinHash affine family applied to x.
+
+    x is reduced mod P FIRST: a < 2^31 and (x % P) < 2^31 keep the
+    product < 2^62, int64-safe for ANY bigint input — billion-scale
+    shifted ids overflowed the raw a*x under ANSI mode (found by the
+    sf1 driver-sim leg). For x < P (every driver testdata id) the
+    reduction is the identity, so hash values are unchanged."""
     a = (1 + i * KNUTH) % MERSENNE_P
     b = (7 + i * 40503) % MERSENNE_P
-    return (a * x + b) % MERSENNE_P
+    return (a * (x % MERSENNE_P) + b) % MERSENNE_P
 
 
 def affine_hash_sql(x_expr: str, i_expr: str) -> str:
     return (
-        f"((((1 + {i_expr}*{KNUTH}) % {MERSENNE_P}) * {x_expr}"
+        f"((((1 + {i_expr}*{KNUTH}) % {MERSENNE_P}) * (({x_expr}) % {MERSENNE_P})"
         f" + ((7 + {i_expr}*40503) % {MERSENNE_P})) % {MERSENNE_P})"
     )

@@ -69,8 +69,14 @@ def main() -> int:
 
     print("entry rows:", e.entry(spark).count())
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+        p = f"{SF}/{t}.parquet"
+        # multi-file layout (e.g. the derived sf1 set): DuckDB needs a
+        # glob over the part files, not the directory path itself
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
     unknown = ONLY - set(qs)
