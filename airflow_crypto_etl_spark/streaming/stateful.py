@@ -184,10 +184,15 @@ def _update_ema(
     # seed the recursion after an empty-batch invocation.
     if not n:
         ema = None
-    for pdf in batches:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["tick_ts", "tick_id"])
+    # The iterator yields the group in ARROW-SIZED CHUNKS (~10k rows)
+    # whose relative order is shuffle order, not event order — sorting
+    # each chunk independently folds chunks out of order once a group
+    # outgrows one chunk (found by the sf1 leg: 200k-row groups, EMA
+    # badly wrong while n_ticks matched). Concatenate the micro-batch,
+    # THEN sort once: the fold's total order must span the whole batch.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["tick_ts", "tick_id"])
         prices = pdf["price"].astype("float64")
         seed = [] if ema is None else [ema]
         series = pd.concat([pd.Series(seed, dtype="float64"), prices], ignore_index=True)

@@ -91,9 +91,29 @@ def main() -> None:
         df = load_table(spark, SRC, name)
         out = scaled(df, keys, mangle_text=(name == "documents"))
         files = 8 if name in ("lineitem", "orders", "events") else 4
-        out.coalesce(files).write.mode("overwrite").parquet(
-            os.path.join(OUT, f"{name}.parquet")
-        )
+        dest = os.path.join(OUT, f"{name}.parquet")
+        if name == "events":
+            # Replaying a historical lake as a STREAM requires
+            # time-ordered replay: order-sensitive stateful folds (the
+            # recursive EMA) assume arrival order == event order, and a
+            # hash-partitioned layout replayed file-by-file delivers
+            # timestamps out of order (found: q_stream_ema hash-mismatch
+            # at sf1). Range-partition by ts so each part file is a
+            # disjoint time slice (part index ascending in time) …
+            out.repartitionByRange(files, "ts", "event_id").sortWithinPartitions(
+                "ts", "event_id"
+            ).write.mode("overwrite").parquet(dest)
+            # … and stamp ascending mtimes in part order, because the
+            # file stream source replays in modification-time order.
+            import time as _time
+
+            t0 = int(_time.time()) - 3600
+            for j, fn in enumerate(
+                sorted(f for f in os.listdir(dest) if f.endswith(".parquet"))
+            ):
+                os.utime(os.path.join(dest, fn), (t0 + j, t0 + j))
+        else:
+            out.coalesce(files).write.mode("overwrite").parquet(dest)
         print(f"{name}: x{COPIES}")
     spark.stop()
 
