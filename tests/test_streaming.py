@@ -79,6 +79,38 @@ def test_streaming_ema_matches_pandas_reference(spark, sf_dir):
         assert got[sym].ema == ref
 
 
+def test_streaming_ema_multi_chunk_group(spark, sf_dir):
+    """Regression (sf1 leg): applyInPandasWithState yields a group in
+    arrow-sized CHUNKS in shuffle order; the fold must sort the whole
+    micro-batch once, not per chunk. Force the multi-chunk path at
+    small scale by shrinking the arrow batch size — with the per-chunk
+    sort bug this diverges wildly while n_ticks still matches."""
+    import pandas as pd
+
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.stateful import EMA_PERIODS
+    from airflow_crypto_etl_spark.streaming.windows import streaming_ema_per_symbol
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "97")  # every sf0.001 group spans many chunks
+    try:
+        got = {r.symbol: r for r in streaming_ema_per_symbol(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set(key, prev)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    ).toPandas()
+    alpha = 2.0 / (EMA_PERIODS + 1.0)
+    for sym, grp in ev.groupby("event_type"):
+        grp = grp.sort_values(["ts", "event_id"])
+        prices = grp["value"].round(4).astype("float64")
+        ref = prices.ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        assert got[sym].n_ticks == len(grp)
+        assert got[sym].ema == ref
+
+
 def test_watermarked_candles_drop_late_events(spark, tmp_path):
     """Append-mode watermark semantics, exercised across REAL
     micro-batches (one file per trigger): a candle whose window end is
