@@ -87,9 +87,10 @@ DECODE_SCHEMA = T.StructType(
 
 def decode_payload(df: DataFrame, id_col: str = "doc_id", on_unknown: str = "error") -> DataFrame:
     """Unified media decode: dispatch on the payload's magic bytes to the
-    engine's three REAL dependency-free decode kernels — P6 PPM, PNG
-    (chunk walk / inflate / de-filter) and baseline JPEG (Huffman
-    entropy decode / dequant / IDCT, ``operators/jpeg.py``) — emitting
+    engine's four REAL dependency-free decode kernels — P6 PPM, PNG
+    (chunk walk / inflate / de-filter), baseline JPEG (Huffman
+    entropy decode / dequant / IDCT, ``operators/jpeg.py``) and GIF
+    (variable-width LZW, ``operators/gif.py``) — emitting
     one typed row per payload. Formats without a native kernel (WebP,
     video containers) raise, or are skipped with ``on_unknown="skip"``
     for the realistic mixed-corpus ingest shape. Arrow-batched
@@ -110,11 +111,16 @@ def decode_payload(df: DataFrame, id_col: str = "doc_id", on_unknown: str = "err
         if b[:2] == b"\xff\xd8":
             w, h, ncomp, raw = decode_jpeg_bytes(b)
             return ("jpeg", w, h, ncomp, len(raw), sum(raw) / len(raw))
+        if b[:4] == b"GIF8":
+            from .gif import decode_gif_bytes
+
+            w, h, rgb = decode_gif_bytes(b)
+            return ("gif", w, h, 3, len(rgb), sum(rgb) / len(rgb))
         if on_unknown == "skip":
             return None
         raise NotImplementedError(
             f"no native decode kernel for payload head {b[:4].hex()} "
-            "(PPM/PNG/JPEG supported; WebP/video need a codec library)"
+            "(PPM/PNG/JPEG/GIF supported; WebP/video need a codec library)"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -951,6 +951,40 @@ FROM geo
 """
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: every doc gets a spec-conformant
+    GIF87a (256-entry grayscale palette, real variable-width LZW
+    stream large enough to cross the 512-entry/10-bit boundary,
+    sub-block framing) whose pixel p's palette index is
+    (doc_id*31 + 17p² + 13p) mod 256; ``operators/gif.py`` walks the
+    container, reassembles sub-blocks, LZW-decodes and applies the
+    palette. The oracle predicts the decode output from the generator
+    formula — any LZW width/dictionary/sub-block bug surfaces as a
+    value mismatch."""
+    from .operators import gif as gf
+
+    d = gf.attach_gif_payload(_docs(spark, sf_dir))
+    return gf.decode_gif(d)
+
+
+# px_mean: the grayscale palette triples every index, and (3Σ)/(3n)
+# IEEE-rounds identically to Σ/n (same real quotient, one rounding)
+ORACLE_MULTIMODAL_GIF = """
+WITH geo AS (
+  SELECT doc_id,
+         CAST(24 + doc_id % 7 AS INTEGER) AS width,
+         CAST(30 + doc_id % 5 AS INTEGER) AS height
+  FROM documents)
+SELECT doc_id, width, height,
+       CAST(3 AS INTEGER) AS n_components,
+       CAST(width * height * 3 AS INTEGER) AS n_px_bytes,
+       CAST(list_sum(list_transform(range(0, width * height),
+                                    p -> (doc_id*31 + 17*p*p + 13*p) % 256)) AS DOUBLE)
+         / (width * height) AS px_mean
+FROM geo
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize verb on REAL decoded pixels (r4 verdict item 3): PNG
     payload → shared decode kernel → nearest-neighbor 4×4 grayscale.
@@ -1343,6 +1377,7 @@ QUERIES_EXT = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
     "q_multimodal_png": q_multimodal_png,
+    "q_multimodal_gif": q_multimodal_gif,
     "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
     "q_pii_scrub": q_pii_scrub,
@@ -1388,6 +1423,7 @@ ORACLE_EXT = {
     "q_multimodal_meta": ORACLE_MULTIMODAL_META,
     "q_multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "q_multimodal_png": ORACLE_MULTIMODAL_PNG,
+    "q_multimodal_gif": ORACLE_MULTIMODAL_GIF,
     "q_multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "q_multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "q_pii_scrub": ORACLE_PII_SCRUB,
