@@ -1294,16 +1294,19 @@ FROM rgb
 
 def q_multimodal_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified mixed-corpus decode: each doc carries a DIFFERENT format
-    by id (PPM / PNG / JPEG round-robin) and ``decode_payload``
+    by id (PPM / PNG / JPEG / GIF round-robin) and ``decode_payload``
     dispatches on magic bytes to the right native kernel — the
     realistic ingest shape where one binary column holds heterogeneous
     media. The oracle predicts per-format geometry and pixel stats from
-    the three generator formulas."""
+    the four generator formulas."""
+    from .operators import gif as gf
+
     d = _docs(spark, sf_dir)
-    ppm = mm.attach_ppm_payload(d.where(F.col("doc_id") % 3 == 0))
-    png = mm.attach_png_payload(d.where(F.col("doc_id") % 3 == 1))
-    jpg = jp.attach_jpeg_payload(d.where(F.col("doc_id") % 3 == 2))
-    mixed = ppm.unionByName(png).unionByName(jpg)
+    ppm = mm.attach_ppm_payload(d.where(F.col("doc_id") % 4 == 0))
+    png = mm.attach_png_payload(d.where(F.col("doc_id") % 4 == 1))
+    jpg = jp.attach_jpeg_payload(d.where(F.col("doc_id") % 4 == 2))
+    gif = gf.attach_gif_payload(d.where(F.col("doc_id") % 4 == 3))
+    mixed = ppm.unionByName(png).unionByName(jpg).unionByName(gif)
     return mm.decode_payload(mixed)
 
 
@@ -1313,25 +1316,36 @@ WITH ppm AS (
          CAST(4 + doc_id % 5 AS INTEGER) AS width,
          CAST(3 + doc_id % 4 AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS n_components
-  FROM documents WHERE doc_id % 3 = 0),
+  FROM documents WHERE doc_id % 4 = 0),
 png AS (
   SELECT doc_id, 'png' AS format,
          CAST(4 + doc_id % 5 AS INTEGER) AS width,
          CAST(3 + doc_id % 4 AS INTEGER) AS height,
          CAST(3 AS INTEGER) AS n_components
-  FROM documents WHERE doc_id % 3 = 1),
+  FROM documents WHERE doc_id % 4 = 1),
 jpg AS (
   SELECT doc_id, 'jpeg' AS format,
          CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
          CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
          CAST(1 AS INTEGER) AS n_components
-  FROM documents WHERE doc_id % 3 = 2),
-uni AS (SELECT * FROM ppm UNION ALL SELECT * FROM png UNION ALL SELECT * FROM jpg)
+  FROM documents WHERE doc_id % 4 = 2),
+gif AS (
+  SELECT doc_id, 'gif' AS format,
+         CAST(24 + doc_id % 7 AS INTEGER) AS width,
+         CAST(30 + doc_id % 5 AS INTEGER) AS height,
+         CAST(3 AS INTEGER) AS n_components
+  FROM documents WHERE doc_id % 4 = 3),
+uni AS (SELECT * FROM ppm UNION ALL SELECT * FROM png
+        UNION ALL SELECT * FROM jpg UNION ALL SELECT * FROM gif)
 SELECT doc_id, format, width, height, n_components,
        CAST(width * height * n_components AS INTEGER) AS n_px_bytes,
        CASE WHEN format IN ('ppm', 'png') THEN
          CAST(list_sum(list_transform(range(0, width * height * 3),
                 i -> (doc_id + i) % 256)) AS DOUBLE) / (width * height * 3)
+       WHEN format = 'gif' THEN
+         CAST(list_sum(list_transform(range(0, width * height),
+                p -> (doc_id*31 + 17*p*p + 13*p) % 256)) AS DOUBLE)
+           / (width * height)
        ELSE
          CAST(list_sum(flatten(list_transform(range(0, height // 8), by ->
                 list_transform(range(0, width // 8), bx ->
