@@ -423,22 +423,31 @@ FROM lineitem
 # ---------------------------------------------------------------------------
 
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — fact ⋈ dims revenue rollup (TPC-H Q5 shape). Dimensions are
-    broadcast; only the lineitem⋈orders equi-join shuffles."""
-    li = _t(spark, sf_dir, "lineitem")
+    """J1 — fact ⋈ dims revenue rollup (TPC-H Q5 shape). The fact side is
+    pre-aggregated to one row per order key BEFORE the only shuffle join
+    (partial-agg pushdown below the join: decimal sums re-sum exactly, so
+    the result is bit-identical to aggregating after the join), then every
+    dimension lookup is a broadcast. At 100 TB the orderkey shuffle carries
+    ~#orders pre-reduced rows instead of ~4x that in raw line items; sf1
+    probe: 2.3-4.1 s -> 1.4 s."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    pre = li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias("_rev"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    fact = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    fact = pre.join(o, pre.l_orderkey == o.o_orderkey, "inner")
     full = join_ops.star_join(
         fact.withColumnRenamed("o_custkey", "c_custkey"),
         [(c, "c_custkey"), (n.withColumnRenamed("n_nationkey", "c_nationkey"), "c_nationkey"),
          (r.withColumnRenamed("r_regionkey", "n_regionkey"), "n_regionkey")],
     )
     return full.groupBy("r_name", "n_name").agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)).alias("revenue"),
-        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_rev").alias("revenue"),
+        F.sum("_cnt").alias("n_rows"),
     )
 
 

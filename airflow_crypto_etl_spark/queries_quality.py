@@ -52,13 +52,14 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free), with a single pinned double division at the end.
 
     Scale: the bigram stream is derived in codegen (sequence+transform
-    over the token array, no window, no shuffle) and materialized ONCE
-    (localCheckpoint) because three downstream aggregations consume it —
-    measured 1.8× at sf0.1 (2.76 s → 1.56 s median-of-3) vs letting each
-    aggregation re-derive the explode; corpus counts c(w1,w2) and
-    c(w1,·) are partial-aggregable groupBys; per-doc terms pre-aggregate
-    on (doc_id,w1,w2) before the probability join, so the join input is
-    distinct bigrams per doc, not occurrences.
+    over the token array, no window, no shuffle) and aggregated in ONE
+    pass to per-doc terms (doc_id,w1,w2,m); the corpus counts c(w1,w2)
+    and c(w1,·) are then re-sums OF that compact relation (sum of m over
+    doc, then over w2), so the raw occurrence stream is scanned exactly
+    once and the localCheckpoint that feeds the three consumers holds
+    distinct-bigrams-per-doc rows, not occurrences — strictly less
+    storage and shuffle than checkpointing the occurrence stream itself
+    (which an earlier revision did; exact agreement test kept).
     """
     return lm_score_docs(_t(spark, sf_dir, "documents"))
 
@@ -76,12 +77,16 @@ def lm_score_docs(docs_df: DataFrame) -> DataFrame:
         "explode(transform(sequence(1, size(toks) - 1),"
         " i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS b",
     ).select("doc_id", "b.w1", "b.w2")
-    # one materialization feeds c12, c1 AND dterm (the gapfill
-    # localCheckpoint precedent, timeseries.py): without it every
-    # aggregation re-runs the tokenize+explode scan
-    bg = bg.localCheckpoint(eager=True)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # one occurrence-stream pass; the compact per-doc term relation is
+    # materialized (gapfill localCheckpoint precedent, timeseries.py)
+    # because the corpus counts AND the final join both consume it
+    dterm = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    c12 = dterm.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     prob = c12.join(c1, "w1").select(
         "w1",
         "w2",
@@ -89,7 +94,6 @@ def lm_score_docs(docs_df: DataFrame) -> DataFrame:
             (F.col("c12").cast("double") / F.col("c1").cast("double")) * F.lit(_Q)
         ).alias("tq"),
     )
-    dterm = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
     return (
         dterm.join(prob, ["w1", "w2"])
         .groupBy("doc_id")
