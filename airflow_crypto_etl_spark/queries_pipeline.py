@@ -342,3 +342,71 @@ FROM d WHERE op IS NOT NULL
 
 QUERIES_PIPELINE["q_snapshot_diff"] = q_snapshot_diff
 ORACLE_PIPELINE["q_snapshot_diff"] = ORACLE_SNAPSHOT_DIFF
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (lakehouse maintenance family, round 6):
+# every FK edge of the star schema plus the events->customer behavioral
+# edge, as orphan counts. The warehouse-health gate a 100 TB ingest runs
+# after each load — the reference's count-reconciliation check
+# (…optimized.py:996-1046) generalized from row counts to key integrity.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def fk_orphan_counts(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, label: str) -> DataFrame:
+    """One FK edge -> one row (edge, n_child, n_orphans, ok).
+
+    Scale shape: the child side pre-aggregates to DISTINCT child keys
+    carrying their multiplicities before the join (the q_star_join
+    pre-agg-below-join discipline — the shuffle carries #distinct keys,
+    not #child rows), the parent side is its distinct key column; a
+    NULL child key has no parent by definition and counts as an orphan
+    (left join on equality never matches NULL)."""
+    ck = child.groupBy(F.col(ckey).alias("_k")).agg(F.count(F.lit(1)).alias("_m"))
+    pk = parent.select(F.col(pkey).alias("_p")).distinct()
+    j = ck.join(pk, ck._k == pk._p, "left")
+    return j.agg(
+        F.lit(label).alias("edge"),
+        F.sum("_m").alias("n_child"),
+        F.sum(F.when(F.col("_p").isNull(), F.col("_m")).otherwise(F.lit(0))).alias("n_orphans"),
+    ).withColumn("ok", F.col("n_orphans") == 0)
+
+
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    frames = [
+        fk_orphan_counts(_t(spark, sf_dir, ct), ck, _t(spark, sf_dir, pt), pk, label)
+        for label, ct, ck, pt, pk in _FK_EDGES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def _fk_edge_sql(label: str, ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+SELECT '{label}' AS edge,
+       CAST(sum(_m) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p._p IS NULL THEN _m ELSE 0 END) AS BIGINT) AS n_orphans,
+       sum(CASE WHEN p._p IS NULL THEN _m ELSE 0 END) = 0 AS ok
+FROM (SELECT {ck} AS _k, count(*) AS _m FROM {ct} GROUP BY 1) c
+LEFT JOIN (SELECT DISTINCT {pk} AS _p FROM {pt}) p ON c._k = p._p"""
+
+
+ORACLE_FK_ORPHANS = "\nUNION ALL\n".join(
+    _fk_edge_sql(label, ct, ck, pt, pk) for label, ct, ck, pt, pk in _FK_EDGES
+)
+
+QUERIES_PIPELINE["q_fk_orphans"] = q_fk_orphans
+ORACLE_PIPELINE["q_fk_orphans"] = ORACLE_FK_ORPHANS

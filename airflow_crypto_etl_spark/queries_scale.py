@@ -836,3 +836,96 @@ FROM l2 GROUP BY lbl
 
 QUERIES_SCALE["q_label_prop"] = q_label_prop
 ORACLE_SCALE["q_label_prop"] = ORACLE_LABEL_PROP
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join (round 6): concurrent-shipment pairs.
+# The classic time-interval join that naive engines plan as a cartesian
+# range join; here it is an EQUI-join on the natural partition key
+# (l_partkey) with the overlap range predicate applied post-match, so
+# candidate pairs scale with per-key group size (bounded ~tens of line
+# items per part in TPC-H-shaped data at any SF), never |R|x|S|.
+# ---------------------------------------------------------------------------
+
+
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part brand: how many UNORDERED pairs of line items of the
+    same part have overlapping handling windows [shipdate, shipdate +
+    floor(quantity) days], and the average overlap length in days.
+
+    Plan: derive the interval once, self-equi-join on l_partkey (one
+    sort-merge shuffle keyed on partkey — co-partitioned, no cartesian),
+    order the pair by (orderkey, linenumber) to count each pair once,
+    broadcast part for the brand rollup. All arithmetic is integer/date;
+    the single double division is the final average (pinned both sides).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("_s"),
+        F.date_add(
+            F.to_date("l_shipdate"), F.floor("l_quantity").cast("int")
+        ).alias("_e"),
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a._s") <= F.col("b._e"))
+        & (F.col("b._s") <= F.col("a._e"))
+        & (
+            (F.col("a.l_orderkey") < F.col("b.l_orderkey"))
+            | (
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            )
+        ),
+        "inner",
+    ).select(
+        F.col("a.l_partkey").alias("l_partkey"),
+        (
+            F.datediff(
+                F.least(F.col("a._e"), F.col("b._e")),
+                F.greatest(F.col("a._s"), F.col("b._s")),
+            )
+            + 1
+        ).alias("_ov"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum("_ov").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_overlap_days"),
+        )
+    )
+
+
+ORACLE_OVERLAP_PAIRS = """
+WITH li AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(floor(l_quantity) AS INT) AS e
+  FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey,
+         date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1 AS ov
+  FROM li a JOIN li b
+    ON a.l_partkey = b.l_partkey
+   AND a.s <= b.e AND b.s <= a.e
+   AND (a.l_orderkey < b.l_orderkey
+        OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber)))
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_overlap_days
+FROM pairs JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+QUERIES_SCALE["q_overlap_pairs"] = q_overlap_pairs
+ORACLE_SCALE["q_overlap_pairs"] = ORACLE_OVERLAP_PAIRS
