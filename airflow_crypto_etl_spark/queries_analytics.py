@@ -1079,3 +1079,116 @@ FROM agg
 
 QUERIES_ANALYTICS["q_auc"] = q_auc
 ORACLE_ANALYTICS["q_auc"] = ORACLE_AUC
+
+
+# ---------------------------------------------------------------------------
+# CEP pattern with NEGATION: view -> purchase within 30 minutes with NO
+# error event strictly between. MATCH_RECOGNIZE-class semantics (the
+# negated-event clause q_funnel_ordered's layered windows cannot see)
+# compiled to one (user, time) sort: a running error count turns "no
+# error between" into an integer equality between the purchase row and
+# the carried view row.
+# ---------------------------------------------------------------------------
+
+_CEP_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: purchases matched by the pattern
+    ``view  (no 'error')*  purchase`` within 30 minutes, plus the mean
+    view->purchase latency of the matches.
+
+    Plan shape: ONE Exchange on user_id + one sort — the running error
+    count (rows-unbounded sum) and the carried latest-view struct share
+    the same window frame, then a plain groupBy. The negation is exact:
+    err_cum(purchase) − err_cum(view) counts error events strictly
+    between the two rows (neither endpoint is an 'error'). Latency sums
+    are integer microseconds; the mean is the single pinned double
+    division, guarded for match-free users (ANSI)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    upto = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    before = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p1 = ev.withColumn(
+        "err_cum",
+        F.sum((F.col("event_type") == "error").cast("bigint")).over(upto),
+    )
+    view_struct = F.when(
+        F.col("event_type") == "view",
+        F.struct(
+            F.col("us").alias("v_us"),
+            F.col("event_id").alias("v_eid"),
+            F.col("err_cum").alias("v_err"),
+        ),
+    )
+    p2 = p1.withColumn("lv", F.max(view_struct).over(before))
+    matched = (
+        (F.col("event_type") == "purchase")
+        & F.col("lv").isNotNull()
+        & (F.col("us") - F.col("lv.v_us") <= F.lit(_CEP_GAP_US))
+        & (F.col("err_cum") - F.col("lv.v_err") == 0)
+    )
+    g = p2.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("n_purchases"),
+        F.sum(matched.cast("bigint")).alias("n_matched"),
+        F.sum(F.when(matched, F.col("us") - F.col("lv.v_us"))).alias("_lat_us"),
+    )
+    avg_s = F.when(
+        F.col("n_matched") > 0,
+        F.round(
+            F.col("_lat_us").cast("double")
+            / (F.col("n_matched").cast("double") * F.lit(1_000_000.0)),
+            6,
+        ),
+    )
+    return g.select("user_id", "n_purchases", "n_matched", avg_s.alias("avg_latency_s"))
+
+
+ORACLE_CEP_PATTERN = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+p1 AS (
+  SELECT *, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS err_cum
+  FROM e),
+p2 AS (
+  SELECT *, max(CASE WHEN event_type = 'view'
+                     THEN struct_pack(v_us := us, v_eid := event_id, v_err := err_cum)
+                END)
+              OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+  FROM p1),
+m AS (
+  SELECT user_id, event_type,
+         (event_type = 'purchase' AND lv IS NOT NULL
+          AND us - lv.v_us <= {_CEP_GAP_US}
+          AND err_cum - lv.v_err = 0) AS matched,
+         us - lv.v_us AS lat_us
+  FROM p2)
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CASE WHEN sum(CASE WHEN matched THEN 1 ELSE 0 END) > 0
+            THEN round(CAST(sum(CASE WHEN matched THEN lat_us END) AS DOUBLE)
+                       / (CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS DOUBLE)
+                          * 1000000.0), 6)
+       END AS avg_latency_s
+FROM m GROUP BY user_id
+"""
+
+QUERIES_ANALYTICS["q_cep_pattern"] = q_cep_pattern
+ORACLE_ANALYTICS["q_cep_pattern"] = ORACLE_CEP_PATTERN

@@ -1043,3 +1043,104 @@ ORACLE_KELTNER = _keltner_oracle()
 
 QUERIES_MARKET["q_keltner"] = q_keltner
 ORACLE_MARKET["q_keltner"] = ORACLE_KELTNER
+
+
+# ---------------------------------------------------------------------------
+# Risk-adjusted performance: annualized Sharpe / Sortino / hit rate per
+# symbol from the hourly close-over-close returns.
+# ---------------------------------------------------------------------------
+
+
+def q_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per symbol over the whole tape: annualized Sharpe (mean/stdev of
+    hourly returns x sqrt(8760)), Sortino (downside deviation in the
+    denominator), and hit rate. Returns are quantized decimal(12,6)
+    exactly as q_realized_vol, so the four sums (r, r^2, negative-r^2,
+    positive count) are order-free decimals off ONE symbol-partitioned
+    lag window + partial agg; each published stat is a pinned double
+    epilogue guarded for degenerate groups (n<2, zero variance, no
+    down hours) under ANSI."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    closes = ts.hourly_close(_ticks(spark, sf_dir))
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    prev = F.lag("close", 1).over(w)
+    r = F.when(prev.isNull() | (prev == 0), None).otherwise(
+        F.round(
+            (F.col("close").cast("double") - prev.cast("double")) / prev.cast("double"),
+            ts.ROUND_DP,
+        )
+    )
+    rd = r.cast("decimal(12,6)")
+    g = (
+        closes.withColumn("rd", rd)
+        .filter(F.col("rd").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rd").alias("_sr"),
+            F.sum(F.col("rd") * F.col("rd")).alias("_srr"),
+            F.sum(F.when(F.col("rd") < 0, F.col("rd") * F.col("rd"))).alias("_sdown"),
+            F.sum((F.col("rd") > 0).cast("bigint")).alias("_npos"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sr = F.col("_sr").cast("double")
+    srr = F.col("_srr").cast("double")
+    sdown = F.col("_sdown").cast("double")
+    mean = sr / n_d
+    var = (srr - ((sr * sr) / n_d)) / (n_d - F.lit(1.0))
+    ann = F.sqrt(F.lit(8760.0))
+    sharpe = F.when(
+        (F.col("n") > 1) & (var > 0), F.round((mean / F.sqrt(var)) * ann, 6)
+    )
+    sortino = F.when(
+        F.col("_sdown").isNotNull() & (sdown > 0),
+        F.round((mean / F.sqrt(sdown / n_d)) * ann, 6),
+    )
+    hit = F.round(F.col("_npos").cast("double") / n_d, 6)
+    return g.select(
+        "symbol",
+        "n",
+        sharpe.alias("sharpe"),
+        sortino.alias("sortino"),
+        hit.alias("hit_rate"),
+    )
+
+
+ORACLE_SHARPE = f"""
+WITH closes AS ({_CLOSES_SQL}),
+r AS (
+  SELECT symbol,
+         CASE WHEN lag(close, 1) OVER wo IS NULL OR lag(close, 1) OVER wo = 0 THEN NULL
+              ELSE CAST(round((CAST(close AS DOUBLE) - CAST(lag(close, 1) OVER wo AS DOUBLE))
+                              / CAST(lag(close, 1) OVER wo AS DOUBLE), 6) AS DECIMAL(12,6))
+         END AS rd
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket)),
+g AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(rd AS DECIMAL(19,6))) AS DOUBLE) AS sr,
+         CAST(sum(CAST(rd AS DECIMAL(19,6)) * rd) AS DOUBLE) AS srr,
+         CAST(sum(CASE WHEN rd < 0 THEN CAST(rd AS DECIMAL(19,6)) * rd END) AS DOUBLE) AS sdown,
+         CAST(sum(CASE WHEN rd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+  FROM r WHERE rd IS NOT NULL
+  GROUP BY symbol)
+SELECT symbol, n,
+       CASE WHEN n > 1 AND ((srr - ((sr * sr) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)) > 0
+            THEN round(((sr / CAST(n AS DOUBLE))
+                        / sqrt((srr - ((sr * sr) / CAST(n AS DOUBLE))) / (CAST(n AS DOUBLE) - 1.0)))
+                       * sqrt(8760.0), 6)
+       END AS sharpe,
+       CASE WHEN sdown IS NOT NULL AND sdown > 0
+            THEN round(((sr / CAST(n AS DOUBLE)) / sqrt(sdown / CAST(n AS DOUBLE)))
+                       * sqrt(8760.0), 6)
+       END AS sortino,
+       round(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS hit_rate
+FROM g
+"""
+
+QUERIES_MARKET["q_sharpe"] = q_sharpe
+ORACLE_MARKET["q_sharpe"] = ORACLE_SHARPE

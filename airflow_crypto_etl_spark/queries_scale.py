@@ -929,3 +929,239 @@ GROUP BY p_brand
 
 QUERIES_SCALE["q_overlap_pairs"] = q_overlap_pairs
 ORACLE_SCALE["q_overlap_pairs"] = ORACLE_OVERLAP_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Closed-form distributed linear models (operators/linalg.py): ridge
+# regression and a one-step Newton logistic fit. The data pass is ONE
+# partial-agg shuffle producing exact-decimal Gram sums; the solve is a
+# shared SQL expression tree (Cramer 3x3) both engines evaluate
+# verbatim, so the doubles agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from .operators import linalg as la  # noqa: E402
+
+_RIDGE_LAM = 1.0
+
+
+def q_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag ridge fit of l_extendedprice on (l_quantity,
+    l_discount), unpenalized intercept, lam=1. One shuffle carrying 10
+    decimal sums per group; Cramer epilogue + R-squared over the sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = la.gram_aggregate(
+        li,
+        ["l_returnflag"],
+        F.col("l_quantity").cast("decimal(18,4)"),
+        F.col("l_discount").cast("decimal(18,4)"),
+        F.col("l_extendedprice").cast("decimal(18,4)"),
+    )
+    b0s, b1s, b2s = la.ridge_beta_sql(_RIDGE_LAM)
+    b = (
+        g.withColumn("b0", F.expr(b0s))
+        .withColumn("b1", F.expr(b1s))
+        .withColumn("b2", F.expr(b2s))
+    )
+    return b.select(
+        "l_returnflag",
+        "n",
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 6).alias("beta2"),
+        F.round(F.expr(la.r2_sql()), 6).alias("r2"),
+    )
+
+
+ORACLE_RIDGE_REGRESSION = f"""
+WITH s AS ({la.gram_sums_sql(
+    "FROM lineitem",
+    "CAST(l_quantity AS DECIMAL(18,4))",
+    "CAST(l_discount AS DECIMAL(18,4))",
+    "CAST(l_extendedprice AS DECIMAL(18,4))",
+    group="l_returnflag,",
+)}),
+b AS (SELECT *, {la.ridge_beta_sql(_RIDGE_LAM)[0]} AS b0,
+               {la.ridge_beta_sql(_RIDGE_LAM)[1]} AS b1,
+               {la.ridge_beta_sql(_RIDGE_LAM)[2]} AS b2
+      FROM s)
+SELECT l_returnflag, n,
+       round(b0, 6) AS beta0, round(b1, 6) AS beta1, round(b2, 6) AS beta2,
+       round({la.r2_sql()}, 6) AS r2
+FROM b
+"""
+
+QUERIES_SCALE["q_ridge_regression"] = q_ridge_regression
+ORACLE_SCALE["q_ridge_regression"] = ORACLE_RIDGE_REGRESSION
+
+
+_LOGIT_LAM = 0.5
+
+
+def q_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Newton/IRLS step (from beta=0) of L2-logistic P(returnflag='R')
+    on (l_quantity, l_discount). Feeding y as the exact decimal (y-1/2)
+    makes the gradient the plain moment sums; the Hessian is the scaled
+    Gram matrix — so the SAME one-shuffle sufficient statistics as
+    q_ridge_regression fit a classifier. Global model: single row."""
+    li = _t(spark, sf_dir, "lineitem")
+    yc = F.expr(
+        "CAST(CASE WHEN l_returnflag = 'R' THEN 0.5 ELSE -0.5 END AS DECIMAL(2,1))"
+    )
+    g = la.gram_aggregate(
+        li,
+        [],
+        F.col("l_quantity").cast("decimal(18,4)"),
+        F.col("l_discount").cast("decimal(18,4)"),
+        yc,
+    )
+    b0s, b1s, b2s = la.newton_beta_sql(_LOGIT_LAM)
+    return g.select(
+        "n",
+        F.round(F.expr(b0s), 6).alias("beta0"),
+        F.round(F.expr(b1s), 6).alias("beta1"),
+        F.round(F.expr(b2s), 6).alias("beta2"),
+    )
+
+
+ORACLE_LOGISTIC_NEWTON = f"""
+WITH s AS ({la.gram_sums_sql(
+    "FROM lineitem",
+    "CAST(l_quantity AS DECIMAL(18,4))",
+    "CAST(l_discount AS DECIMAL(18,4))",
+    "CAST(CASE WHEN l_returnflag = 'R' THEN 0.5 ELSE -0.5 END AS DECIMAL(2,1))",
+)})
+SELECT n,
+       round({la.newton_beta_sql(_LOGIT_LAM)[0]}, 6) AS beta0,
+       round({la.newton_beta_sql(_LOGIT_LAM)[1]}, 6) AS beta1,
+       round({la.newton_beta_sql(_LOGIT_LAM)[2]}, 6) AS beta2
+FROM s
+"""
+
+QUERIES_SCALE["q_logistic_newton"] = q_logistic_newton
+ORACLE_SCALE["q_logistic_newton"] = ORACLE_LOGISTIC_NEWTON
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketch set intersection: estimate
+# |users(click) AND users(view)| from two bottom-k hash sketches, with
+# the exact answer computed alongside (the q_ann_recall pattern: the
+# truth is in-engine, the estimator is what ships to 100 TB).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SEED = 11
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch intersection (Beyer et al. 2007 KMV; theta-sketch
+    set operations a la DataSketches): the union's k smallest
+    deterministic member hashes, each carrying its set-membership flags,
+    estimate |A∪B| via (k−1)·P/θ and the Jaccard via the flagged
+    fraction of the sketch. The bottom-k plans as TakeOrderedAndProject
+    (per-partition local top-k, then a driver merge of #partitions·k
+    rows — NO global sort, no giant partition); the membership flags
+    ride the same pass, so intersection costs nothing extra. Separately
+    built per-set sketches would combine to EXACTLY this frame
+    (θ_union ≤ θ_set puts every flagged survivor inside its set's own
+    sketch), so the one-pass form is the mergeable semantics, fused.
+    When the union is smaller than k the estimate degrades to exact by
+    construction. The exact intersection is computed alongside (the
+    q_ann_recall pattern: in-engine truth next to the estimator)."""
+    from .functions.hashing import MERSENNE_P, affine_hash
+
+    ev = _t(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("event_type", "user_id")
+        .distinct()
+        .select(
+            affine_hash(F.col("user_id"), F.lit(_KMV_SEED)).alias("h"),
+            (F.col("event_type") == "click").cast("int").alias("in_a"),
+            (F.col("event_type") == "view").cast("int").alias("in_b"),
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    sku = flags.orderBy("h").limit(_KMV_K)
+    m = sku.agg(
+        F.count(F.lit(1)).alias("n_sk"),
+        F.max("h").alias("theta"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")).alias(
+            "n_both"
+        ),
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("bigint")).alias(
+            "exact_intersect"
+        ),
+    )
+    # 1-row x 1-row combine: broadcast scalar bind (allowlisted pattern)
+    est_union = F.when(
+        F.col("n_sk") < F.lit(_KMV_K),
+        F.col("n_sk").cast("double"),
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        * F.lit(float(MERSENNE_P))
+        / F.col("theta").cast("double")
+    )
+    est_j = F.col("n_both").cast("double") / F.col("n_sk").cast("double")
+    return (
+        m.join(F.broadcast(exact))
+        .withColumn("est_union", F.round(est_union, 6))
+        .withColumn("est_jaccard", F.round(est_j, 6))
+        .withColumn("est_intersect", F.round(est_j * est_union, 6))
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            "n_sk",
+            "est_union",
+            "est_jaccard",
+            "est_intersect",
+            "exact_union",
+            "exact_intersect",
+        )
+    )
+
+
+ORACLE_KMV_INTERSECT = f"""
+WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE event_type IN ('click', 'view')),
+flags AS (
+  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (SELECT {_ah('user_id', str(_KMV_SEED))} AS h,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in_b
+        FROM du)
+  GROUP BY h),
+sku AS (SELECT * FROM flags ORDER BY h LIMIT {_KMV_K}),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sk,
+         max(h) AS theta,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM sku),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersect
+  FROM flags)
+SELECT CAST({_KMV_K} AS INT) AS k, n_sk,
+       round(CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
+                  ELSE CAST({float(_KMV_K - 1)!r} AS DOUBLE) * CAST({{P}}.0 AS DOUBLE)
+                       / CAST(theta AS DOUBLE) END, 6) AS est_union,
+       round(CAST(n_both AS DOUBLE) / CAST(n_sk AS DOUBLE), 6) AS est_jaccard,
+       round((CAST(n_both AS DOUBLE) / CAST(n_sk AS DOUBLE))
+             * (CASE WHEN n_sk < {_KMV_K} THEN CAST(n_sk AS DOUBLE)
+                     ELSE CAST({float(_KMV_K - 1)!r} AS DOUBLE) * CAST({{P}}.0 AS DOUBLE)
+                          / CAST(theta AS DOUBLE) END), 6) AS est_intersect,
+       exact_union, exact_intersect
+FROM m CROSS JOIN ex
+"""
+
+from .functions.hashing import MERSENNE_P as _MP  # noqa: E402
+
+ORACLE_KMV_INTERSECT = ORACLE_KMV_INTERSECT.replace("{P}", str(_MP))
+
+QUERIES_SCALE["q_kmv_intersect"] = q_kmv_intersect
+ORACLE_SCALE["q_kmv_intersect"] = ORACLE_KMV_INTERSECT

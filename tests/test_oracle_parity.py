@@ -92,6 +92,7 @@ _PRODUCT_OK = {
     "q_quantile_sketch",    # 1-row sketch x 1-row exact-percentile scalar
     "q_bootstrap_ci",       # 1-row CI x broadcast 1-row point-estimate scalar
     "q_mann_whitney",       # 1-row rank sums x broadcast 1-row tie-term scalar
+    "q_kmv_intersect",      # 1-row sketch stats x broadcast 1-row exact counts
 }
 
 
