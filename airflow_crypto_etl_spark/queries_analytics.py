@@ -1192,3 +1192,122 @@ FROM m GROUP BY user_id
 
 QUERIES_ANALYTICS["q_cep_pattern"] = q_cep_pattern
 ORACLE_ANALYTICS["q_cep_pattern"] = ORACLE_CEP_PATTERN
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase's value is split evenly
+# across the user's view/click touches in the preceding 30 minutes.
+# ---------------------------------------------------------------------------
+
+_ATTR_GAP_US = 30 * 60 * 1_000_000
+_ATTR_Q = 10_000  # value quantum: decimal(18,4) -> integer ten-thousandths
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: purchase value attributed to 'view' vs 'click' touches
+    (linear attribution over the 30-minute lookback), plus the value no
+    touch can claim.
+
+    Plan shape: ONE Exchange on user_id + one sort — the per-purchase
+    touch counts are conditional sums over a RANGE frame
+    ``[us-30min, us-1]`` (value-based, so tie order inside an instant
+    cannot matter), then a plain groupBy. Credit arithmetic is exact
+    integers end-to-end: value is lossless decimal(18,4) scaled to
+    bigint ten-thousandths, each touch type's share is
+    ``value_q * n_type DIV n_total`` (integer division — deterministic
+    in both engines, unlike double ratios), and the published doubles
+    divide the integer sums once. Purchases with no touch in window
+    land in ``unattributed``; integer-division remainders (at most
+    n_total-1 quanta per purchase) stay unclaimed by construction and
+    are NOT silently re-added."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("value").cast("decimal(18,4)") * _ATTR_Q).cast("bigint").alias("vq"),
+    )
+    lookback = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_GAP_US, -1)
+    )
+    p = (
+        ev.withColumn(
+            "n_view",
+            F.sum((F.col("event_type") == "view").cast("bigint")).over(lookback),
+        )
+        .withColumn(
+            "n_click",
+            F.sum((F.col("event_type") == "click").cast("bigint")).over(lookback),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "vq",
+            F.coalesce("n_view", F.lit(0)).alias("n_view"),
+            F.coalesce("n_click", F.lit(0)).alias("n_click"),
+        )
+        .withColumn("n_tot", F.col("n_view") + F.col("n_click"))
+        .withColumn(
+            "attr_view_q",
+            F.when(F.col("n_tot") > 0, F.expr("(vq * n_view) DIV n_tot")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "attr_click_q",
+            F.when(F.col("n_tot") > 0, F.expr("(vq * n_click) DIV n_tot")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "unattr_q", F.when(F.col("n_tot") == 0, F.col("vq")).otherwise(F.lit(0))
+        )
+    )
+    g = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("attr_view_q").alias("_av"),
+        F.sum("attr_click_q").alias("_ac"),
+        F.sum("unattr_q").alias("_un"),
+    )
+    qd = F.lit(float(_ATTR_Q))
+    return g.select(
+        "user_id",
+        "n_purchases",
+        (F.col("_av").cast("double") / qd).alias("attr_view"),
+        (F.col("_ac").cast("double") / qd).alias("attr_click"),
+        (F.col("_un").cast("double") / qd).alias("unattributed"),
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CAST(CAST(value AS DECIMAL(18,4)) * {_ATTR_Q} AS BIGINT) AS vq
+  FROM events),
+p AS (
+  SELECT user_id, vq,
+         coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER w, 0) AS n_view,
+         coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           OVER w, 0) AS n_click,
+         event_type
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {_ATTR_GAP_US} PRECEDING AND 1 PRECEDING)),
+c AS (
+  SELECT user_id, vq, n_view + n_click AS n_tot, n_view, n_click
+  FROM p WHERE event_type = 'purchase')
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN n_tot > 0 THEN (vq * n_view) // n_tot ELSE 0 END)
+            AS DOUBLE) / {_ATTR_Q}.0 AS attr_view,
+       CAST(sum(CASE WHEN n_tot > 0 THEN (vq * n_click) // n_tot ELSE 0 END)
+            AS DOUBLE) / {_ATTR_Q}.0 AS attr_click,
+       CAST(sum(CASE WHEN n_tot = 0 THEN vq ELSE 0 END)
+            AS DOUBLE) / {_ATTR_Q}.0 AS unattributed
+FROM c GROUP BY user_id
+"""
+
+QUERIES_ANALYTICS["q_attribution"] = q_attribution
+ORACLE_ANALYTICS["q_attribution"] = ORACLE_ATTRIBUTION

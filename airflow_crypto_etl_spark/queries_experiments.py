@@ -812,11 +812,14 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count — the shape that answers p50/p90/p99 over 100 TB with a
     shuffle measured in kilobytes. Estimates interpolate linearly
     inside the covering bucket from one preceding-exclusive cumulative
-    window over the ~100-row collapse; the exact percentile (which
-    needs the full sort) rides along to expose the sketch error.
+    window over the ~100-row collapse; the exact percentile rides
+    along to expose the sketch error — via the DISTRIBUTED rank
+    percentile (operators/rank.grouped_percentiles under a constant
+    group), not the single-task ``percentile()`` agg it replaces, so
+    even the verification kernel has no full-relation sort task.
     Exact-percentile interpolation is rounded at 4dp (last-ulp
     divergence across engines, the q_time_to_convert precedent)."""
-    ev = _t(spark, sf_dir, "events").select("value")
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
     hist = (
         ev.groupBy(F.floor(F.col("value") / F.lit(_QS_WIDTH)).cast("bigint").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
@@ -836,9 +839,14 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ests.append(F.max(F.when(covering, est)).alias(f"p{int(q * 100)}_sketch"))
     sk = hist.agg(*ests)
-    exact = ev.agg(
+    exact = rk.grouped_percentiles(
+        ev.withColumn("_g", F.lit(1)), "_g", "value", list(_QS_QUANTILES),
+        tiebreak="event_id",
+    ).select(
         *[
-            F.round(F.expr(f"percentile(value, {q})"), 4).alias(f"p{int(q * 100)}_exact")
+            F.round(F.col(f"p_{str(q).replace('.', '_')}"), 4).alias(
+                f"p{int(q * 100)}_exact"
+            )
             for q in _QS_QUANTILES
         ]
     )

@@ -261,14 +261,20 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ``a + (b−a)g`` interpolation orders produce the identical
     double (raw continuous doubles would differ in the last ULP between
     the two formulas). Fences use 1.5·IQR with g ∈ {0.25, 0.75}, all
-    exact. Two passes: a sort-based per-group quantile agg (small
-    output), then a broadcast join + counting pass over the fact."""
+    exact. Q1/Q3 ride the DISTRIBUTED per-group percentile
+    (operators/rank.grouped_percentiles) — the ``percentile()`` agg
+    it replaces collected each event type's values into one task, the
+    measured q_winsorize 100 TB lesson — then a broadcast join +
+    counting pass over the fact."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "vq", F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
     )
-    b = ev.groupBy("event_type").agg(
-        F.expr("percentile(vq, 0.25D)").alias("q1_milli"),
-        F.expr("percentile(vq, 0.75D)").alias("q3_milli"),
+    b = rk.grouped_percentiles(
+        ev, "event_type", "vq", [0.25, 0.75], tiebreak="event_id"
+    ).select(
+        "event_type",
+        F.col("p_0_25").alias("q1_milli"),
+        F.col("p_0_75").alias("q3_milli"),
     )
     j = ev.join(F.broadcast(b), "event_type")
     iqr = F.col("q3_milli") - F.col("q1_milli")
@@ -308,20 +314,25 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust z-score outliers: |v − median| > 3·1.4826·MAD, on milli-
     quantized values (medians of integers / half-integers interpolate
     exactly — same rationale as q_iqr_outliers). The MAD tolerates up
-    to 50% contamination where stddev-based fences break. Three
-    partial-agg passes, each joined back by broadcast: median per
-    group, MAD per group, then the counting scan."""
+    to 50% contamination where stddev-based fences break. Both medians
+    ride the DISTRIBUTED per-group percentile
+    (operators/rank.grouped_percentiles — the ``percentile()`` aggs
+    they replace collected each event type into one task, the measured
+    q_winsorize 100 TB lesson), each joined back by broadcast, then
+    the counting scan."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "vq", F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
     )
-    med = ev.groupBy("event_type").agg(F.expr("percentile(vq, 0.5D)").alias("med"))
+    med = rk.grouped_percentiles(
+        ev, "event_type", "vq", [0.5], tiebreak="event_id"
+    ).select("event_type", F.col("p_0_5").alias("med"))
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("vq") - F.col("med"))
     )
-    mad = dev.groupBy("event_type", "med").agg(
-        F.expr("percentile(dev, 0.5D)").alias("mad")
-    )
-    j = dev.join(F.broadcast(mad.drop("med")), "event_type")
+    mad = rk.grouped_percentiles(
+        dev, "event_type", "dev", [0.5], tiebreak="event_id"
+    ).select("event_type", F.col("p_0_5").alias("mad"))
+    j = dev.join(F.broadcast(mad), "event_type")
     return j.groupBy("event_type", "med", "mad").agg(
         F.count(F.when(F.col("dev") > F.lit(_MAD_K) * F.col("mad"), 1)).alias(
             "n_outliers"

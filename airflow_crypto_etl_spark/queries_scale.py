@@ -1165,3 +1165,97 @@ ORACLE_KMV_INTERSECT = ORACLE_KMV_INTERSECT.replace("{P}", str(_MP))
 
 QUERIES_SCALE["q_kmv_intersect"] = q_kmv_intersect
 ORACLE_SCALE["q_kmv_intersect"] = ORACLE_KMV_INTERSECT
+
+
+# ---------------------------------------------------------------------------
+# Streaming model maintenance: the q_ridge_regression sufficient
+# statistics kept incrementally by a stateful stream, closed with the
+# SAME shared Cramer epilogue. The mergeable-sufficient-statistics
+# property q_ridge_regression exploits spatially (partial aggregation
+# across partitions) is exploited temporally here (micro-batch folds):
+# integer sums make the final state bit-identical either way.
+# ---------------------------------------------------------------------------
+
+_SG_LAM = 1.0
+
+
+def q_stream_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ridge fit of value on (hour-of-day, day-of-month)
+    whose Gram/moment sums are maintained by a streaming stateful fold
+    (applyInPandasWithState, O(1) integer state per key) instead of a
+    batch aggregation. The serving view takes the latest state per key
+    (max_by n — batching-invariant because integer sums are), scales
+    the exact ten-thousandths back to value units, and applies the
+    identical ridge_beta_sql epilogue as the batch family — so the
+    oracle is simply the BATCH computation of the same sums: any
+    drift between incremental and batch maintenance fails the hash."""
+    from .streaming.windows import streaming_gram_per_type
+
+    upd = streaming_gram_per_type(spark, sf_dir)
+    sums = ["sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y", "syy"]
+    latest = upd.groupBy("event_type").agg(
+        F.max("n").alias("n"), *[F.max_by(c, "n").alias(c) for c in sums]
+    )
+    sc = {"sy": 1e4, "sx1y": 1e4, "sx2y": 1e4, "syy": 1e8}
+    d = latest.select(
+        "event_type",
+        "n",
+        F.col("n").cast("double").alias("n_d"),
+        *[
+            (F.col(c).cast("double") / F.lit(sc[c])).alias(f"{c}_d")
+            if c in sc
+            else F.col(c).cast("double").alias(f"{c}_d")
+            for c in sums
+        ],
+    )
+    b0s, b1s, b2s = la.ridge_beta_sql(_SG_LAM)
+    b = (
+        d.withColumn("b0", F.expr(b0s))
+        .withColumn("b1", F.expr(b1s))
+        .withColumn("b2", F.expr(b2s))
+    )
+    return b.select(
+        "event_type",
+        "n",
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 6).alias("beta2"),
+        F.round(F.expr(la.r2_sql()), 6).alias("r2"),
+    )
+
+
+def _sg_oracle() -> str:
+    b0s, b1s, b2s = la.ridge_beta_sql(_SG_LAM)
+    return f"""
+WITH f AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x1,
+         CAST(day(ts) AS BIGINT) AS x2,
+         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yq
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) AS DOUBLE) AS n_d,
+         CAST(sum(x1) AS DOUBLE) AS sx1_d,
+         CAST(sum(x2) AS DOUBLE) AS sx2_d,
+         CAST(sum(yq) AS DOUBLE) / 10000.0 AS sy_d,
+         CAST(sum(x1 * x1) AS DOUBLE) AS sx11_d,
+         CAST(sum(x1 * x2) AS DOUBLE) AS sx12_d,
+         CAST(sum(x2 * x2) AS DOUBLE) AS sx22_d,
+         CAST(sum(x1 * yq) AS DOUBLE) / 10000.0 AS sx1y_d,
+         CAST(sum(x2 * yq) AS DOUBLE) / 10000.0 AS sx2y_d,
+         CAST(sum(yq * yq) AS DOUBLE) / 100000000.0 AS syy_d
+  FROM f GROUP BY event_type),
+b AS (SELECT *, {b0s} AS b0, {b1s} AS b1, {b2s} AS b2 FROM s)
+SELECT event_type, n,
+       round(b0, 6) AS beta0, round(b1, 6) AS beta1, round(b2, 6) AS beta2,
+       round({la.r2_sql()}, 6) AS r2
+FROM b
+"""
+
+
+ORACLE_STREAM_GRAM = _sg_oracle()
+
+QUERIES_SCALE["q_stream_gram"] = q_stream_gram
+ORACLE_SCALE["q_stream_gram"] = ORACLE_STREAM_GRAM

@@ -213,3 +213,58 @@ def streaming_ema(ticks_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Gram-matrix maintenance (incremental sufficient statistics)
+# ---------------------------------------------------------------------------
+
+_GRAM_SUMS = ["sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y", "syy"]
+
+GRAM_OUT_SCHEMA = T.StructType(
+    [T.StructField("event_type", T.StringType()), T.StructField("n", T.LongType())]
+    + [T.StructField(c, T.LongType()) for c in _GRAM_SUMS]
+)
+
+GRAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType())]
+    + [T.StructField(c, T.LongType()) for c in _GRAM_SUMS]
+)
+
+
+def _update_gram(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's INTEGER feature rows (x1, x2, yq) into
+    the 10 Gram/moment sums. Integer arithmetic end-to-end: the state
+    is exactly the batch engine's sums no matter how the stream is
+    micro-batched or which executor folds which chunk — the mergeable
+    sufficient-statistics property that lets one model fit ride an
+    unbounded stream with O(1) state per key."""
+    vals = list(state.get) if state.exists else [0] * 10
+    for pdf in batches:
+        x1 = pdf["x1"].astype("int64")
+        x2 = pdf["x2"].astype("int64")
+        y = pdf["yq"].astype("int64")
+        vals[0] += len(pdf)
+        for i, s in enumerate(
+            (x1, x2, y, x1 * x1, x1 * x2, x2 * x2, x1 * y, x2 * y, y * y)
+        ):
+            vals[1 + i] += int(s.sum())
+    state.update(tuple(vals))
+    out = {"event_type": [key[0]], "n": [vals[0]]}
+    for i, c in enumerate(_GRAM_SUMS):
+        out[c] = [vals[1 + i]]
+    yield pd.DataFrame(out)
+
+
+def streaming_gram(feature_stream: DataFrame) -> DataFrame:
+    """Per-event-type streaming Gram sums over integer feature columns
+    (x1, x2, yq). Update mode: one row per key per micro-batch."""
+    return feature_stream.groupBy("event_type").applyInPandasWithState(
+        _update_gram,
+        outputStructType=GRAM_OUT_SCHEMA,
+        stateStructType=GRAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

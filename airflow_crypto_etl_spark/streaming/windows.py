@@ -575,3 +575,21 @@ def streaming_dedup_watermarked(
         ts_col, delay
     )
     return wm.dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_gram_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type streaming Gram sums (see streaming.stateful
+    .streaming_gram) over integer features derived from the replayed
+    event stream: x1 = hour of day, x2 = day of month, y = value in
+    exact ten-thousandths. Integer quantization BEFORE the stateful
+    fold is what makes the stream's final state bit-identical to the
+    batch engine's sums (and hence batching-invariant)."""
+    from .stateful import streaming_gram
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("x1"),
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long").alias("x2"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("yq"),
+    )
+    return run_available_now(streaming_gram(ev), "update")

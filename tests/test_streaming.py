@@ -366,3 +366,70 @@ def test_stream_stream_left_outer_emits_unmatched_after_eviction(spark, tmp_path
     # the tail clicks (98's) are still inside their horizon at query
     # end — held in state, NOT emitted: outer rows only ride eviction
     assert not {7, 8, 9} & set(by_click)
+
+
+def test_streaming_gram_multi_batch_equals_batch_sums(spark, sf_dir, tmp_path):
+    """Incremental Gram maintenance across REAL micro-batch boundaries:
+    stream the events in 3 files (maxFilesPerTrigger=1) so the stateful
+    fold must carry state between batches, and the latest per-key sums
+    must equal the one-shot batch aggregation exactly (integer sums —
+    no tolerance)."""
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.stateful import streaming_gram
+    from airflow_crypto_etl_spark.streaming.windows import run_available_now
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("x1"),
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long").alias("x2"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("yq"),
+        "event_id",
+    )
+    src = str(tmp_path / "ev_stream")
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).drop("event_id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.drop("event_id").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    upd = run_available_now(streaming_gram(stream), "update")
+    sums = ["sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y", "syy"]
+    latest = {
+        r["event_type"]: r
+        for r in upd.groupBy("event_type")
+        .agg(F.max("n").alias("n"), *[F.max_by(c, "n").alias(c) for c in sums])
+        .collect()
+    }
+    # stream really advanced state across batches: some key must have
+    # been emitted more than once with growing n
+    assert upd.groupBy("event_type").count().agg(F.max("count")).collect()[0][0] >= 2
+
+    batch = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x1").alias("sx1"),
+            F.sum("x2").alias("sx2"),
+            F.sum("yq").alias("sy"),
+            F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+            F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+            F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+            F.sum(F.col("x1") * F.col("yq")).alias("sx1y"),
+            F.sum(F.col("x2") * F.col("yq")).alias("sx2y"),
+            F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        )
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for k, b in batch.items():
+        got = latest[k]
+        assert got["n"] == b["n"], k
+        for c in sums:
+            assert got[c] == b[c], (k, c)
