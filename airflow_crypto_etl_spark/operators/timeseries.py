@@ -812,3 +812,61 @@ def keltner(
         F.round(F.col("mid") + F.lit(width) * F.col("atr"), ROUND_DP).alias("upper"),
         F.round(F.col("mid") - F.lit(width) * F.col("atr"), ROUND_DP).alias("lower"),
     )
+
+
+def holt_fir_weights(alpha: float, beta: float, taps: int) -> tuple[list[float], float]:
+    """Holt linear-trend smoothing as a FIR kernel.
+
+    The Holt recursion
+        s_t = alpha*x_t + (1-alpha)*(s_{t-1} + b_{t-1})
+        b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}
+    is linear time-invariant in the state (s, b):
+        state_t = M @ state_{t-1} + v * x_t,
+        M = [[1-a, 1-a], [-a*b, 1-a*b]],  v = [a, a*b]
+    so the one-step forecast f_t = s_t + b_t is the FIR
+    f_t = sum_k (u^T M^k v) x_{t-k}, u = [1, 1], with the seed term
+    decaying as |eig(M)|^t (< 1 for 0 < alpha, beta < 1). Weights are
+    built by repeated Python-float multiplication (driver-side, inlined
+    as identical literals into both engines — the ema_fir discipline)
+    and normalized by their own partial sum so a constant series maps
+    to itself despite truncation."""
+    ws: list[float] = []
+    s, b = alpha, alpha * beta
+    for _ in range(taps):
+        ws.append(s + b)
+        s, b = (
+            (1.0 - alpha) * s + (1.0 - alpha) * b,
+            (-alpha * beta) * s + (1.0 - alpha * beta) * b,
+        )
+    den = 0.0
+    for x in ws:
+        den = den + x
+    return ws, den
+
+
+def holt_fir(
+    closes: DataFrame, alpha: float = 0.6, beta: float = 0.4, taps: int = 30
+) -> DataFrame:
+    """Holt one-step forecast via the truncated FIR kernel of
+    :func:`holt_fir_weights` — shuffle-free (a length-`taps` ROWS frame
+    per symbol instead of an unbounded recursive dependency), fold
+    order pinned exactly as :func:`ema_fir`."""
+    ws, den = holt_fir_weights(alpha, beta, taps)
+    base = _series_window()
+    frame = base.rowsBetween(-(taps - 1), 0)
+    rn = F.row_number().over(base)
+    lags = F.reverse(F.collect_list(F.col("close").cast("double")).over(frame))
+    out = (
+        closes.withColumn("rn", rn)
+        .withColumn("_lags", lags)
+        .filter(F.col("rn") >= taps)
+    )
+    weights = F.array(*[F.lit(w) for w in ws])
+    num = F.aggregate(
+        F.zip_with("_lags", weights, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return out.select(
+        "symbol", "bucket", "close", F.round(num / F.lit(den), ROUND_DP).alias("holt")
+    )

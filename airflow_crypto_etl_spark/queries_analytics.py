@@ -1311,3 +1311,61 @@ FROM c GROUP BY user_id
 
 QUERIES_ANALYTICS["q_attribution"] = q_attribution
 ORACLE_ANALYTICS["q_attribution"] = ORACLE_ATTRIBUTION
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path mining: most common 3-step event-type paths
+# ---------------------------------------------------------------------------
+
+_PATHS_K = 20
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event-type paths across all user journeys
+    (the classic clickstream "what do users do next" table). One sort
+    per user partition builds the consecutive-step trigrams with two
+    lead()s — no self-joins, no explode of materialized paths — then a
+    partial-agg count and a TakeOrderedAndProject top-k (count DESC,
+    path ASC tie-break, so the cut is deterministic). At 100 TB the
+    shuffled state is one row per distinct trigram (|event_types|^3
+    bounded), not per event."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    )
+    g = t.groupBy(
+        F.col("event_type").alias("step1"),
+        F.col("t2").alias("step2"),
+        F.col("t3").alias("step3"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.orderBy(
+        F.col("n").desc(), "step1", "step2", "step3"
+    ).limit(_PATHS_K)
+
+
+ORACLE_EVENT_PATHS = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+t AS (
+  SELECT event_type AS step1,
+         lead(event_type, 1) OVER w AS step2,
+         lead(event_type, 2) OVER w AS step3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n DESC, step1, step2, step3
+LIMIT {_PATHS_K}
+"""
+
+QUERIES_ANALYTICS["q_event_paths"] = q_event_paths
+ORACLE_ANALYTICS["q_event_paths"] = ORACLE_EVENT_PATHS

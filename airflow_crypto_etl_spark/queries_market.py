@@ -1144,3 +1144,53 @@ FROM g
 
 QUERIES_MARKET["q_sharpe"] = q_sharpe
 ORACLE_MARKET["q_sharpe"] = ORACLE_SHARPE
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential) as a truncated FIR
+# ---------------------------------------------------------------------------
+
+_HOLT_A, _HOLT_B, _HOLT_TAPS = 0.6, 0.4, 30
+
+
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol Holt one-step forecast over the hourly closes — the
+    trend-aware sibling of q_ema. The 2-state Holt recursion is LTI, so
+    it compiles to the same shuffle-free truncated-FIR shape as q_ema
+    (matrix-geometric taps, |eig| = sqrt(1-alpha) per lag; at
+    alpha=0.6 the dropped tail is ~1e-6 of the kernel). Tap weights
+    are driver-computed Python floats inlined into BOTH engines; the
+    fold order is pinned (aggregate <-> list_reduce). Independent
+    verification: tests/test_market.py checks the kernel against the
+    explicit sequential Holt recursion."""
+    return ts.holt_fir(
+        ts.hourly_close(_ticks(spark, sf_dir)),
+        alpha=_HOLT_A, beta=_HOLT_B, taps=_HOLT_TAPS,
+    )
+
+
+def _holt_oracle() -> str:
+    ws, den = ts.holt_fir_weights(_HOLT_A, _HOLT_B, _HOLT_TAPS)
+    wlist = "[" + ", ".join(repr(w) for w in ws) + "]"
+    return f"""
+WITH closes AS ({_CLOSES_SQL}),
+x AS (
+  SELECT symbol, bucket, close,
+         row_number() OVER wo AS rn,
+         list_reverse(list(CAST(close AS DOUBLE)) OVER wf) AS lags
+  FROM closes
+  WINDOW wo AS (PARTITION BY symbol ORDER BY bucket),
+         wf AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN {_HOLT_TAPS - 1} PRECEDING AND CURRENT ROW))
+SELECT symbol, bucket, CAST(close AS DOUBLE) AS close,
+       round(list_reduce(
+               list_transform(range(1, {_HOLT_TAPS + 1}),
+                              i -> lags[i] * (CAST({wlist} AS DOUBLE[]))[i]),
+               (acc, v) -> acc + v) / {den!r}, 6) AS holt
+FROM x WHERE rn >= {_HOLT_TAPS}
+"""
+
+
+ORACLE_HOLT = _holt_oracle()
+
+QUERIES_MARKET["q_holt"] = q_holt
+ORACLE_MARKET["q_holt"] = ORACLE_HOLT

@@ -535,3 +535,55 @@ def test_realized_vol_and_seasonality(spark, sf_dir):
     for r in seas:
         assert 0 <= r.hod <= 23
         assert r.n_ticks >= 1
+
+
+def test_holt_flat_series_equals_price(spark):
+    rows = [
+        ("eth", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, 40.0, 1)
+        for h in range(35)
+    ]
+    out = ts.holt_fir(ts.hourly_close(_tick_df(spark, rows))).collect()
+    assert len(out) == 35 - 29
+    # normalization pins the constant-series fixed point exactly
+    assert all(r.holt == pytest.approx(40.0, abs=1e-6) for r in out)
+
+
+def test_holt_fir_matches_sequential_recursion(spark):
+    """The truncated matrix-geometric kernel vs the textbook
+    sequential Holt recursion (seeded s=x0, b=x1-x0): after the seed
+    influence decays (|eig|^t = (1-alpha)^(t/2)), the two must agree
+    to the truncation error (~1e-6 of the kernel at alpha=0.6)."""
+    import math
+
+    a, b_ = 0.6, 0.4
+    prices = [100.0 + 10.0 * math.sin(h / 5.0) + 0.5 * h for h in range(80)]
+    rows = [
+        ("btc", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", h, p, 1)
+        for h, p in enumerate(prices)
+    ]
+    out = {
+        r.bucket.hour + 24 * (r.bucket.day - 1): r.holt
+        for r in ts.holt_fir(
+            ts.hourly_close(_tick_df(spark, rows)), alpha=a, beta=b_, taps=30
+        ).collect()
+    }
+    s, tr = prices[0], prices[1] - prices[0]
+    seq = {}
+    for t, x in enumerate(prices):
+        if t == 0:
+            seq[t] = s + tr
+            continue
+        s_prev = s
+        s = a * x + (1 - a) * (s + tr)
+        tr = b_ * (s - s_prev) + (1 - b_) * tr
+        seq[t] = s + tr
+    for t in range(60, 80):  # seed influence < (0.632)^60 ~ 1e-12
+        assert out[t] == pytest.approx(seq[t], rel=1e-4), t
+
+
+def test_holt_weights_sum_and_decay(spark):
+    ws, den = ts.holt_fir_weights(0.6, 0.4, 30)
+    assert len(ws) == 30
+    assert den == pytest.approx(1.0, abs=1e-4)  # near-complete kernel
+    assert abs(ws[-1]) < 1e-5  # tail truncated well below the head
+    assert ws[0] == pytest.approx(0.6 + 0.6 * 0.4)
