@@ -419,3 +419,16 @@ def grouped_percentiles(
             ).otherwise(F.max(vf)).alias(name)
         )
     return slim.groupBy(group_col).agg(*aggs)
+
+
+def literal_frame(df: DataFrame) -> DataFrame:
+    """Materialize a BOUNDED result (per-group percentile bounds, a few
+    rows) as a literal LocalRelation, cutting its lineage. Without
+    this, a downstream operator that itself runs boundary actions
+    (e.g. a second grouped_percentiles pass over a frame that joins
+    this one) re-executes the whole upstream plan once per action —
+    measured 71 s for q_mad_outliers' two-pass form at the sf1 leg.
+    Driver state is len(df) rows: callers must only pass frames whose
+    cardinality is bounded by construction (one row per group)."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)

@@ -1194,3 +1194,79 @@ ORACLE_HOLT = _holt_oracle()
 
 QUERIES_MARKET["q_holt"] = q_holt
 ORACLE_MARKET["q_holt"] = ORACLE_HOLT
+
+
+# ---------------------------------------------------------------------------
+# Forecast evaluation: per-symbol MAE / RMSE / bias of the Holt
+# one-step forecast against the next observed close.
+# ---------------------------------------------------------------------------
+
+
+def q_holt_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol accuracy of q_holt's one-step-ahead forecast vs the
+    next OBSERVED close (hour gaps eval against the next real bar —
+    both engines apply the same convention). Errors are exact decimals:
+    the published 6-dp forecast and the close both cast to
+    decimal(18,6), so |e|, e and e² sum order-free; MAE/RMSE/bias are
+    pinned double epilogues over those sums. Adds one lag window on the
+    already-tiny forecast frame — nothing beyond q_holt's plan at
+    scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = ts.holt_fir(
+        ts.hourly_close(_ticks(spark, sf_dir)),
+        alpha=_HOLT_A, beta=_HOLT_B, taps=_HOLT_TAPS,
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    e = (
+        h.withColumn("nxt", F.lead("close", 1).over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "symbol",
+            (
+                F.col("nxt").cast("decimal(18,6)")
+                - F.col("holt").cast("decimal(18,6)")
+            ).alias("e"),
+        )
+    )
+    g = e.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.col("e"))).alias("_sae"),
+        F.sum(F.col("e") * F.col("e")).alias("_sse"),
+        F.sum("e").alias("_se"),
+    )
+    n_d = F.col("n").cast("double")
+    return g.select(
+        "symbol",
+        "n",
+        F.round(F.col("_sae").cast("double") / n_d, 6).alias("mae"),
+        F.round(F.sqrt(F.col("_sse").cast("double") / n_d), 6).alias("rmse"),
+        F.round(F.col("_se").cast("double") / n_d, 6).alias("bias"),
+    )
+
+
+ORACLE_HOLT_EVAL = f"""
+WITH h AS ({ORACLE_HOLT}),
+e AS (
+  SELECT symbol,
+         CAST(lead(close, 1) OVER (PARTITION BY symbol ORDER BY bucket)
+              AS DECIMAL(18,6))
+         - CAST(holt AS DECIMAL(18,6)) AS e
+  FROM h
+  QUALIFY lead(close, 1) OVER (PARTITION BY symbol ORDER BY bucket) IS NOT NULL),
+g AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(abs(e) AS DECIMAL(28,6))) AS sae,
+         sum(CAST(e AS DECIMAL(28,6)) * e) AS sse,
+         sum(CAST(e AS DECIMAL(28,6))) AS se
+  FROM e GROUP BY symbol)
+SELECT symbol, n,
+       round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae,
+       round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS rmse,
+       round(CAST(se AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bias
+FROM g
+"""
+
+QUERIES_MARKET["q_holt_eval"] = q_holt_eval
+ORACLE_MARKET["q_holt_eval"] = ORACLE_HOLT_EVAL

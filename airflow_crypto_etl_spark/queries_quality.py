@@ -269,12 +269,14 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "vq", F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
     )
-    b = rk.grouped_percentiles(
-        ev, "event_type", "vq", [0.25, 0.75], tiebreak="event_id"
-    ).select(
-        "event_type",
-        F.col("p_0_25").alias("q1_milli"),
-        F.col("p_0_75").alias("q3_milli"),
+    b = rk.literal_frame(
+        rk.grouped_percentiles(
+            ev, "event_type", "vq", [0.25, 0.75], tiebreak="event_id"
+        ).select(
+            "event_type",
+            F.col("p_0_25").alias("q1_milli"),
+            F.col("p_0_75").alias("q3_milli"),
+        )
     )
     j = ev.join(F.broadcast(b), "event_type")
     iqr = F.col("q3_milli") - F.col("q1_milli")
@@ -323,15 +325,19 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "vq", F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
     )
-    med = rk.grouped_percentiles(
-        ev, "event_type", "vq", [0.5], tiebreak="event_id"
-    ).select("event_type", F.col("p_0_5").alias("med"))
+    med = rk.literal_frame(
+        rk.grouped_percentiles(
+            ev, "event_type", "vq", [0.5], tiebreak="event_id"
+        ).select("event_type", F.col("p_0_5").alias("med"))
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("vq") - F.col("med"))
     )
-    mad = rk.grouped_percentiles(
-        dev, "event_type", "dev", [0.5], tiebreak="event_id"
-    ).select("event_type", F.col("p_0_5").alias("mad"))
+    mad = rk.literal_frame(
+        rk.grouped_percentiles(
+            dev, "event_type", "dev", [0.5], tiebreak="event_id"
+        ).select("event_type", F.col("p_0_5").alias("mad"))
+    )
     j = dev.join(F.broadcast(mad), "event_type")
     return j.groupBy("event_type", "med", "mad").agg(
         F.count(F.when(F.col("dev") > F.lit(_MAD_K) * F.col("mad"), 1)).alias(
