@@ -2188,3 +2188,64 @@ CROSS JOIN nu
 
 QUERIES_EXPERIMENTS["q_basket_rules"] = q_basket_rules
 ORACLE_EXPERIMENTS["q_basket_rules"] = ORACLE_BASKET_RULES
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile serving view: q_quantile_sketch's mergeable
+# histogram maintained by the streaming engine, closed with the same
+# interpolation epilogue.
+# ---------------------------------------------------------------------------
+
+
+def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 estimates whose ~100-bucket histogram state comes
+    from a streaming aggregation (complete mode) instead of a batch
+    groupBy — the serving-layer shape for "current latency quantiles"
+    over an unbounded stream. Integer bucket counts are batching-
+    invariant, so the BATCH histogram SQL is the oracle: any
+    incremental-maintenance drift fails the hash. The interpolation
+    windows run over the bounded bucket rollup (domain-bounded, same
+    allowlist bound as q_quantile_sketch)."""
+    from .streaming.windows import streaming_value_histogram
+
+    hist = streaming_value_histogram(spark, sf_dir, _QS_WIDTH)
+    tot = Window.partitionBy()
+    prior = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn("n", F.sum("c").over(tot)).withColumn(
+        "cum_prev", F.coalesce(F.sum("c").over(prior), F.lit(0))
+    )
+    ests = []
+    for q in _QS_QUANTILES:
+        t = F.lit(q) * F.col("n").cast("double")
+        inside = (t - F.col("cum_prev").cast("double")) / F.col("c").cast("double")
+        est = (F.col("b").cast("double") + inside) * F.lit(_QS_WIDTH)
+        covering = (F.col("cum_prev").cast("double") < t) & (
+            (F.col("cum_prev") + F.col("c")).cast("double") >= t
+        )
+        ests.append(F.max(F.when(covering, est)).alias(f"p{int(q * 100)}_stream"))
+    return hist.agg(*ests)
+
+
+ORACLE_STREAM_QUANTILE = f"""
+WITH hist AS (
+  SELECT CAST(floor(value / {_QS_WIDTH}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT *, CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(coalesce(sum(c) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+  FROM hist)
+SELECT
+  {", ".join(
+      f"max(CASE WHEN CAST(cum_prev AS DOUBLE) < CAST({q} AS DOUBLE) * CAST(n AS DOUBLE)"
+      f" AND CAST(cum_prev + c AS DOUBLE) >= CAST({q} AS DOUBLE) * CAST(n AS DOUBLE)"
+      f" THEN (CAST(b AS DOUBLE) + (CAST({q} AS DOUBLE) * CAST(n AS DOUBLE)"
+      f" - CAST(cum_prev AS DOUBLE)) / CAST(c AS DOUBLE)) * {_QS_WIDTH} END)"
+      f" AS p{int(q * 100)}_stream"
+      for q in _QS_QUANTILES
+  )}
+FROM cum
+"""
+
+QUERIES_EXPERIMENTS["q_stream_quantile"] = q_stream_quantile
+ORACLE_EXPERIMENTS["q_stream_quantile"] = ORACLE_STREAM_QUANTILE

@@ -593,3 +593,17 @@ def streaming_gram_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("yq"),
     )
     return run_available_now(streaming_gram(ev), "update")
+
+
+def streaming_value_histogram(spark: SparkSession, sf_dir: str, width: float) -> DataFrame:
+    """Fixed-width value histogram maintained by a STREAMING aggregation
+    (complete mode — state is one counter per bucket, bounded by the
+    value domain, never by the row count). The mergeable-histogram
+    quantile sketch of queries_experiments.q_quantile_sketch, fed
+    incrementally: integer bucket counts make the streamed state
+    bit-identical to the batch histogram however the input is
+    micro-batched."""
+    ev = stream_events(spark, sf_dir).select(
+        F.floor(F.col("value") / F.lit(width)).cast("bigint").alias("b")
+    )
+    return run_available_now(ev.groupBy("b").agg(F.count(F.lit(1)).alias("c")), "complete")

@@ -114,6 +114,7 @@ _GLOBAL_WINDOW_OK = {
     "q_logrank": "joint life table keyed by duration days (bounded domain)",
     "q_psi": "fixed-width value buckets (bounded domain)",
     "q_quantile_sketch": "~100-bucket mergeable histogram (bounded domain)",
+    "q_stream_quantile": "~100-bucket mergeable histogram (bounded domain)",
 }
 
 
