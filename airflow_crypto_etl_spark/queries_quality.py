@@ -1040,3 +1040,93 @@ QUERIES_QUALITY["q_ks_drift"] = q_ks_drift
 QUERIES_QUALITY["q_cusum_drift"] = q_cusum_drift
 ORACLE_QUALITY["q_ks_drift"] = ORACLE_KS_DRIFT
 ORACLE_QUALITY["q_cusum_drift"] = ORACLE_CUSUM_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# Curriculum sharding: quality-ordered training stages
+# ---------------------------------------------------------------------------
+
+_CURR_STAGES = 4
+_CURR_Q = 1 << 20  # score quantizer for the order-free stage mean
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning shard table: the corpus ordered by the
+    Gopher-style quality score (ascending — noisy docs first, cleanest
+    last, the anti-curriculum variant just flips the order literal) and
+    cut into 4 equal-frequency stages with the DISTRIBUTED exact ntile
+    (operators/rank.ranked_ntile — no single-partition sort; ties
+    total-ordered by doc_id). Per stage: doc count, exact token budget,
+    and the mean/extremes of the score — the table a training scheduler
+    consumes to draw stage-k batches. Stage means are 2^20
+    floor-quantized per-doc then integer-summed (shuffle-order-free)."""
+    from .operators.text import quality_score
+
+    scored = (
+        quality_score(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            F.floor(F.col("quality_score") * F.lit(float(_CURR_Q)))
+            .cast("bigint")
+            .alias("sq"),
+        )
+        # materialize once (lm_score's localCheckpoint precedent): the
+        # rank primitive's boundary actions would otherwise re-run the
+        # tokenizing score pass 3x; the checkpoint holds 4 small
+        # columns per doc, not text
+        .localCheckpoint(eager=True)
+    )
+    staged = rk.ranked_ntile(
+        scored, [("quality_score", True), ("doc_id", True)], _CURR_STAGES, out="stage"
+    )
+    g = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_budget"),
+        F.sum("sq").alias("_ssq"),
+        F.round(F.min("quality_score"), 6).alias("min_score"),
+        F.round(F.max("quality_score"), 6).alias("max_score"),
+    )
+    mean = F.col("_ssq").cast("double") / (
+        F.col("n_docs").cast("double") * F.lit(float(_CURR_Q))
+    )
+    return g.select(
+        "stage",
+        "n_docs",
+        F.col("token_budget").cast("bigint").alias("token_budget"),
+        F.round(mean, 6).alias("mean_score"),
+        "min_score",
+        "max_score",
+    ).orderBy("stage")
+
+
+def _curriculum_oracle() -> str:
+    from .queries_analytics import _quality_sql
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER)
+           AS n_tokens,
+         quality_score,
+         CAST(floor(quality_score * {float(_CURR_Q)!r}) AS BIGINT) AS sq
+  FROM ({_quality_sql('documents')})),
+staged AS (
+  SELECT *, ntile({_CURR_STAGES}) OVER (ORDER BY quality_score, doc_id) AS stage
+  FROM scored)
+SELECT CAST(stage AS INT) AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+       round(CAST(sum(sq) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * {float(_CURR_Q)!r}), 6)
+         AS mean_score,
+       round(min(quality_score), 6) AS min_score,
+       round(max(quality_score), 6) AS max_score
+FROM staged GROUP BY stage ORDER BY stage
+"""
+
+
+ORACLE_CURRICULUM = _curriculum_oracle()
+
+QUERIES_QUALITY["q_curriculum"] = q_curriculum
+ORACLE_QUALITY["q_curriculum"] = ORACLE_CURRICULUM
