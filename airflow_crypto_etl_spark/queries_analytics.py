@@ -117,12 +117,14 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clipped values rounded at 6dp: the interpolation can differ in the
     last ulp across engines (same guard as q_stats)."""
     ev = _t(spark, sf_dir, "events")
-    bounds = rk.grouped_percentiles(
-        ev, "event_type", "value", [0.05, 0.95], tiebreak="event_id"
-    ).select(
-        "event_type",
-        F.col("p_0_05").alias("p_lo"),
-        F.col("p_0_95").alias("p_hi"),
+    bounds = rk.literal_frame(
+        rk.grouped_percentiles(
+            ev, "event_type", "value", [0.05, 0.95], tiebreak="event_id"
+        ).select(
+            "event_type",
+            F.col("p_0_05").alias("p_lo"),
+            F.col("p_0_95").alias("p_hi"),
+        )
     )
     return (
         ev.join(F.broadcast(bounds), "event_type")

@@ -82,6 +82,13 @@ HEADLINE = [
     "q_hll_distinct",
     "q_bm25",
     "q_bootstrap_ci",
+    # round-6 additions: closed-form linear models (one-shuffle Gram
+    # sums + Cramer epilogue), its streaming incremental twin, the Holt
+    # FIR, and the RANGE-window attribution pass
+    "q_ridge_regression",
+    "q_stream_gram",
+    "q_holt",
+    "q_attribution",
 ]
 
 
