@@ -1270,3 +1270,73 @@ FROM g
 
 QUERIES_MARKET["q_holt_eval"] = q_holt_eval
 ORACLE_MARKET["q_holt_eval"] = ORACLE_HOLT_EVAL
+
+
+# ---------------------------------------------------------------------------
+# TWAP: time-weighted average price per (symbol, day)
+# ---------------------------------------------------------------------------
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol daily TWAP — each tick's price weighted by the time
+    it was the standing quote (to the next tick, the day's last tick
+    to midnight). The complement of VWAP (q_ohlc_candles): volume
+    weighting answers "average execution price", time weighting
+    "average quoted price" for benchmark/compliance reports.
+
+    Exactness: durations are integer microseconds off ONE
+    (symbol, day)-partitioned lead window (ties total-ordered by
+    tick_id — a zero-duration first tick, not nondeterminism), price
+    is decimal(18,4), so price·dur sums are exact decimals and the
+    published TWAP is one pinned double division. Plan: one Exchange
+    on (symbol, day) + partial agg — nothing global."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = _ticks(spark, sf_dir).select(
+        "symbol",
+        F.to_date("tick_ts").alias("day"),
+        F.unix_micros(F.col("tick_ts").cast("timestamp")).alias("us"),
+        "tick_id",
+        "price",
+    )
+    day_end = F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp"))
+    w = Window.partitionBy("symbol", "day").orderBy("us", "tick_id")
+    d = t.withColumn(
+        "dur", F.coalesce(F.lead("us", 1).over(w), day_end) - F.col("us")
+    )
+    g = d.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(F.col("price") * F.col("dur")).alias("_pd"),
+        F.sum("dur").alias("_d"),
+    )
+    twap = F.when(
+        F.col("_d") > 0,
+        F.round(F.col("_pd").cast("double") / F.col("_d").cast("double"), 6),
+    )
+    return g.select("symbol", "day", "n_ticks", twap.alias("twap"))
+
+
+ORACLE_TWAP = f"""
+WITH t AS (
+  SELECT symbol, CAST(tick_ts AS DATE) AS day,
+         epoch_us(tick_ts) AS us, tick_id, price
+  FROM ({_TICKS_SQL})),
+d AS (
+  SELECT *,
+         coalesce(lead(us, 1) OVER (PARTITION BY symbol, day ORDER BY us, tick_id),
+                  epoch_us(CAST(day + 1 AS TIMESTAMP))) - us AS dur
+  FROM t),
+g AS (
+  SELECT symbol, day, CAST(count(*) AS BIGINT) AS n_ticks,
+         sum(CAST(price AS DECIMAL(28,4)) * dur) AS pd,
+         CAST(sum(dur) AS BIGINT) AS dsum
+  FROM d GROUP BY symbol, day)
+SELECT symbol, day, n_ticks,
+       CASE WHEN dsum > 0
+            THEN round(CAST(pd AS DOUBLE) / CAST(dsum AS DOUBLE), 6) END AS twap
+FROM g
+"""
+
+QUERIES_MARKET["q_twap"] = q_twap
+ORACLE_MARKET["q_twap"] = ORACLE_TWAP

@@ -587,3 +587,41 @@ def test_holt_weights_sum_and_decay(spark):
     assert den == pytest.approx(1.0, abs=1e-4)  # near-complete kernel
     assert abs(ws[-1]) < 1e-5  # tail truncated well below the head
     assert ws[0] == pytest.approx(0.6 + 0.6 * 0.4)
+
+
+def test_twap_durations_cover_first_tick_to_midnight(spark):
+    """Per (symbol, day): the duration weights partition the interval
+    [first tick, next midnight) exactly — no gap, no overlap — and a
+    constant-price day TWAPs to that price."""
+    import datetime as dt
+
+    from airflow_crypto_etl_spark.queries_market import q_twap
+
+    rows = [
+        ("btc", "2024-01-01T01:00:00", 1, 50.0, 1),
+        ("btc", "2024-01-01T07:30:00", 2, 50.0, 1),
+        ("btc", "2024-01-01T23:59:00", 3, 50.0, 1),
+        ("eth", "2024-01-01T06:00:00", 4, 10.0, 1),
+        ("eth", "2024-01-01T18:00:00", 5, 30.0, 1),
+    ]
+    import os, tempfile
+
+    import pyspark.sql.functions as F
+
+    df = _tick_df(spark, rows)
+    # route through a parquet dir so q_twap's load_table path applies
+    tmp = tempfile.mkdtemp()
+    ev = df.select(
+        F.col("tick_id").alias("event_id"),
+        F.col("tick_ts").alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.col("symbol").alias("event_type"),
+        F.col("price").cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "events.parquet"))
+    out = {r.symbol: r for r in q_twap(spark, tmp).collect()}
+    assert out["btc"].twap == 50.0  # constant price -> exact fixed point
+    # eth: 10.0 for 12h, 30.0 for 6h -> (10*12 + 30*6) / 18 = 16.666667
+    assert abs(out["eth"].twap - (10.0 * 12 + 30.0 * 6) / 18.0) < 1e-6
+    assert out["btc"].n_ticks == 3 and out["eth"].n_ticks == 2
