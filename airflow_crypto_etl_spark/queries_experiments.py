@@ -2249,3 +2249,90 @@ FROM cum
 
 QUERIES_EXPERIMENTS["q_stream_quantile"] = q_stream_quantile
 ORACLE_EXPERIMENTS["q_stream_quantile"] = ORACLE_STREAM_QUANTILE
+
+
+# ---------------------------------------------------------------------------
+# Per-group HLL: one 64-register sketch per event type
+# ---------------------------------------------------------------------------
+
+
+def q_hll_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_hll_distinct per event type — the GROUP BY form of the
+    mergeable distinct sketch (the shape of "distinct users per
+    segment per day over 100 TB": one groupBy(max) whose state is
+    64 longs PER GROUP, shards merging by element-wise max). Same
+    engine-portable hashing and linear-counting correction as the
+    global sketch; exact per-group distinct rides along to expose the
+    error."""
+    ev = _t(spark, sf_dir, "events")
+    h = affine_hash(F.col("user_id"), F.lit(_HLL_SALT))
+    w = F.floor(h / F.lit(_HLL_M)).cast("bigint")
+    rho = F.when(w == 0, F.lit(26)).otherwise(
+        F.lit(25) - F.floor(F.log2(w)).cast("bigint")
+    )
+    regs = (
+        ev.select("event_type", (h % _HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sk = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_present"),
+    ).select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias("v_zero"),
+        (
+            F.col("sum_present")
+            + (F.lit(_HLL_M) - F.col("n_present")).cast("double")
+        ).alias("sum_inv"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est_raw = F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M)) / F.col("sum_inv")
+    return sk.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "v_zero",
+        "sum_inv",
+        est_raw.alias("est_raw"),
+        F.when(
+            (est_raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / F.col("v_zero").cast("double")),
+        )
+        .otherwise(est_raw)
+        .alias("est_corrected"),
+        "exact_distinct",
+    )
+
+
+ORACLE_HLL_GROUPS = f"""
+WITH regs AS (
+  SELECT event_type,
+         ({affine_hash_sql('user_id', str(_HLL_SALT))}) % {_HLL_M} AS bucket,
+         max(CASE WHEN CAST(floor(({affine_hash_sql('user_id', str(_HLL_SALT))}) / {_HLL_M}) AS BIGINT) = 0
+                  THEN 26
+                  ELSE 25 - CAST(floor(log2(CAST(floor(({affine_hash_sql('user_id', str(_HLL_SALT))}) / {_HLL_M}) AS BIGINT))) AS BIGINT)
+             END) AS m_j
+  FROM events GROUP BY 1, 2),
+sk AS (
+  SELECT event_type,
+         CAST({_HLL_M} - count(*) AS BIGINT) AS v_zero,
+         sum(pow(CAST(2.0 AS DOUBLE), -m_j)) + CAST({_HLL_M} - count(*) AS DOUBLE) AS sum_inv
+  FROM regs GROUP BY event_type),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT sk.event_type, v_zero, sum_inv,
+       CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE) / sum_inv AS est_raw,
+       CASE WHEN CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE) / sum_inv
+                 <= CAST({2.5 * _HLL_M} AS DOUBLE) AND v_zero > 0
+            THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE) / CAST(v_zero AS DOUBLE))
+            ELSE CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE) / sum_inv
+       END AS est_corrected,
+       exact_distinct
+FROM sk JOIN ex ON ex.event_type = sk.event_type
+"""
+
+QUERIES_EXPERIMENTS["q_hll_groups"] = q_hll_groups
+ORACLE_EXPERIMENTS["q_hll_groups"] = ORACLE_HLL_GROUPS

@@ -1259,3 +1259,74 @@ ORACLE_STREAM_GRAM = _sg_oracle()
 
 QUERIES_SCALE["q_stream_gram"] = q_stream_gram
 ORACLE_SCALE["q_stream_gram"] = ORACLE_STREAM_GRAM
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler: the measurement you run BEFORE choosing a
+# join strategy (broadcast vs salted vs plain shuffle).
+# ---------------------------------------------------------------------------
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile for the two hottest join keys
+    (events.user_id, lineitem.l_orderkey): row count, distinct keys,
+    the heaviest key's frequency and share, and the skew factor
+    max/avg — the number that decides whether operators/joins
+    .salted_join earns its extra exchange. Two partial-agg passes per
+    key (key counts, then a 1-row rollup of the counts); all-integer
+    until the published ratios. The per-key counts relation is the
+    only shuffled state (one row per distinct key)."""
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        freq = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("f"))
+        return freq.agg(
+            F.lit(label).alias("source_key"),
+            F.sum("f").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("f").cast("bigint").alias("max_freq"),
+        ).select(
+            "source_key",
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_keys").cast("double"), 6
+            ).alias("avg_freq"),
+            F.round(
+                F.col("max_freq").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double"),
+                6,
+            ).alias("skew_factor"),
+            F.round(
+                F.col("max_freq").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("top_share"),
+        )
+    ev = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    return profile(ev, "user_id", "events.user_id").unionByName(
+        profile(li, "l_orderkey", "lineitem.l_orderkey")
+    )
+
+
+def _skew_sql(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS source_key,
+       CAST(sum(f) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(f) AS BIGINT) AS max_freq,
+       round(CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_freq,
+       round(CAST(max(f) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+             / CAST(sum(f) AS DOUBLE), 6) AS skew_factor,
+       round(CAST(max(f) AS DOUBLE) / CAST(sum(f) AS DOUBLE), 6) AS top_share
+FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS f FROM {table} GROUP BY {key})
+"""
+
+
+ORACLE_SKEW_PROFILE = f"""
+{_skew_sql('events', 'user_id')}
+UNION ALL
+{_skew_sql('lineitem', 'l_orderkey')}
+"""
+
+QUERIES_SCALE["q_skew_profile"] = q_skew_profile
+ORACLE_SCALE["q_skew_profile"] = ORACLE_SKEW_PROFILE
