@@ -24,7 +24,7 @@ per Charikar (2002) / Manku et al. (2007).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import CHAR_MOD, KNUTH, MERSENNE_P
@@ -619,4 +619,155 @@ def passage_dedup(
         "n_segments",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated token spans (suffix-array-style substring
+# dedup — Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better". The reference treats documents as opaque rows
+# (dags/coin_data_pipeline_optimized.py transforms tabular records
+# only); this is an engine extension for training-corpus curation.)
+# ---------------------------------------------------------------------------
+
+
+def gram_hash_positions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(id, pos, h): the polynomial hash of the token k-gram starting at
+    0-based token position ``pos``, one row per position (NOT distinct —
+    positions are the point). Token hashes fold once per token, then the
+    k hashes combine arithmetically (acc*31 + h mod 2^30), exactly the
+    shingle_hashes_sql recurrence, so DuckDB's list_reduce over the same
+    slice reproduces every value bit-for-bit."""
+    th = f"transform({_tokens_sql(text_col)}, t -> {_char_hash_sql('t')})"
+    m = f"greatest(size({th}) - {k - 1}, 0)"
+    out = f"slice({th}, 1, {m})"
+    for j in range(1, k):
+        out = f"zip_with({out}, slice({th}, {1 + j}, {m}), (x, y) -> (x * 31 + y) % {CHAR_MOD})"
+    ok = _spread(docs).filter(F.expr(f"size({_tokens_sql(text_col)}) >= {k}"))
+    return ok.select(
+        F.col(id_col), F.posexplode(F.expr(out)).alias("pos", "h")
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 12,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Maximal repeated token spans across document pairs: for every
+    (doc_a < doc_b) emit each maximal run of tokens ≥ ``min_span`` long
+    that appears verbatim in both, with its start position in each doc.
+
+    The distributed stand-in for a suffix array: k-gram ANCHORS join on
+    their integer hash, and anchors from the same pair lying on the same
+    DIAGONAL (pos_a − pos_b) at consecutive positions merge into one
+    maximal span via gaps-and-islands (pos_a − row_number is constant
+    within a run). A run of c consecutive shared k-grams certifies a
+    shared span of c + k − 1 tokens.
+
+    Scale design: postings carry (id, pos, 8-byte hash) — never gram
+    strings; anchors with corpus frequency outside [2, df_cap] are
+    dropped before the self-join (singletons match nothing; boilerplate
+    grams above the cap would quadratically blow the join — the same
+    hot-key bound ngram_jaccard_pairs uses, and the Lee et al. pipeline
+    drops them too). The islands window partitions by (a, b, diagonal):
+    key cardinality grows with matched pairs, never a global sort.
+    """
+    grams = register_cache(gram_hash_positions(docs, text_col, id_col, k))
+    anchors = grams.join(
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= df_cap))
+        .select("h"),
+        "h",
+    )
+    a = anchors.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = anchors.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    pairs = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy(
+        "doc_a", "doc_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    runs = pairs.withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", F.col("pos_a") - F.col("pos_b"), "_isl")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            F.min("pos_b").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+def span_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 12,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Per-document repeated-span coverage: the fraction of a doc's
+    tokens lying inside ANY cross-doc repeated span (>= min_span) — the
+    statistic the Lee et al. pipeline thresholds to drop or trim docs.
+
+    Span intervals from both sides of every pair are unioned per doc by
+    the classic merge-overlapping sweep: order by start, an interval
+    opens a new island when its start clears the running max end of all
+    earlier intervals; islands then sum to covered-token counts. Every
+    window is partitioned by doc id — interval counts per doc are small
+    (pairs a doc participates in), so state per key stays bounded.
+    Returns (id, n_tokens, covered_tokens, coverage) for docs with at
+    least one span."""
+    spans = repeated_spans(docs, text_col, id_col, k, min_span, df_cap)
+    ivals = spans.select(
+        F.col("doc_a").alias(id_col),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_tokens")).alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_tokens")).alias("e"),
+        )
+    )
+    ordered = Window.partitionBy(id_col).orderBy("s", "e")
+    prev = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    isl = (
+        ivals.withColumn(
+            "_new",
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(prev), F.lit(-1)), 1
+            ).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(ordered))
+    )
+    merged = isl.groupBy(id_col, "_isl").agg(
+        (F.max("e") - F.min("s")).alias("_len")
+    )
+    covered = merged.groupBy(id_col).agg(F.sum("_len").alias("covered_tokens"))
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"cast(size({_tokens_sql(text_col)}) as bigint)").alias("n_tokens"),
+    )
+    return covered.join(toks, id_col).select(
+        id_col,
+        "n_tokens",
+        "covered_tokens",
+        (F.col("covered_tokens").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "coverage"
+        ),
     )

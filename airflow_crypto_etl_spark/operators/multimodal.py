@@ -837,3 +837,58 @@ def decode_avi_sampled_pandas(
             )
 
     return df.mapInPandas(batches, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual difference-hash (dHash) over REAL decoded pixels — the
+# image near-dedup primitive (LAION-style corpus curation). The
+# reference stores media as opaque lake objects; engine extension.
+# ---------------------------------------------------------------------------
+
+DHASH_GX = 5  # sample-grid columns (4 horizontal gradients per row)
+DHASH_GY = 4  # sample-grid rows    (3 vertical gradients per column)
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """31-bit perceptual difference-hash from decoded P6 pixels.
+
+    The image is sampled on a fixed 5x4 grid (nearest-lower pixel:
+    x_i = floor(i*w/5), y_j = floor(j*h/4)) so images of different
+    sizes land in one hash space; each sample's GRAYSCALE is the exact
+    integer R+G+B sum (no float until never — the hash is pure integer
+    comparisons). Bits, MSB-first: 4x4 horizontal gradient signs
+    (s[x_{i+1},y_j] > s[x_i,y_j], row-major), then 3x5 vertical signs.
+    Arrow-batched mapInPandas over the binary column — embarrassingly
+    parallel, 8-byte outputs; the downstream dedup groupBy shuffles
+    (id, phash) pairs only, never pixels."""
+    parse_header = _parse_ppm_header
+    gx, gy = DHASH_GX, DHASH_GY
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(b)
+                w, h, _maxval, off = parse_header(data)
+                px = data[off : off + w * h * 3]
+
+                def s(x: int, y: int) -> int:
+                    p = 3 * (y * w + x)
+                    return px[p] + px[p + 1] + px[p + 2]
+
+                xs = [(i * w) // gx for i in range(gx)]
+                ys = [(j * h) // gy for j in range(gy)]
+                bits = []
+                for j in range(gy):
+                    for i in range(gx - 1):
+                        bits.append(1 if s(xs[i + 1], ys[j]) > s(xs[i], ys[j]) else 0)
+                for j in range(gy - 1):
+                    for i in range(gx):
+                        bits.append(1 if s(xs[i], ys[j + 1]) > s(xs[i], ys[j]) else 0)
+                ph = 0
+                for bit in bits:
+                    ph = ph * 2 + bit
+                rows.append((doc_id, ph))
+            yield pd.DataFrame(rows, columns=[id_col, "phash"])
+
+    return df.mapInPandas(batches, f"{id_col} long, phash long")

@@ -1803,3 +1803,64 @@ FROM s
 
 QUERIES_EXT["q_multimodal_video"] = q_multimodal_video
 ORACLE_EXT["q_multimodal_video"] = ORACLE_MULTIMODAL_VIDEO
+
+
+# ---------------------------------------------------------------------------
+# Image near-dedup via perceptual difference-hash over REAL decoded
+# pixels: dup classes are hash-equality groups. The oracle predicts
+# every hash bit from the P6 generator formula (pixel byte i of doc d
+# is (d+i) mod 256), never touching bytes — the same
+# generator-formula technique as the JPEG/PNG oracles.
+# ---------------------------------------------------------------------------
+
+
+def q_image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: attach P6 payloads, REAL-decode and
+    dHash each image (operators/multimodal.image_dhash — 5x4 sample
+    grid, 31 integer gradient-sign bits), then group by hash: classes
+    with >= 2 members are near-duplicate sets. Pixels stay executor-side
+    in Arrow batches; the dedup groupBy shuffles 8-byte hashes only."""
+    d = mm.attach_ppm_payload(_docs(spark, sf_dir))
+    hashed = mm.image_dhash(d)
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+ORACLE_IMAGE_DEDUP_PHASH = """
+WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+ss AS (
+  SELECT doc_id, w, h,
+    list_transform(range(0, h), y -> list_transform(range(0, w), x ->
+       ((doc_id + 3*(y*w + x)) % 256) + ((doc_id + 3*(y*w + x) + 1) % 256)
+       + ((doc_id + 3*(y*w + x) + 2) % 256))) AS sm,
+    list_transform(range(0, 5), i -> CAST(floor(i*w/5.0) AS BIGINT)) AS xs,
+    list_transform(range(0, 4), j -> CAST(floor(j*h/4.0) AS BIGINT)) AS ys
+  FROM g),
+bits AS (
+  SELECT doc_id,
+    list_concat(
+      flatten(list_transform(range(0, 4), j -> list_transform(range(0, 4), i ->
+        CASE WHEN sm[ys[j+1]+1][xs[i+2]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END))),
+      flatten(list_transform(range(0, 3), j -> list_transform(range(0, 5), i ->
+        CASE WHEN sm[ys[j+2]+1][xs[i+1]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END)))
+    ) AS bl
+  FROM ss),
+ph AS (
+  SELECT doc_id, list_reduce(list_prepend(0::BIGINT, bl), (a, x) -> a*2 + x) AS phash
+  FROM bits)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+FROM ph GROUP BY phash HAVING count(*) >= 2
+"""
+
+QUERIES_EXT["q_image_dedup_phash"] = q_image_dedup_phash
+ORACLE_EXT["q_image_dedup_phash"] = ORACLE_IMAGE_DEDUP_PHASH

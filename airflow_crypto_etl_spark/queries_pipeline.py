@@ -410,3 +410,106 @@ ORACLE_FK_ORPHANS = "\nUNION ALL\n".join(
 
 QUERIES_PIPELINE["q_fk_orphans"] = q_fk_orphans
 ORACLE_PIPELINE["q_fk_orphans"] = ORACLE_FK_ORPHANS
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated token spans (suffix-array-style substring
+# dedup, Lee et al. 2022): maximal verbatim runs >= 12 tokens shared by
+# a doc pair, with start positions in both docs — the exact-substring
+# complement to the MinHash/SimHash whole-doc families.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+_SPAN_MIN = 12
+_SPAN_DF_CAP = 50
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact-substring dedup: k-gram anchor postings
+    (integer polynomial hashes, never gram strings) self-join on hash,
+    and anchors on the same (pair, diagonal) merge into maximal spans
+    via gaps-and-islands. Anchors with corpus df outside [2, 50] are
+    dropped pre-join (hot boilerplate grams would quadratically blow the
+    join; singletons match nothing). See operators/dedup.repeated_spans
+    for the 100 TB shuffle story."""
+    return dd.repeated_spans(
+        _t(spark, sf_dir, "documents"),
+        k=_SPAN_K,
+        min_span=_SPAN_MIN,
+        df_cap=_SPAN_DF_CAP,
+    )
+
+
+ORACLE_DEDUP_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+th AS (SELECT doc_id, list_transform(toks, t -> {char_hash_sql('t')}) AS hs FROM toks),
+grams AS (
+  SELECT doc_id, g.pos AS pos,
+         list_reduce(hs[g.pos+1:g.pos+{_SPAN_K}],
+                     (a, x) -> (a*31 + x) % {1 << 30}) AS h
+  FROM th, LATERAL (SELECT unnest(range(0, greatest(len(hs) - {_SPAN_K - 1}, 0))) AS pos) g),
+anchors AS (
+  SELECT doc_id, pos, h FROM grams
+  WHERE h IN (SELECT h FROM grams GROUP BY h
+              HAVING count(*) BETWEEN 2 AND {_SPAN_DF_CAP})),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM anchors a JOIN anchors b USING (h) WHERE a.doc_id < b.doc_id),
+isl AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                    ORDER BY pos_a) AS i
+  FROM pairs)
+SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+       CAST(min(pos_b) AS BIGINT) AS start_b,
+       count(*) + {_SPAN_K - 1} AS span_tokens
+FROM isl GROUP BY doc_a, doc_b, diag, i
+HAVING count(*) + {_SPAN_K - 1} >= {_SPAN_MIN}
+"""
+
+QUERIES_PIPELINE["q_dedup_spans"] = q_dedup_spans
+ORACLE_PIPELINE["q_dedup_spans"] = ORACLE_DEDUP_SPANS
+
+
+def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repeated-span coverage (the Lee et al. trim/drop
+    statistic): fraction of tokens inside any cross-doc repeated span
+    >= 12 tokens. Interval union per doc via the merge-overlapping
+    sweep — all windows partitioned by doc_id."""
+    return dd.span_coverage(
+        _t(spark, sf_dir, "documents"),
+        k=_SPAN_K,
+        min_span=_SPAN_MIN,
+        df_cap=_SPAN_DF_CAP,
+    )
+
+
+ORACLE_DEDUP_SPAN_COVERAGE = f"""
+WITH spans AS ({ORACLE_DEDUP_SPANS}),
+ivals AS (
+  SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
+  UNION ALL
+  SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens AS e FROM spans),
+marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM ivals),
+isl AS (
+  SELECT doc_id, s, e,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+  FROM marked),
+merged AS (SELECT doc_id, i, max(e) - min(s) AS len FROM isl GROUP BY doc_id, i),
+covered AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS covered_tokens
+            FROM merged GROUP BY doc_id),
+toks AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents)
+SELECT c.doc_id, t.n_tokens, c.covered_tokens,
+       CAST(c.covered_tokens AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS coverage
+FROM covered c JOIN toks t USING (doc_id)
+"""
+
+QUERIES_PIPELINE["q_dedup_span_coverage"] = q_dedup_span_coverage
+ORACLE_PIPELINE["q_dedup_span_coverage"] = ORACLE_DEDUP_SPAN_COVERAGE

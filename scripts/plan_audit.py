@@ -71,6 +71,42 @@ def _walk(plan):
     return nodes
 
 
+def _top_level_fields(read_schema: str) -> int:
+    """Count top-level fields of a ``struct<...>`` ReadSchema string.
+
+    Commas inside nested ``struct<>``/``array<>``/``map<>`` types are
+    not field separators, so track angle-bracket depth.
+    """
+    s = read_schema.strip()
+    if not s.startswith("struct<") or not s.endswith(">"):
+        return -1
+    body = s[len("struct<") : -1]
+    if not body:
+        return 0
+    depth, n = 0, 1
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
+_TABLE_NAMES = (
+    "lineitem", "orders", "customer", "supplier", "partsupp", "part",
+    "nation", "region", "events", "documents", "embeddings",
+)
+
+
+def _table_of(location: str) -> str:
+    for t in _TABLE_NAMES:
+        if f"/{t}.parquet" in location or f"/{t}/" in location:
+            return t
+    return "?"
+
+
 def audit_one(df) -> dict:
     # executedPlan, not sparkPlan: EnsureRequirements inserts the
     # Exchange nodes there, which is the whole point of the audit
@@ -108,6 +144,13 @@ def audit_one(df) -> dict:
                 pushed = str(meta.apply("PushedFilters"))
             if pushed and pushed != "[]":
                 counts["scans_with_pushed_filters"] += 1
+            # column pruning: top-level field count actually read
+            table, ncols = "?", -1
+            if meta.contains("Location"):
+                table = _table_of(str(meta.apply("Location")))
+            if meta.contains("ReadSchema"):
+                ncols = _top_level_fields(str(meta.apply("ReadSchema")))
+            counts.setdefault("scan_widths", []).append([table, ncols])
         if name in _PYTHON_NODES:
             counts["python_arrow_stages"] += 1
     return counts
@@ -130,6 +173,24 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - audit must not abort
             out[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
     ok = [v for v in out.values() if "err" not in v]
+    # table widths from the parquet footers (for the pruning ratio)
+    widths: dict = {}
+    for t in _TABLE_NAMES:
+        try:
+            widths[t] = len(spark.read.parquet(f"{SF}/{t}.parquet").columns)
+        except Exception:
+            pass
+    read_cols = avail_cols = 0
+    full_width = []  # (query, table, width) where a wide table is read unpruned
+    for k, v in out.items():
+        for table, n in v.get("scan_widths", []):
+            w = widths.get(table, 0)
+            if n < 0 or not w:
+                continue
+            read_cols += n
+            avail_cols += w
+            if n == w and w >= 6:
+                full_width.append([k, table, w])
     summary = {
         "n_queries": len(out),
         "n_audited": len(ok),
@@ -144,6 +205,12 @@ def main() -> None:
         "scan_pushdown": {
             "scans": sum(v["scans"] for v in ok),
             "with_pushed_filters": sum(v["scans_with_pushed_filters"] for v in ok),
+        },
+        "column_pruning": {
+            "read_cols": read_cols,
+            "available_cols": avail_cols,
+            "read_fraction": round(read_cols / avail_cols, 4) if avail_cols else None,
+            "full_width_scans": sorted(full_width),
         },
         "top_shuffles": sorted(
             ((k, v["shuffles"]) for k, v in out.items() if "err" not in v),

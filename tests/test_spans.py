@@ -1,0 +1,105 @@
+"""Repeated-span dedup (suffix-array-style) and per-doc span coverage:
+maximality of merged runs, min_span/df_cap bounds, interval-union
+coverage; plus the perceptual image dHash (formula parity + identical
+images hash identically)."""
+
+from __future__ import annotations
+
+from airflow_crypto_etl_spark.operators import dedup as dd
+from airflow_crypto_etl_spark.operators import multimodal as mm
+
+SHARED = " ".join(f"s{i}" for i in range(15))  # 15-token shared span
+
+
+def _corpus(spark):
+    rows = [
+        (1, f"a1 a2 a3 {SHARED} z1 z2"),      # span at tokens 3..17
+        (2, f"b1 {SHARED} y1 y2 y3 y4"),      # span at tokens 1..15
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repeated_span_maximal_run(spark):
+    out = dd.repeated_spans(_corpus(spark), k=8, min_span=12, df_cap=50).collect()
+    assert len(out) == 1
+    r = out[0]
+    # one MAXIMAL span — never split into the 8 constituent 8-gram hits
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_tokens == 15
+    assert (r.start_a, r.start_b) == (3, 1)
+
+
+def test_min_span_filters_short_matches(spark):
+    # the 15-token span survives min_span=15 but not min_span=16
+    assert dd.repeated_spans(_corpus(spark), k=8, min_span=15).count() == 1
+    assert dd.repeated_spans(_corpus(spark), k=8, min_span=16).count() == 0
+
+
+def test_df_cap_drops_hot_grams(spark):
+    # the shared span appears in EVERY doc -> every anchor df = 3 > cap=2
+    rows = [(i, f"x{i} {SHARED} w{i}") for i in range(3)]
+    docs = rows and _corpus(spark).sparkSession.createDataFrame(
+        rows, "doc_id long, text string"
+    )
+    assert dd.repeated_spans(docs, k=8, min_span=12, df_cap=2).count() == 0
+    # with the cap lifted, all 3 pairs report the span
+    assert dd.repeated_spans(docs, k=8, min_span=12, df_cap=50).count() == 3
+
+
+def test_span_coverage_unions_overlaps(spark):
+    # doc 1 shares one 15-token region with docs 2 AND 3 -> intervals
+    # duplicate/overlap and must union, not double-count
+    rows = [
+        (1, f"a1 a2 a3 {SHARED} z1 z2"),
+        (2, f"b1 {SHARED} y1 y2 y3 y4"),
+        (3, f"{SHARED} q1 q2 q3 q4 q5"),
+    ]
+    docs = _corpus(spark).sparkSession.createDataFrame(
+        rows, "doc_id long, text string"
+    )
+    cov = {r.doc_id: r for r in dd.span_coverage(docs, k=8, min_span=12).collect()}
+    assert cov[1].covered_tokens == 15  # unioned, not 30
+    assert cov[1].n_tokens == 20
+    assert abs(cov[1].coverage - 15 / 20) < 1e-12
+    assert cov[2].covered_tokens == 15 and cov[3].covered_tokens == 15
+
+
+def _ref_dhash(d: int) -> int:
+    w, h = 4 + d % 5, 3 + d % 4
+    px = bytes((d + i) % 256 for i in range(w * h * 3))
+
+    def s(x, y):
+        p = 3 * (y * w + x)
+        return px[p] + px[p + 1] + px[p + 2]
+
+    xs = [(i * w) // 5 for i in range(5)]
+    ys = [(j * h) // 4 for j in range(4)]
+    bits = []
+    for j in range(4):
+        for i in range(4):
+            bits.append(1 if s(xs[i + 1], ys[j]) > s(xs[i], ys[j]) else 0)
+    for j in range(3):
+        for i in range(5):
+            bits.append(1 if s(xs[i], ys[j + 1]) > s(xs[i], ys[j]) else 0)
+    ph = 0
+    for b in bits:
+        ph = ph * 2 + b
+    return ph
+
+
+def test_image_dhash_matches_generator_formula(spark):
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    hashed = mm.image_dhash(mm.attach_ppm_payload(ids))
+    got = {r.doc_id: r.phash for r in hashed.collect()}
+    assert got == {d: _ref_dhash(d) for d in range(12)}
+
+
+def test_image_dhash_identical_images_collide(spark):
+    # doc ids congruent mod lcm(256, 20) = 1280 get byte-identical
+    # images, hence identical hashes
+    ids = spark.createDataFrame([(7,), (7 + 1280,)], "doc_id long")
+    hashes = [
+        r.phash for r in mm.image_dhash(mm.attach_ppm_payload(ids)).collect()
+    ]
+    assert hashes[0] == hashes[1]
