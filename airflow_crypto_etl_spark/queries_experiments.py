@@ -2336,3 +2336,145 @@ FROM sk JOIN ex ON ex.event_type = sk.event_type
 
 QUERIES_EXPERIMENTS["q_hll_groups"] = q_hll_groups
 ORACLE_EXPERIMENTS["q_hll_groups"] = ORACLE_HLL_GROUPS
+
+
+# ---------------------------------------------------------------------------
+# Sequential A/B monitoring: calendar-day cumulative z statistic against
+# an O'Brien-Fleming-shaped boundary (group-sequential testing — the
+# "peek every day without inflating alpha" readout). Arm populations are
+# fixed (hash assignment); information accrues as conversions ARRIVE: on
+# each calendar day the monitor sees every user's first high-value
+# purchase to date. Information fraction = conversions so far / total
+# conversions (the binary-outcome accrual approximation, stated so the
+# oracle replays it exactly).
+# ---------------------------------------------------------------------------
+
+_SEQ_C = 2.25  # OBF shape constant, exact binary (9/4)
+
+
+def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential experiment monitor: for every calendar day, the
+    pooled two-proportion z over conversions ACCRUED so far (a user
+    converts on the day of their first high-value purchase) vs the
+    O'Brien-Fleming-shaped boundary C/sqrt(information fraction).
+    One per-user collapse (the only row-scale shuffle), a per-day
+    conversion rollup left-joined onto the distinct-day calendar,
+    cumulative window over that bounded day-domain relation
+    (allowlisted), arm totals as a 1-row broadcast. Days before the
+    first conversion are excluded (se = 0 has no z). Integer counts
+    throughout; divisions and sqrt written identically in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    hv = (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(hv, day)).alias("conv_day")
+    )
+    in_a = affine_hash(F.col("user_id"), F.lit(_AB_SALT)) % 2 == 0
+    tagged = per_user.select(in_a.alias("in_a"), "conv_day")
+    conv = (
+        tagged.where(F.col("conv_day").isNotNull())
+        .groupBy(F.col("conv_day").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("d_c_a"),
+            F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("d_c_b"),
+        )
+    )
+    cal = ev.select(day.alias("day")).distinct()
+    joined = cal.join(conv, "day", "left").select(
+        "day",
+        F.coalesce("d_c_a", F.lit(0)).alias("d_c_a"),
+        F.coalesce("d_c_b", F.lit(0)).alias("d_c_b"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = joined.select(
+        "day",
+        F.sum("d_c_a").over(w).alias("c_a"),
+        F.sum("d_c_b").over(w).alias("c_b"),
+    )
+    tot = tagged.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("conv_day").isNotNull(), 1).otherwise(0)).alias("tot_c"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    pa = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    frac = (F.col("c_a") + F.col("c_b")).cast("double") / F.col("tot_c").cast("double")
+    z = (pa - pb) / se
+    boundary = F.lit(_SEQ_C) / F.sqrt(frac)
+    return j.where(F.col("c_a") + F.col("c_b") > 0).select(
+        "day",
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        z.alias("z_stat"),
+        boundary.alias("boundary"),
+        (F.abs(z) > boundary).cast("int").alias("crossed"),
+    )
+
+
+ORACLE_SEQUENTIAL_AB = f"""
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'purchase' AND value > 150.0
+                  THEN CAST(ts AS DATE) END) AS conv_day
+  FROM events GROUP BY user_id),
+tagged AS (
+  SELECT ({affine_hash_sql('user_id', str(_AB_SALT))}) % 2 = 0 AS in_a, conv_day
+  FROM per_user),
+conv AS (
+  SELECT conv_day AS day,
+         sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS d_c_a,
+         sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS d_c_b
+  FROM tagged WHERE conv_day IS NOT NULL GROUP BY conv_day),
+cal AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+joined AS (
+  SELECT cal.day, coalesce(d_c_a, 0) AS d_c_a, coalesce(d_c_b, 0) AS d_c_b
+  FROM cal LEFT JOIN conv ON conv.day = cal.day),
+cum AS (
+  SELECT day,
+         CAST(sum(d_c_a) OVER w AS BIGINT) AS c_a,
+         CAST(sum(d_c_b) OVER w AS BIGINT) AS c_b
+  FROM joined
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tot_c
+  FROM tagged)
+SELECT day, n_a, n_b, c_a, c_b,
+       (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z_stat,
+       CAST({_SEQ_C} AS DOUBLE)
+         / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(tot_c AS DOUBLE)) AS boundary,
+       CAST(CASE WHEN abs(
+            (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+            / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+          > CAST({_SEQ_C} AS DOUBLE)
+            / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(tot_c AS DOUBLE))
+        THEN 1 ELSE 0 END AS INT) AS crossed
+FROM cum CROSS JOIN tot
+WHERE c_a + c_b > 0
+"""
+
+QUERIES_EXPERIMENTS["q_sequential_ab"] = q_sequential_ab
+ORACLE_EXPERIMENTS["q_sequential_ab"] = ORACLE_SEQUENTIAL_AB

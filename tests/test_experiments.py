@@ -615,3 +615,22 @@ def test_basket_rules_consistent_with_audience_overlap(spark, sf_dir):
         assert abs(r["support"] - r["n_both"] / n_users) < 1e-12
         assert abs(r["lift"] - r["n_both"] * n_users / (o["n_a"] * o["n_b"])) < 1e-12
         assert 0.0 < r["conf_a_to_b"] <= 1.0 and 0.0 < r["conf_b_to_a"] <= 1.0
+
+
+def test_sequential_ab_final_day_equals_fixed_horizon(spark, sf_dir):
+    """On the last monitored day all conversions have accrued, so the
+    monitor's z must equal q_ab_test's fixed-horizon z (same label,
+    same arms), the boundary must equal the bare OBF constant
+    (information fraction = 1), and cumulative conversions must
+    telescope to the arm totals."""
+    mon = qe.q_sequential_ab(spark, sf_dir).orderBy("day").collect()
+    assert len(mon) >= 2
+    last = mon[-1]
+    fixed = qe.q_ab_test(spark, sf_dir).collect()[0]
+    assert (last.c_a, last.c_b) == (fixed.c_a, fixed.c_b)
+    assert (last.n_a, last.n_b) == (fixed.n_a, fixed.n_b)
+    assert abs(last.z_stat - fixed.z_stat) < 1e-12
+    assert abs(last.boundary - qe._SEQ_C) < 1e-12
+    # cumulative counts are nondecreasing day over day
+    for prev, cur in zip(mon, mon[1:]):
+        assert cur.c_a >= prev.c_a and cur.c_b >= prev.c_b

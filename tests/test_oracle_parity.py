@@ -93,6 +93,7 @@ _PRODUCT_OK = {
     "q_bootstrap_ci",       # 1-row CI x broadcast 1-row point-estimate scalar
     "q_mann_whitney",       # 1-row rank sums x broadcast 1-row tie-term scalar
     "q_kmv_intersect",      # 1-row sketch stats x broadcast 1-row exact counts
+    "q_sequential_ab",      # day rollup x broadcast 1-row arm-totals scalar
 }
 
 
@@ -115,6 +116,7 @@ _GLOBAL_WINDOW_OK = {
     "q_psi": "fixed-width value buckets (bounded domain)",
     "q_quantile_sketch": "~100-bucket mergeable histogram (bounded domain)",
     "q_stream_quantile": "~100-bucket mergeable histogram (bounded domain)",
+    "q_sequential_ab": "cumulative window over the daily enrollment rollup (bounded by the day domain)",
 }
 
 
