@@ -771,3 +771,53 @@ def span_coverage(
             "coverage"
         ),
     )
+
+
+def repeated_spans_lookup(
+    new_docs: DataFrame,
+    index_grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 12,
+    df_cap: int = 50,
+) -> DataFrame:
+    """INCREMENTAL substring dedup: maximal repeated spans between a NEW
+    batch and an already-indexed corpus, without re-tokenizing the
+    corpus — the daily-ingest shape of :func:`repeated_spans` (same
+    anchors, same diagonal islands), with ``index_grams`` the persisted
+    (id, pos, h) posting table from :func:`gram_hash_positions`.
+
+    Shuffle volume is O(batch grams + matched postings), never
+    O(corpus): the batch side is hashed and joined against the index on
+    the 8-byte gram hash; index grams hotter than ``df_cap`` are dropped
+    first (the boilerplate bound — a hot gram would fan every batch
+    occurrence out to its full posting list). Emits (new_id, corpus_id,
+    start_new, start_corpus, span_tokens) for spans >= min_span."""
+    hot = (
+        index_grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .select("h")
+    )
+    ix = index_grams.join(hot, "h").select(
+        F.col(id_col).alias("corpus_id"), F.col("pos").alias("pos_c"), "h"
+    )
+    nb = gram_hash_positions(new_docs, text_col, id_col, k).select(
+        F.col(id_col).alias("new_id"), F.col("pos").alias("pos_n"), "h"
+    )
+    pairs = nb.join(ix, "h")
+    w = Window.partitionBy(
+        "new_id", "corpus_id", F.col("pos_n") - F.col("pos_c")
+    ).orderBy("pos_n")
+    runs = pairs.withColumn("_isl", F.col("pos_n") - F.row_number().over(w))
+    return (
+        runs.groupBy("new_id", "corpus_id", F.col("pos_n") - F.col("pos_c"), "_isl")
+        .agg(
+            F.min("pos_n").cast("bigint").alias("start_new"),
+            F.min("pos_c").cast("bigint").alias("start_corpus"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_span)
+        .select("new_id", "corpus_id", "start_new", "start_corpus", "span_tokens")
+    )

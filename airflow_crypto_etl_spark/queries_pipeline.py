@@ -513,3 +513,53 @@ FROM covered c JOIN toks t USING (doc_id)
 
 QUERIES_PIPELINE["q_dedup_span_coverage"] = q_dedup_span_coverage
 ORACLE_PIPELINE["q_dedup_span_coverage"] = ORACLE_DEDUP_SPAN_COVERAGE
+
+
+def q_dedup_spans_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup: a new batch (id-shifted corpus
+    copies, so every new doc has a known full-length match) against the
+    persisted gram-posting index — corpus touched only through its
+    (id, pos, h) postings; shuffle O(batch + matched). Cache: the
+    posting table feeds both the hot-gram bound and the anchor join."""
+    docs = _t(spark, sf_dir, "documents")
+    index_grams = dd.register_cache(
+        dd.gram_hash_positions(docs, k=_SPAN_K)
+    )
+    batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return dd.repeated_spans_lookup(
+        batch,
+        index_grams,
+        k=_SPAN_K,
+        min_span=_SPAN_MIN,
+        df_cap=_SPAN_DF_CAP,
+    )
+
+
+ORACLE_DEDUP_SPANS_INC = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+th AS (SELECT doc_id, list_transform(toks, t -> {char_hash_sql('t')}) AS hs FROM toks),
+grams AS (
+  SELECT doc_id, g.pos AS pos,
+         list_reduce(hs[g.pos+1:g.pos+{_SPAN_K}],
+                     (a, x) -> (a*31 + x) % {1 << 30}) AS h
+  FROM th, LATERAL (SELECT unnest(range(0, greatest(len(hs) - {_SPAN_K - 1}, 0))) AS pos) g),
+idx AS (
+  SELECT doc_id AS corpus_id, pos AS pos_c, h FROM grams
+  WHERE h IN (SELECT h FROM grams GROUP BY h HAVING count(*) <= {_SPAN_DF_CAP})),
+nb AS (SELECT doc_id + 1000000 AS new_id, pos AS pos_n, h FROM grams),
+pairs AS (
+  SELECT new_id, corpus_id, pos_n, pos_c FROM nb JOIN idx USING (h)),
+isl AS (
+  SELECT new_id, corpus_id, pos_n, pos_c, pos_n - pos_c AS diag,
+         pos_n - row_number() OVER (PARTITION BY new_id, corpus_id, pos_n - pos_c
+                                    ORDER BY pos_n) AS i
+  FROM pairs)
+SELECT new_id, corpus_id, CAST(min(pos_n) AS BIGINT) AS start_new,
+       CAST(min(pos_c) AS BIGINT) AS start_corpus,
+       count(*) + {_SPAN_K - 1} AS span_tokens
+FROM isl GROUP BY new_id, corpus_id, diag, i
+HAVING count(*) + {_SPAN_K - 1} >= {_SPAN_MIN}
+"""
+
+QUERIES_PIPELINE["q_dedup_spans_inc"] = q_dedup_spans_inc
+ORACLE_PIPELINE["q_dedup_spans_inc"] = ORACLE_DEDUP_SPANS_INC

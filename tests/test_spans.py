@@ -103,3 +103,37 @@ def test_image_dhash_identical_images_collide(spark):
         r.phash for r in mm.image_dhash(mm.attach_ppm_payload(ids)).collect()
     ]
     assert hashes[0] == hashes[1]
+
+
+def test_spans_lookup_finds_full_twin(spark):
+    corpus = _corpus(spark)
+    index = dd.gram_hash_positions(corpus, k=8)
+    # batch re-ingests doc 1 under a new id
+    batch = corpus.where("doc_id = 1").selectExpr("doc_id + 100 AS doc_id", "text")
+    out = dd.repeated_spans_lookup(batch, index, k=8, min_span=12).collect()
+    by_pair = {(r.new_id, r.corpus_id): r for r in out}
+    # the twin match covers the WHOLE doc (20 tokens), from position 0
+    twin = by_pair[(101, 1)]
+    assert twin.span_tokens == 20
+    assert (twin.start_new, twin.start_corpus) == (0, 0)
+    # and the batch doc also matches doc 2 on the 15-token shared span
+    cross = by_pair[(101, 2)]
+    assert cross.span_tokens == 15
+    assert (cross.start_new, cross.start_corpus) == (3, 1)
+    assert set(by_pair) == {(101, 1), (101, 2)}
+
+
+def test_spans_lookup_df_cap_bounds_hot_grams(spark):
+    # every corpus doc contains the same 15-token span: with df_cap=2
+    # the index drops those postings entirely, so a batch doc matching
+    # ONLY via the hot span finds nothing
+    rows = [(i, f"x{i} {SHARED} w{i}") for i in range(3)]
+    corpus = _corpus(spark).sparkSession.createDataFrame(
+        rows, "doc_id long, text string"
+    )
+    index = dd.gram_hash_positions(corpus, k=8)
+    batch = corpus.sparkSession.createDataFrame(
+        [(100, f"q1 {SHARED} q2")], "doc_id long, text string"
+    )
+    assert dd.repeated_spans_lookup(batch, index, k=8, min_span=12, df_cap=2).count() == 0
+    assert dd.repeated_spans_lookup(batch, index, k=8, min_span=12, df_cap=50).count() == 3
