@@ -642,15 +642,28 @@ def gram_hash_positions(
     positions are the point). Token hashes fold once per token, then the
     k hashes combine arithmetically (acc*31 + h mod 2^30), exactly the
     shingle_hashes_sql recurrence, so DuckDB's list_reduce over the same
-    slice reproduces every value bit-for-bit."""
-    th = f"transform({_tokens_sql(text_col)}, t -> {_char_hash_sql('t')})"
-    m = f"greatest(size({th}) - {k - 1}, 0)"
-    out = f"slice({th}, 1, {m})"
+    slice reproduces every value bit-for-bit.
+
+    The token-hash array materializes ONCE in its own projection and the
+    k-gram fold indexes into it (element_at), instead of the zip_with
+    slice-ladder shingle_hashes_sql uses: at k = 8 that ladder embeds
+    the tokenize+char-hash subtree 8 times, and plan construction +
+    codegen of the resulting tree cost more than running the query."""
+    fold = "element_at(_th, p)"
     for j in range(1, k):
-        out = f"zip_with({out}, slice({th}, {1 + j}, {m}), (x, y) -> (x * 31 + y) % {CHAR_MOD})"
+        fold = f"(({fold}) * 31 + element_at(_th, p + {j})) % {CHAR_MOD}"
     ok = _spread(docs).filter(F.expr(f"size({_tokens_sql(text_col)}) >= {k}"))
-    return ok.select(
-        F.col(id_col), F.posexplode(F.expr(out)).alias("pos", "h")
+    hashed = ok.select(
+        F.col(id_col),
+        F.expr(f"transform({_tokens_sql(text_col)}, t -> {_char_hash_sql('t')})").alias(
+            "_th"
+        ),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"transform(sequence(1, size(_th) - {k - 1}), p -> {fold})")
+        ).alias("pos", "h"),
     )
 
 

@@ -89,6 +89,10 @@ HEADLINE = [
     "q_stream_gram",
     "q_holt",
     "q_attribution",
+    # round-6 late additions: substring dedup (posting build + anchor
+    # join + diagonal islands) and the decoded-pixel perceptual hash
+    "q_dedup_spans",
+    "q_image_dedup_phash",
 ]
 
 

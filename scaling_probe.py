@@ -161,6 +161,14 @@ def main() -> None:
         # defect. (The pair join itself is an equi-join on buckets —
         # test_plans asserts the shape.)
         "minhash_signatures": lambda d: dd.minhash_signatures(d),
+        # substring-dedup postings build (r6): tokenize → token hash →
+        # k-gram fold → posexplode; the per-doc LINEAR stage of
+        # repeated_spans. The pair stage is NOT probed under copy
+        # inflation for the same reason as minhash: n× copies create
+        # quadratically more TRUE repeated spans — output growth, not
+        # a plan defect (the anchor join is hash-bucketed and df-capped;
+        # spans_lookup below probes the index-growth direction).
+        "gram_postings": lambda d: dd.gram_hash_positions(d),
         # bucketed running-sum packing: per-bucket windows, linear rows
         "pack_sequences": lambda d: lp.pack_sequences(d, capacity=512),
         # broadcast benchmark shingle index: corpus-side map join,
@@ -485,6 +493,29 @@ def main() -> None:
         t0 = time.perf_counter(); tsx.bollinger(closes).count(); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); tsx.bollinger(long_closes).count(); tn = time.perf_counter() - t0
         results["bollinger_long_series"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # Incremental span lookup (r6): FIXED 50-doc batch vs a 1×/N×
+    # posting index — the daily-ingest direction. Matched postings (and
+    # so output spans) grow ~N because every index copy matches the
+    # batch; the claim under probe is that the join cost rides matched
+    # volume (O(batch + matched)), never the index row count beyond the
+    # hot-gram count pass — ratio must stay ~N, not N².
+    if want("spans_lookup"):
+        batch = docs.limit(50).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        )
+        big_docs = inflate(docs, ["doc_id"], INFLATE)
+
+        def spans_lookup_case(corpus: DataFrame) -> DataFrame:
+            ix = dd.gram_hash_positions(corpus)
+            return dd.repeated_spans_lookup(batch, ix, min_span=12, df_cap=50 * INFLATE)
+
+        spans_lookup_case(docs).count()  # warm
+        t0 = time.perf_counter(); spans_lookup_case(docs).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); spans_lookup_case(big_docs).count(); tn = time.perf_counter() - t0
+        results["spans_lookup"] = {
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
