@@ -1864,3 +1864,40 @@ FROM ph GROUP BY phash HAVING count(*) >= 2
 
 QUERIES_EXT["q_image_dedup_phash"] = q_image_dedup_phash
 ORACLE_EXT["q_image_dedup_phash"] = ORACLE_IMAGE_DEDUP_PHASH
+
+
+def q_stream_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image near-dedup: decode + perceptual-hash on the
+    document stream, one admitted exemplar per hash class (see
+    streaming/windows.streaming_phash_dedup). Emitted hash set equals
+    the batch DISTINCT of the same kernel, so fully oracle-checked."""
+    from .streaming.windows import streaming_phash_dedup
+
+    return streaming_phash_dedup(spark, sf_dir)
+
+
+ORACLE_STREAM_PHASH = """
+WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+ss AS (
+  SELECT doc_id, w, h,
+    list_transform(range(0, h), y -> list_transform(range(0, w), x ->
+       ((doc_id + 3*(y*w + x)) % 256) + ((doc_id + 3*(y*w + x) + 1) % 256)
+       + ((doc_id + 3*(y*w + x) + 2) % 256))) AS sm,
+    list_transform(range(0, 5), i -> CAST(floor(i*w/5.0) AS BIGINT)) AS xs,
+    list_transform(range(0, 4), j -> CAST(floor(j*h/4.0) AS BIGINT)) AS ys
+  FROM g),
+bits AS (
+  SELECT doc_id,
+    list_concat(
+      flatten(list_transform(range(0, 4), j -> list_transform(range(0, 4), i ->
+        CASE WHEN sm[ys[j+1]+1][xs[i+2]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END))),
+      flatten(list_transform(range(0, 3), j -> list_transform(range(0, 5), i ->
+        CASE WHEN sm[ys[j+2]+1][xs[i+1]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END)))
+    ) AS bl
+  FROM ss)
+SELECT DISTINCT list_reduce(list_prepend(0::BIGINT, bl), (a, x) -> a*2 + x) AS phash
+FROM bits
+"""
+
+QUERIES_EXT["q_stream_phash"] = q_stream_phash
+ORACLE_EXT["q_stream_phash"] = ORACLE_STREAM_PHASH

@@ -59,6 +59,47 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _restore_nanos_timestamps(raw)
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as an unbounded stream (file source) — same layout
+    branching as :func:`stream_events`, no timestamp surgery (the
+    table has none)."""
+    apply_runtime_confs(spark)
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    batch_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(batch_schema).parquet(path)
+    return (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming image near-dedup at ingest: the document stream gets
+    its P6 payload attached and REAL-decoded to the 31-bit perceptual
+    dHash (operators/multimodal.image_dhash runs unchanged on the
+    micro-batches — mapInPandas is stream-capable), then
+    dropDuplicates on the hash admits one exemplar per perceptual
+    class. The emitted SET of hashes is order-independent, so it is
+    oracle-comparable even though which doc arrived first is not.
+
+    State note: the dedup index IS the state — global image dedup
+    cannot expire keys (a duplicate may recur arbitrarily late), so
+    state grows with the number of DISTINCT images, not the stream
+    length; at 100 TB that is the same (hash, ) footprint the batch
+    groupBy carries."""
+    from ..operators import multimodal as mm
+
+    docs = stream_documents(spark, sf_dir).select("doc_id")
+    hashed = mm.image_dhash(mm.attach_ppm_payload(docs))
+    return run_available_now(
+        hashed.select("phash").dropDuplicates(["phash"]), "append"
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "complete",
