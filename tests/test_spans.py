@@ -137,3 +137,31 @@ def test_spans_lookup_df_cap_bounds_hot_grams(spark):
     )
     assert dd.repeated_spans_lookup(batch, index, k=8, min_span=12, df_cap=2).count() == 0
     assert dd.repeated_spans_lookup(batch, index, k=8, min_span=12, df_cap=50).count() == 3
+
+
+def _ppm_bytes(px: list[int], w: int, h: int) -> bytes:
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(px)
+
+
+def test_image_dhash_is_perceptual(spark):
+    """Brightness shift (+15) and exact contrast doubling (x2, no
+    clamp, no rounding) preserve the ORDER of every pair of grayscale
+    sums, so the difference hash must be invariant — the property that
+    makes it a near-dup detector rather than a checksum. (Pixels stay
+    in [40, 120] so neither transform wraps or clamps.)"""
+    import random
+
+    rows = []
+    rng = random.Random(42)
+    for i in range(5):
+        w, h = rng.randint(4, 9), rng.randint(4, 8)
+        px = [rng.randint(40, 120) for _ in range(w * h * 3)]
+        rows.append((i * 10 + 0, _ppm_bytes(px, w, h)))
+        rows.append((i * 10 + 1, _ppm_bytes([p + 15 for p in px], w, h)))
+        rows.append((i * 10 + 2, _ppm_bytes([p * 2 for p in px], w, h)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.phash for r in mm.image_dhash(df).collect()}
+    for i in range(5):
+        base = got[i * 10]
+        assert got[i * 10 + 1] == base, "brightness shift changed the hash"
+        assert got[i * 10 + 2] == base, "contrast scale changed the hash"
