@@ -165,3 +165,61 @@ def test_image_dhash_is_perceptual(spark):
         base = got[i * 10]
         assert got[i * 10 + 1] == base, "brightness shift changed the hash"
         assert got[i * 10 + 2] == base, "contrast scale changed the hash"
+
+
+# ---------------------------------------------------------------------------
+# Property: repeated_spans == brute-force maximal common token runs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DOC = st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=30)
+_CORPUS = st.lists(_DOC, min_size=2, max_size=5)
+
+
+def _ref_spans(docs: dict, k: int, min_span: int, df_cap: int):
+    """Brute-force reference: df-capped k-gram anchors, grouped into
+    consecutive runs per (pair, diagonal) — the operator's contract."""
+    posts: dict = {}
+    for i, toks in docs.items():
+        for p in range(len(toks) - k + 1):
+            posts.setdefault(tuple(toks[p : p + k]), []).append((i, p))
+    anchors = {g: ps for g, ps in posts.items() if 2 <= len(ps) <= df_cap}
+    by_diag: dict = {}
+    for ps in anchors.values():
+        for ai, ap in ps:
+            for bi, bp in ps:
+                if ai < bi:
+                    by_diag.setdefault((ai, bi, ap - bp), []).append(ap)
+    out = set()
+    for (a, b, diag), positions in by_diag.items():
+        positions = sorted(set(positions))
+        run_start = positions[0]
+        prev = positions[0]
+        for p in positions[1:] + [None]:
+            if p is None or p != prev + 1:
+                span = prev - run_start + k
+                if span >= min_span:
+                    out.add((a, b, run_start, run_start - diag, span))
+                if p is not None:
+                    run_start = p
+            prev = p if p is not None else prev
+    return out
+
+
+@given(corpus=_CORPUS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_repeated_spans_matches_bruteforce(spark, corpus):
+    docs = {i: toks for i, toks in enumerate(corpus)}
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in dd.repeated_spans(df, k=8, min_span=10, df_cap=50).collect()
+    }
+    assert got == _ref_spans(docs, k=8, min_span=10, df_cap=50)
