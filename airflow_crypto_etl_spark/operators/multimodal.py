@@ -849,32 +849,60 @@ DHASH_GX = 5  # sample-grid columns (4 horizontal gradients per row)
 DHASH_GY = 4  # sample-grid rows    (3 vertical gradients per column)
 
 
+def _decode_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, n_components, raw interleaved pixel bytes) from
+    any of the four native kernels, dispatched on magic bytes — the
+    pixel-level twin of decode_payload's stats dispatch."""
+    if b[:2] == b"P6":
+        w, h, _maxval, off = _parse_ppm_header(b)
+        raw = b[off : off + w * h * 3]
+        if len(raw) != w * h * 3:
+            raise ValueError("truncated P6 pixel buffer")
+        return w, h, 3, raw
+    if b[:8] == _PNG_SIG:
+        w, h, _depth, ctype, raw = _decode_png_bytes(b)
+        return w, h, {0: 1, 2: 3, 6: 4}[ctype], raw
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_bytes
+
+        return decode_jpeg_bytes(b)
+    if b[:4] == b"GIF8":
+        from .gif import decode_gif_bytes
+
+        w, h, rgb = decode_gif_bytes(b)
+        return w, h, 3, rgb
+    raise ValueError(f"unsupported image payload (magic {b[:4]!r})")
+
+
 def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """31-bit perceptual difference-hash from decoded P6 pixels.
+    """31-bit perceptual difference-hash from REAL decoded pixels —
+    format-agnostic: the payload dispatches on magic bytes to the
+    native PPM / PNG / baseline-JPEG / GIF kernels, so the same image
+    stored in different containers hashes identically.
 
     The image is sampled on a fixed 5x4 grid (nearest-lower pixel:
     x_i = floor(i*w/5), y_j = floor(j*h/4)) so images of different
     sizes land in one hash space; each sample's GRAYSCALE is the exact
-    integer R+G+B sum (no float until never — the hash is pure integer
-    comparisons). Bits, MSB-first: 4x4 horizontal gradient signs
+    integer sum of its first ≤3 channel bytes (alpha excluded, no
+    float anywhere — the hash is pure integer comparisons, so gradient
+    signs are invariant under brightness shift and contrast scaling).
+    Bits, MSB-first: 4x4 horizontal gradient signs
     (s[x_{i+1},y_j] > s[x_i,y_j], row-major), then 3x5 vertical signs.
     Arrow-batched mapInPandas over the binary column — embarrassingly
     parallel, 8-byte outputs; the downstream dedup groupBy shuffles
     (id, phash) pairs only, never pixels."""
-    parse_header = _parse_ppm_header
     gx, gy = DHASH_GX, DHASH_GY
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, b in zip(pdf[id_col], pdf["payload"]):
-                data = bytes(b)
-                w, h, _maxval, off = parse_header(data)
-                px = data[off : off + w * h * 3]
+                w, h, nc, raw = _decode_pixels(bytes(b))
+                use = min(nc, 3)
 
                 def s(x: int, y: int) -> int:
-                    p = 3 * (y * w + x)
-                    return px[p] + px[p + 1] + px[p + 2]
+                    p = nc * (y * w + x)
+                    return sum(raw[p : p + use])
 
                 xs = [(i * w) // gx for i in range(gx)]
                 ys = [(j * h) // gy for j in range(gy)]

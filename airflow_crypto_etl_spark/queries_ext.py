@@ -1901,3 +1901,91 @@ FROM bits
 
 QUERIES_EXT["q_stream_phash"] = q_stream_phash
 ORACLE_EXT["q_stream_phash"] = ORACLE_STREAM_PHASH
+
+
+# ---------------------------------------------------------------------------
+# Cross-container perceptual-hash invariance: the SAME image stored as
+# PPM and as PNG (identical generator pixels, two entirely different
+# decode paths — header parse vs inflate+de-filter) must hash
+# identically, while JPEG/GIF payloads (different generator content)
+# hash through the same dispatch. This is the multi-format image dedup
+# story: container format does not defeat near-dup detection.
+# ---------------------------------------------------------------------------
+
+
+def _dhash_formula_cte(wexpr: str, hexpr: str, sumexpr: str) -> str:
+    """DuckDB dHash of a generator-formula image: pixel-sum lambda
+    ``sumexpr`` over (doc_id, w, h, x, y) — the SQL twin of
+    operators/multimodal.image_dhash's grid/bit conventions."""
+    return f"""(
+  SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_concat(
+      flatten(list_transform(range(0, 4), j -> list_transform(range(0, 4), i ->
+        CASE WHEN sm[ys[j+1]+1][xs[i+2]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END))),
+      flatten(list_transform(range(0, 3), j -> list_transform(range(0, 5), i ->
+        CASE WHEN sm[ys[j+2]+1][xs[i+1]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END)))
+    )), (a, x) -> a*2 + x) AS phash
+  FROM (
+    SELECT doc_id,
+      list_transform(range(0, h), y -> list_transform(range(0, w), x -> {sumexpr})) AS sm,
+      list_transform(range(0, 5), i -> CAST(floor(i*w/5.0) AS BIGINT)) AS xs,
+      list_transform(range(0, 4), j -> CAST(floor(j*h/4.0) AS BIGINT)) AS ys
+    FROM (SELECT doc_id, {wexpr} AS w, {hexpr} AS h FROM documents) g_))"""
+
+
+_SUM_RGB_RAMP = (
+    "((doc_id + 3*(y*w + x)) % 256) + ((doc_id + 3*(y*w + x) + 1) % 256)"
+    " + ((doc_id + 3*(y*w + x) + 2) % 256)"
+)
+_SUM_JPEG = "2 * ((doc_id*7 + (y//8)*5 + (x//8)*3) % 128)"
+_SUM_GIF = (
+    "3 * ((doc_id*31 + 17*(y*w + x)*(y*w + x) + 13*(y*w + x)) % 256)"
+)
+
+
+def q_image_phash_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc's image hashed through all four container formats via
+    the ONE dispatching kernel: PPM and PNG carry identical pixels
+    (container_invariant must be 1 everywhere — PNG's
+    inflate+de-filter path must reproduce the PPM bytes exactly for
+    the gradient signs to agree), JPEG/GIF carry their own generator
+    content. Four doc_id equi-joins of 8-byte hash tables."""
+    from .operators import gif as gf
+
+    d = _docs(spark, sf_dir)
+    ppm = mm.image_dhash(mm.attach_ppm_payload(d)).withColumnRenamed(
+        "phash", "phash_ppm"
+    )
+    png = mm.image_dhash(mm.attach_png_payload(d)).withColumnRenamed(
+        "phash", "phash_png"
+    )
+    jpg = mm.image_dhash(jp.attach_jpeg_payload(d)).withColumnRenamed(
+        "phash", "phash_jpeg"
+    )
+    gif = mm.image_dhash(gf.attach_gif_payload(d)).withColumnRenamed(
+        "phash", "phash_gif"
+    )
+    out = ppm.join(png, "doc_id").join(jpg, "doc_id").join(gif, "doc_id")
+    return out.select(
+        "doc_id",
+        "phash_ppm",
+        "phash_png",
+        "phash_jpeg",
+        "phash_gif",
+        (F.col("phash_ppm") == F.col("phash_png")).cast("int").alias(
+            "container_invariant"
+        ),
+    )
+
+
+ORACLE_IMAGE_PHASH_MULTIFORMAT = f"""
+WITH ppm AS {_dhash_formula_cte("4 + doc_id % 5", "3 + doc_id % 4", _SUM_RGB_RAMP)},
+jpg AS {_dhash_formula_cte("8 * (1 + doc_id % 3)", "8 * (1 + doc_id % 2)", _SUM_JPEG)},
+gif AS {_dhash_formula_cte("24 + doc_id % 7", "30 + doc_id % 5", _SUM_GIF)}
+SELECT p.doc_id, p.phash AS phash_ppm, p.phash AS phash_png,
+       j.phash AS phash_jpeg, g.phash AS phash_gif,
+       CAST(1 AS INT) AS container_invariant
+FROM ppm p JOIN jpg j USING (doc_id) JOIN gif g USING (doc_id)
+"""
+
+QUERIES_EXT["q_image_phash_multiformat"] = q_image_phash_multiformat
+ORACLE_EXT["q_image_phash_multiformat"] = ORACLE_IMAGE_PHASH_MULTIFORMAT
