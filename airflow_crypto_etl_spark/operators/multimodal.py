@@ -891,32 +891,65 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Arrow-batched mapInPandas over the binary column — embarrassingly
     parallel, 8-byte outputs; the downstream dedup groupBy shuffles
     (id, phash) pairs only, never pixels."""
-    gx, gy = DHASH_GX, DHASH_GY
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
-                w, h, nc, raw = _decode_pixels(bytes(b))
-                use = min(nc, 3)
-
-                def s(x: int, y: int) -> int:
-                    p = nc * (y * w + x)
-                    return sum(raw[p : p + use])
-
-                xs = [(i * w) // gx for i in range(gx)]
-                ys = [(j * h) // gy for j in range(gy)]
-                bits = []
-                for j in range(gy):
-                    for i in range(gx - 1):
-                        bits.append(1 if s(xs[i + 1], ys[j]) > s(xs[i], ys[j]) else 0)
-                for j in range(gy - 1):
-                    for i in range(gx):
-                        bits.append(1 if s(xs[i], ys[j + 1]) > s(xs[i], ys[j]) else 0)
-                ph = 0
-                for bit in bits:
-                    ph = ph * 2 + bit
-                rows.append((doc_id, ph))
+            rows = [
+                (doc_id, _dhash_pixels(*_decode_pixels(bytes(b))))
+                for doc_id, b in zip(pdf[id_col], pdf["payload"])
+            ]
             yield pd.DataFrame(rows, columns=[id_col, "phash"])
 
     return df.mapInPandas(batches, f"{id_col} long, phash long")
+
+
+def _dhash_pixels(w: int, h: int, nc: int, raw: bytes) -> int:
+    """The 31-bit gradient hash of one decoded pixel buffer (the kernel
+    image_dhash and video_phash share)."""
+    gx, gy = DHASH_GX, DHASH_GY
+    use = min(nc, 3)
+
+    def s(x: int, y: int) -> int:
+        p = nc * (y * w + x)
+        return sum(raw[p : p + use])
+
+    xs = [(i * w) // gx for i in range(gx)]
+    ys = [(j * h) // gy for j in range(gy)]
+    bits = []
+    for j in range(gy):
+        for i in range(gx - 1):
+            bits.append(1 if s(xs[i + 1], ys[j]) > s(xs[i], ys[j]) else 0)
+    for j in range(gy - 1):
+        for i in range(gx):
+            bits.append(1 if s(xs[i], ys[j + 1]) > s(xs[i], ys[j]) else 0)
+    ph = 0
+    for bit in bits:
+        ph = ph * 2 + bit
+    return ph
+
+
+def video_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-video perceptual signature: every '00dc' frame REAL-decodes
+    through the native JPEG kernel and dHashes on the same 5x4 grid as
+    image_dhash; the signature folds the frame hashes IN FRAME ORDER
+    (acc·31 + h mod 2^30 — the char_hash recurrence lifted to frames,
+    so reordered or trimmed videos hash differently while re-encoded
+    identical content hashes the same). Emits (id, n_frames, vhash);
+    grouping on vhash downstream shuffles 8-byte signatures, never
+    frames."""
+    from ..functions.hashing import CHAR_MOD
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg_bytes
+
+        for pdf in it:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf["payload"]):
+                vh, n = 0, 0
+                for fr in _avi_frames(bytes(b)):
+                    w, h, nc, raw = decode_jpeg_bytes(fr)
+                    vh = (vh * 31 + _dhash_pixels(w, h, nc, raw)) % CHAR_MOD
+                    n += 1
+                rows.append((doc_id, n, vh))
+            yield pd.DataFrame(rows, columns=[id_col, "n_frames", "vhash"])
+
+    return df.mapInPandas(batches, f"{id_col} long, n_frames int, vhash long")

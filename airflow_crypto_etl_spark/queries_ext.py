@@ -1989,3 +1989,57 @@ FROM ppm p JOIN jpg j USING (doc_id) JOIN gif g USING (doc_id)
 
 QUERIES_EXT["q_image_phash_multiformat"] = q_image_phash_multiformat
 ORACLE_EXT["q_image_phash_multiformat"] = ORACLE_IMAGE_PHASH_MULTIFORMAT
+
+
+# ---------------------------------------------------------------------------
+# Video near-dedup: per-frame perceptual hashes folded IN ORDER into a
+# per-video signature (the image-dedup story lifted to the video
+# modality — container walk + real JPEG decode + gradient hash per
+# frame). The oracle re-derives every frame hash from the MJPEG
+# generator formula (frame f of doc d seeds the constant-block JPEG at
+# d + 97f) and folds them with the same recurrence.
+# ---------------------------------------------------------------------------
+
+
+def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video perceptual signature + duplicate-class size: frames
+    decode through the native JPEG kernel, dHash on the image grid,
+    fold in frame order (operators/multimodal.video_phash). The class
+    join shuffles 8-byte signatures only."""
+    d = _docs(spark, sf_dir)
+    sig = mm.video_phash(mm.attach_avi_payload(d))
+    cls = sig.groupBy("vhash").agg(F.count(F.lit(1)).alias("class_size"))
+    return sig.join(cls, "vhash").select("doc_id", "n_frames", "vhash", "class_size")
+
+
+ORACLE_VIDEO_PHASH_DEDUP = """
+WITH fr AS (
+  SELECT doc_id, fx.f AS f, 8*(1 + doc_id % 3) AS w, 8*(1 + doc_id % 2) AS h
+  FROM documents, LATERAL (SELECT unnest(range(0, 2 + doc_id % 4)) AS f) fx),
+grids AS (
+  SELECT doc_id, f,
+    list_transform(range(0, h), y -> list_transform(range(0, w), x ->
+      2 * (((doc_id + 97*f)*7 + (y//8)*5 + (x//8)*3) % 128))) AS sm,
+    list_transform(range(0, 5), i -> CAST(floor(i*w/5.0) AS BIGINT)) AS xs,
+    list_transform(range(0, 4), j -> CAST(floor(j*h/4.0) AS BIGINT)) AS ys
+  FROM fr),
+fh AS (
+  SELECT doc_id, f, list_reduce(list_prepend(0::BIGINT, list_concat(
+      flatten(list_transform(range(0, 4), j -> list_transform(range(0, 4), i ->
+        CASE WHEN sm[ys[j+1]+1][xs[i+2]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END))),
+      flatten(list_transform(range(0, 3), j -> list_transform(range(0, 5), i ->
+        CASE WHEN sm[ys[j+2]+1][xs[i+1]+1] > sm[ys[j+1]+1][xs[i+1]+1] THEN 1 ELSE 0 END)))
+    )), (a, x) -> a*2 + x) AS fhash
+  FROM grids),
+sig AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+    list_reduce(list_prepend(0::BIGINT, list(fhash ORDER BY f)),
+                (a, x) -> (a*31 + x) % 1073741824) AS vhash
+  FROM fh GROUP BY doc_id),
+cls AS (SELECT vhash, CAST(count(*) AS BIGINT) AS class_size FROM sig GROUP BY vhash)
+SELECT s.doc_id, s.n_frames, s.vhash, c.class_size
+FROM sig s JOIN cls c USING (vhash)
+"""
+
+QUERIES_EXT["q_video_phash_dedup"] = q_video_phash_dedup
+ORACLE_EXT["q_video_phash_dedup"] = ORACLE_VIDEO_PHASH_DEDUP

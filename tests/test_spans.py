@@ -223,3 +223,45 @@ def test_repeated_spans_matches_bruteforce(spark, corpus):
         for r in dd.repeated_spans(df, k=8, min_span=10, df_cap=50).collect()
     }
     assert got == _ref_spans(docs, k=8, min_span=10, df_cap=50)
+
+
+def test_video_phash_matches_generator_formula(spark):
+    """Frame f of doc d is the constant-block JPEG seeded d + 97f:
+    recompute every frame's dHash from that formula and fold in frame
+    order — any frame mis-order, dropped frame, or decode drift in the
+    operator chain (RIFF walk -> JPEG kernel -> grid hash -> fold)
+    breaks equality."""
+    CHAR_MOD = 1 << 30
+
+    def frame_hash(seed, w, h):
+        def s(x, y):
+            return 2 * (((seed) * 7 + (y // 8) * 5 + (x // 8) * 3) % 128)
+
+        xs = [(i * w) // 5 for i in range(5)]
+        ys = [(j * h) // 4 for j in range(4)]
+        bits = []
+        for j in range(4):
+            for i in range(4):
+                bits.append(1 if s(xs[i + 1], ys[j]) > s(xs[i], ys[j]) else 0)
+        for j in range(3):
+            for i in range(5):
+                bits.append(1 if s(xs[i], ys[j + 1]) > s(xs[i], ys[j]) else 0)
+        ph = 0
+        for b in bits:
+            ph = ph * 2 + b
+        return ph
+
+    def ref(d):
+        n = 2 + d % 4
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        vh = 0
+        for f in range(n):
+            vh = (vh * 31 + frame_hash(d + 97 * f, w, h)) % CHAR_MOD
+        return n, vh
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    got = {
+        r.doc_id: (r.n_frames, r.vhash)
+        for r in mm.video_phash(mm.attach_avi_payload(ids)).collect()
+    }
+    assert got == {d: ref(d) for d in range(8)}
