@@ -27,6 +27,7 @@ from airflow_crypto_etl_spark.operators import cdc as cdc_ops
 from airflow_crypto_etl_spark.operators import dedup as dd
 from airflow_crypto_etl_spark.operators import joins as join_ops
 from airflow_crypto_etl_spark.operators import jpeg as jp
+from airflow_crypto_etl_spark.operators import multimodal as _mm
 from airflow_crypto_etl_spark.operators import llm_prep as lp
 from airflow_crypto_etl_spark.operators import similarity as sim
 from airflow_crypto_etl_spark.operators import timeseries as tsx
@@ -189,6 +190,10 @@ def main() -> None:
         # Baseline JPEG decode (r5): Arrow-batched mapInPandas, per-doc
         # Huffman+IDCT — embarrassingly parallel, ratio must stay ~N
         "jpeg_decode": lambda d: jp.decode_jpeg(jp.attach_jpeg_payload(d)),
+        # video perceptual signature (r6): container walk + per-frame
+        # JPEG decode + grid hash + ordered fold — embarrassingly
+        # parallel per payload, ratio must stay ~N
+        "video_phash": lambda d: _mm.video_phash(_mm.attach_avi_payload(d)),
         # BM25 scoring (r5-late): tokenize + explode is the linear
         # term; the df table is 3 terms (broadcast) and the corpus
         # stats are 1 row, so the ratio must stay ~N — a blow-up would
