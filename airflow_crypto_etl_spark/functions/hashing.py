@@ -29,6 +29,15 @@ CHAR_MOD = 1 << 30
 MERSENNE_P = (1 << 31) - 1
 KNUTH = 2654435761  # 2^32 / golden ratio
 
+# Gram-fold modulus for the span-dedup posting hashes: the LARGEST prime
+# M with 31*M + CHAR_MOD < 2^63, so one fold step (acc*31 + x with
+# acc < M, x < CHAR_MOD) never overflows int64 in either engine. 58-bit
+# space (vs CHAR_MOD's 30): at 10^12 grams the expected number of
+# colliding PAIRS is n^2/2M ~ 1.7e6 over the whole corpus — collisions
+# perturb df counts by at most that many postings instead of saturating
+# the space, as a 2^30 fold would at ~10^5 grams.
+GRAM_MOD = 297528130186484927
+
 
 def char_hash(col: str | Column) -> Column:
     """Spark: polynomial char hash of a string column (BIGINT < 2^30)."""

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import CHAR_MOD, KNUTH, MERSENNE_P
+from ..functions.hashing import CHAR_MOD, GRAM_MOD, KNUTH, MERSENNE_P
 
 # MinHash parameters: K signatures in B bands of R rows (K = B*R).
 MINHASH_K = 16
@@ -639,10 +639,13 @@ def gram_hash_positions(
 ) -> DataFrame:
     """(id, pos, h): the polynomial hash of the token k-gram starting at
     0-based token position ``pos``, one row per position (NOT distinct —
-    positions are the point). Token hashes fold once per token, then the
-    k hashes combine arithmetically (acc*31 + h mod 2^30), exactly the
-    shingle_hashes_sql recurrence, so DuckDB's list_reduce over the same
-    slice reproduces every value bit-for-bit.
+    positions are the point). Token hashes fold once per token (mod
+    CHAR_MOD = 2^30), then the k hashes combine arithmetically
+    (acc*31 + h mod GRAM_MOD, a 58-bit prime — the widest fold whose
+    step 31*acc + h stays int64-safe, so at corpus scale birthday
+    collisions perturb df counts instead of saturating a 2^30 space);
+    DuckDB's list_reduce over the same slice reproduces every value
+    bit-for-bit.
 
     The token-hash array materializes ONCE in its own projection and the
     k-gram fold indexes into it (element_at), instead of the zip_with
@@ -651,7 +654,7 @@ def gram_hash_positions(
     codegen of the resulting tree cost more than running the query."""
     fold = "element_at(_th, p)"
     for j in range(1, k):
-        fold = f"(({fold}) * 31 + element_at(_th, p + {j})) % {CHAR_MOD}"
+        fold = f"(({fold}) * 31 + element_at(_th, p + {j})) % {GRAM_MOD}"
     ok = _spread(docs).filter(F.expr(f"size({_tokens_sql(text_col)}) >= {k}"))
     hashed = ok.select(
         F.col(id_col),
@@ -686,8 +689,9 @@ def repeated_spans(
     within a run). A run of c consecutive shared k-grams certifies a
     shared span of c + k − 1 tokens.
 
-    Scale design: postings carry (id, pos, 8-byte hash) — never gram
-    strings; anchors with corpus frequency outside [2, df_cap] are
+    Scale design: postings carry (id, pos, hash) — an int64 holding a
+    58-bit gram hash (GRAM_MOD space; see gram_hash_positions), never
+    gram strings; anchors with corpus frequency outside [2, df_cap] are
     dropped before the self-join (singletons match nothing; boilerplate
     grams above the cap would quadratically blow the join — the same
     hot-key bound ngram_jaccard_pairs uses, and the Lee et al. pipeline
@@ -743,6 +747,18 @@ def span_coverage(
     earlier intervals; islands then sum to covered-token counts. Every
     window is partitioned by doc id — interval counts per doc are small
     (pairs a doc participates in), so state per key stays bounded.
+
+    Tie-proofing: intervals are DEDUPLICATED before the sweep (a doc
+    sharing the identical span with N partners contributes N copies of
+    one interval; duplicates are redundant to a union), which makes
+    ORDER BY (s, e) a TOTAL order within each doc partition. Without
+    it the island-open flag and the island running sum could see
+    different tie orders if an engine evaluated them in separate window
+    scans, double-counting the duplicate as a phantom island — exactly
+    the nondeterminism a tied two-scan DuckDB oracle exhibited. Spark
+    computes both in one WindowExec pass (self-consistent even with
+    ties), but correctness here must not depend on that physical detail.
+
     Returns (id, n_tokens, covered_tokens, coverage) for docs with at
     least one span."""
     spans = repeated_spans(docs, text_col, id_col, k, min_span, df_cap)
@@ -756,7 +772,7 @@ def span_coverage(
             F.col("start_b").alias("s"),
             (F.col("start_b") + F.col("span_tokens")).alias("e"),
         )
-    )
+    ).dropDuplicates([id_col, "s", "e"])
     ordered = Window.partitionBy(id_col).orderBy("s", "e")
     prev = ordered.rowsBetween(Window.unboundedPreceding, -1)
     isl = (
@@ -786,6 +802,14 @@ def span_coverage(
     )
 
 
+def gram_df(index_grams: DataFrame) -> DataFrame:
+    """(h, df): per-gram posting counts for a persisted index — compute
+    ONCE at index-build time and persist alongside the posting table so
+    every incremental batch skips the O(corpus-postings) count pass
+    (see :func:`repeated_spans_lookup`'s ``index_df``)."""
+    return index_grams.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+
+
 def repeated_spans_lookup(
     new_docs: DataFrame,
     index_grams: DataFrame,
@@ -794,6 +818,7 @@ def repeated_spans_lookup(
     k: int = 8,
     min_span: int = 12,
     df_cap: int = 50,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL substring dedup: maximal repeated spans between a NEW
     batch and an already-indexed corpus, without re-tokenizing the
@@ -801,18 +826,20 @@ def repeated_spans_lookup(
     anchors, same diagonal islands), with ``index_grams`` the persisted
     (id, pos, h) posting table from :func:`gram_hash_positions`.
 
-    Shuffle volume is O(batch grams + matched postings), never
-    O(corpus): the batch side is hashed and joined against the index on
-    the 8-byte gram hash; index grams hotter than ``df_cap`` are dropped
-    first (the boilerplate bound — a hot gram would fan every batch
-    occurrence out to its full posting list). Emits (new_id, corpus_id,
-    start_new, start_corpus, span_tokens) for spans >= min_span."""
-    hot = (
-        index_grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= df_cap)
-        .select("h")
-    )
+    Shuffle volume: the anchor join itself moves O(batch grams +
+    matched postings), never O(corpus). The hot-gram bound needs a
+    per-gram df table; pass ``index_df`` (the :func:`gram_df` table,
+    persisted with the posting index at build time) so daily batches
+    skip recounting — WITHOUT it this function falls back to a groupBy
+    over the full posting table, an O(corpus-postings) shuffle per
+    batch that defeats the incremental design at scale. Index grams
+    hotter than ``df_cap`` are dropped (the boilerplate bound — a hot
+    gram would fan every batch occurrence out to its full posting
+    list). Emits (new_id, corpus_id, start_new, start_corpus,
+    span_tokens) for spans >= min_span."""
+    if index_df is None:
+        index_df = gram_df(index_grams)
+    hot = index_df.where(F.col("df") <= df_cap).select("h")
     ix = index_grams.join(hot, "h").select(
         F.col(id_col).alias("corpus_id"), F.col("pos").alias("pos_c"), "h"
     )

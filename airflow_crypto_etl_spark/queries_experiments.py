@@ -2361,7 +2361,8 @@ def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion rollup left-joined onto the distinct-day calendar,
     cumulative window over that bounded day-domain relation
     (allowlisted), arm totals as a 1-row broadcast. Days before the
-    first conversion are excluded (se = 0 has no z). Integer counts
+    first conversion, and days where EVERY enrolled user has converted,
+    are excluded (pp = 0 or pp = 1 makes se = 0: no z). Integer counts
     throughout; divisions and sqrt written identically in both
     engines."""
     ev = _t(spark, sf_dir, "events")
@@ -2414,7 +2415,13 @@ def q_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = (F.col("c_a") + F.col("c_b")).cast("double") / F.col("tot_c").cast("double")
     z = (pa - pb) / se
     boundary = F.lit(_SEQ_C) / F.sqrt(frac)
-    return j.where(F.col("c_a") + F.col("c_b") > 0).select(
+    # pp = 0 (no conversions yet) AND pp = 1 (every enrolled user
+    # converted) both make se = 0: exclude both ends so z never divides
+    # by zero — engines disagree on 0/0 double semantics (NULL vs NaN).
+    return j.where(
+        (F.col("c_a") + F.col("c_b") > 0)
+        & (F.col("c_a") + F.col("c_b") < F.col("n_a") + F.col("n_b"))
+    ).select(
         "day",
         "n_a",
         "n_b",
@@ -2473,7 +2480,7 @@ SELECT day, n_a, n_b, c_a, c_b,
             / sqrt(CAST(c_a + c_b AS DOUBLE) / CAST(tot_c AS DOUBLE))
         THEN 1 ELSE 0 END AS INT) AS crossed
 FROM cum CROSS JOIN tot
-WHERE c_a + c_b > 0
+WHERE c_a + c_b > 0 AND c_a + c_b < n_a + n_b
 """
 
 QUERIES_EXPERIMENTS["q_sequential_ab"] = q_sequential_ab

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.hashing import char_hash_sql
+from .functions.hashing import GRAM_MOD, char_hash_sql
 from .operators import cdc
 from .operators import dedup as dd
 from .operators import layout as lo
@@ -446,7 +446,7 @@ th AS (SELECT doc_id, list_transform(toks, t -> {char_hash_sql('t')}) AS hs FROM
 grams AS (
   SELECT doc_id, g.pos AS pos,
          list_reduce(hs[g.pos+1:g.pos+{_SPAN_K}],
-                     (a, x) -> (a*31 + x) % {1 << 30}) AS h
+                     (a, x) -> (a*31 + x) % {GRAM_MOD}) AS h
   FROM th, LATERAL (SELECT unnest(range(0, greatest(len(hs) - {_SPAN_K - 1}, 0))) AS pos) g),
 anchors AS (
   SELECT doc_id, pos, h FROM grams
@@ -484,12 +484,21 @@ def q_dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tie-proof by construction: ivals is DISTINCT (duplicate intervals —
+# one doc sharing the identical span with N partners — are redundant
+# to a union), so ORDER BY (s, e) is a TOTAL order within each doc
+# partition and the two window scans below cannot disagree on tie
+# order. Without the DISTINCT, a duplicated interval could open a
+# phantom second island when the engine's tie order differs between
+# the island-open scan and the running-sum scan (observed in DuckDB:
+# covered_tokens flipped 78/156 across connections).
 ORACLE_DEDUP_SPAN_COVERAGE = f"""
 WITH spans AS ({ORACLE_DEDUP_SPANS}),
 ivals AS (
-  SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
-  UNION ALL
-  SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens AS e FROM spans),
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
+    UNION ALL
+    SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens AS e FROM spans)),
 marked AS (
   SELECT doc_id, s, e,
          CASE WHEN s > coalesce(max(e) OVER (
@@ -519,12 +528,15 @@ def q_dedup_spans_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental substring dedup: a new batch (id-shifted corpus
     copies, so every new doc has a known full-length match) against the
     persisted gram-posting index — corpus touched only through its
-    (id, pos, h) postings; shuffle O(batch + matched). Cache: the
-    posting table feeds both the hot-gram bound and the anchor join."""
+    (id, pos, h) postings; shuffle O(batch + matched). The per-gram df
+    table is precomputed (gram_df — persisted with the index at build
+    time in production) so the batch lookup never re-aggregates the
+    full posting table."""
     docs = _t(spark, sf_dir, "documents")
     index_grams = dd.register_cache(
         dd.gram_hash_positions(docs, k=_SPAN_K)
     )
+    index_df = dd.register_cache(dd.gram_df(index_grams))
     batch = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return dd.repeated_spans_lookup(
         batch,
@@ -532,6 +544,7 @@ def q_dedup_spans_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_SPAN_K,
         min_span=_SPAN_MIN,
         df_cap=_SPAN_DF_CAP,
+        index_df=index_df,
     )
 
 
@@ -541,7 +554,7 @@ th AS (SELECT doc_id, list_transform(toks, t -> {char_hash_sql('t')}) AS hs FROM
 grams AS (
   SELECT doc_id, g.pos AS pos,
          list_reduce(hs[g.pos+1:g.pos+{_SPAN_K}],
-                     (a, x) -> (a*31 + x) % {1 << 30}) AS h
+                     (a, x) -> (a*31 + x) % {GRAM_MOD}) AS h
   FROM th, LATERAL (SELECT unnest(range(0, greatest(len(hs) - {_SPAN_K - 1}, 0))) AS pos) g),
 idx AS (
   SELECT doc_id AS corpus_id, pos AS pos_c, h FROM grams

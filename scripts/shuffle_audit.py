@@ -37,12 +37,30 @@ def _api(base: str, path: str):
 
 
 def _stage_totals(base: str, app_id: str) -> dict:
-    tot = {"shuffle_write": 0, "shuffle_read": 0, "input_bytes": 0}
+    tot = {"shuffle_write": 0, "shuffle_read": 0, "input_bytes": 0, "n_stages": 0}
     for st in _api(base, f"/api/v1/applications/{app_id}/stages?status=complete"):
         tot["shuffle_write"] += st.get("shuffleWriteBytes", 0)
         tot["shuffle_read"] += st.get("shuffleReadBytes", 0)
         tot["input_bytes"] += st.get("inputBytes", 0)
+        tot["n_stages"] += 1
     return tot
+
+
+def _settled_totals(base: str, app_id: str, timeout: float = 15.0) -> dict:
+    """Poll the stages endpoint until the completed-stage count AND the
+    byte totals are identical across two consecutive polls. The status
+    store drains its event queue asynchronously — a fixed post-query
+    sleep can attribute a late-completing stage's bytes to the NEXT
+    query in the report; settling on stability cannot."""
+    prev = _stage_totals(base, app_id)
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        time.sleep(0.2)
+        cur = _stage_totals(base, app_id)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev  # pragma: no cover — status store stuck; report last poll
 
 
 def main() -> None:
@@ -69,7 +87,7 @@ def main() -> None:
 
     out: dict = {}
     for name in names:
-        before = _stage_totals(base, app_id)
+        before = _settled_totals(base, app_id)
         t0 = time.time()
         try:
             n_rows = queries[name](spark, SF).count()
@@ -77,8 +95,7 @@ def main() -> None:
             out[name] = {"err": f"{type(e).__name__}: {e}"[:200]}
             continue
         wall = time.time() - t0
-        time.sleep(0.3)  # let the status store drain its event queue
-        after = _stage_totals(base, app_id)
+        after = _settled_totals(base, app_id)
         rec = {
             "rows": n_rows,
             "wall_s": round(wall, 3),

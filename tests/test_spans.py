@@ -65,6 +65,28 @@ def test_span_coverage_unions_overlaps(spark):
     assert cov[2].covered_tokens == 15 and cov[3].covered_tokens == 15
 
 
+def test_span_coverage_tie_heavy_duplicate_intervals(spark):
+    # The round-6 nondeterminism corpus shape: doc 0 shares the IDENTICAL
+    # span (same start, same length) with N partners, so before dedup
+    # the sweep sees N exact-duplicate intervals tying under ORDER BY
+    # (s, e). A tie-order disagreement between the island-open flag and
+    # the island running sum would open a phantom island and double the
+    # coverage (the 78-vs-156 DuckDB flip). After dropDuplicates the
+    # order is total; coverage must be exactly the one span, for every N.
+    for n_partners in (2, 5, 9):
+        rows = [(0, f"h1 h2 h3 {SHARED} t1 t2")] + [
+            (i, f"p{i}a p{i}b {SHARED} p{i}c") for i in range(1, n_partners + 1)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cov = {
+            r.doc_id: r for r in dd.span_coverage(docs, k=8, min_span=12).collect()
+        }
+        assert cov[0].covered_tokens == 15, (n_partners, cov[0])
+        assert cov[0].n_tokens == 20
+        for i in range(1, n_partners + 1):
+            assert cov[i].covered_tokens == 15  # shared span + partner pairs
+
+
 def _ref_dhash(d: int) -> int:
     w, h = 4 + d % 5, 3 + d % 4
     px = bytes((d + i) % 256 for i in range(w * h * 3))
