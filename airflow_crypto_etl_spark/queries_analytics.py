@@ -407,6 +407,9 @@ def q_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tie-free frames: both 1-PRECEDING scans order by (us, event_id) within
+# user_id; event_id is globally unique in events, so the order is TOTAL
+# and the two window scans cannot disagree (determinism-audit rule).
 ORACLE_FUNNEL_ORDERED = f"""
 WITH ev AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
@@ -1158,6 +1161,8 @@ def q_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("user_id", "n_purchases", "n_matched", avg_s.alias("avg_latency_s"))
 
 
+# Tie-free frames: every scan orders by (us, event_id) within user_id;
+# event_id is globally unique, so the order is TOTAL.
 ORACLE_CEP_PATTERN = f"""
 WITH e AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),

@@ -279,6 +279,8 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tie-free frame: the 1-PRECEDING scan orders by dur_days, the
+# grouped-by key of the life table — unique per row, order is TOTAL.
 ORACLE_KAPLAN_MEIER = """
 WITH ev AS (
   SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
@@ -853,6 +855,8 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.crossJoin(F.broadcast(exact))
 
 
+# Tie-free frame: ORDER BY b, the grouped-by histogram bucket —
+# unique per row, order is TOTAL.
 ORACLE_QUANTILE_SKETCH = f"""
 WITH hist AS (
   SELECT CAST(floor(value / {_QS_WIDTH}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c
@@ -1319,6 +1323,8 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tie-free frames: both 1-PRECEDING scans order by dur, the
+# grouped-by key of the joint life table — unique per row, TOTAL.
 ORACLE_LOGRANK = f"""
 WITH ev AS (
   SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
@@ -2226,6 +2232,8 @@ def q_stream_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.agg(*ests)
 
 
+# Tie-free frame: ORDER BY b, the grouped-by histogram bucket —
+# unique per row, order is TOTAL.
 ORACLE_STREAM_QUANTILE = f"""
 WITH hist AS (
   SELECT CAST(floor(value / {_QS_WIDTH}) AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS c

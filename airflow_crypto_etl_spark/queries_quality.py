@@ -532,6 +532,8 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_brand", "p_partkey", "p_retailprice", "p_size")
 
 
+# Tie-free frame: ORDER BY (..., p_partkey ASC) — p_partkey is the
+# unique part key, so the order is TOTAL within each brand.
 ORACLE_PARETO_FRONTIER = """
 WITH flagged AS (
   SELECT p_brand, p_partkey, p_retailprice, CAST(p_size AS INTEGER) AS p_size,
@@ -586,6 +588,8 @@ def attribution_events(ev: DataFrame) -> DataFrame:
 
 _TOUCH_LIST = ", ".join(f"'{t}'" for t in _TOUCHES)
 
+# Tie-free frame: ORDER BY (ts, event_id) — event_id is globally
+# unique, so the order is TOTAL within each user partition.
 ORACLE_ATTRIBUTION_LAST_TOUCH = f"""
 WITH marked AS (
   SELECT user_id, event_type, value,

@@ -530,6 +530,44 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
+    # Adversarial span-dedup pair join (r7): a HIGH-DUPLICATION corpus
+    # where every anchor's df sits just under df_cap — the worst case
+    # for the anchors self-join, whose per-anchor fan-out is C(df, 2).
+    # Groups of D near-identical docs; inflation adds MORE groups (per-
+    # anchor fan-out constant at C(D,2), anchor count ×N), so the claim
+    # under probe is ratio ≈ N — quadratic-in-corpus behavior (e.g. a
+    # missing df cap) would show ratio ≈ N².
+    if want("spans_hotdup"):
+        D, GROUPS = 20, 60
+        spark_ = docs.sparkSession
+
+        def dup_corpus(n_groups: int) -> DataFrame:
+            base = spark_.range(n_groups).select(
+                F.col("id").alias("g"),
+                F.concat_ws(
+                    " ",
+                    *[F.concat(F.lit(f"w{j}_"), F.col("id")) for j in range(40)],
+                ).alias("text"),
+            )
+            copies = spark_.range(D).select(F.col("id").alias("c"))
+            return base.crossJoin(copies).select(
+                (F.col("g") * 1000 + F.col("c")).alias("doc_id"), "text"
+            )
+
+        def hotdup_case(corpus: DataFrame) -> DataFrame:
+            return dd.repeated_spans(corpus, min_span=12, df_cap=D + 5)
+
+        small, big = dup_corpus(GROUPS), dup_corpus(GROUPS * INFLATE)
+        hotdup_case(small).count()  # warm
+        t0 = time.perf_counter(); n1 = hotdup_case(small).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); nn = hotdup_case(big).count(); tn = time.perf_counter() - t0
+        # output itself scales ×N: every group contributes C(D,2) pairs
+        assert n1 == GROUPS * D * (D - 1) // 2, n1
+        assert nn == GROUPS * INFLATE * D * (D - 1) // 2, nn
+        results["spans_hotdup"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
     print(json.dumps({"inflate": INFLATE, "queries": results}))
 
 

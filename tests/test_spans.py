@@ -87,6 +87,21 @@ def test_span_coverage_tie_heavy_duplicate_intervals(spark):
             assert cov[i].covered_tokens == 15  # shared span + partner pairs
 
 
+def test_pair_join_fanout_bounded_by_df_cap(spark):
+    # The anchors self-join's per-anchor fan-out is C(df, 2); df_cap is
+    # the bound that keeps a boilerplate gram from exploding the join
+    # quadratically at corpus scale. With D identical docs: D <= df_cap
+    # emits exactly C(D, 2) pair spans (every pair, one maximal span);
+    # D > df_cap emits ZERO (the hot anchors are dropped wholesale).
+    text = " ".join(f"tok{j}" for j in range(30))
+    for d, cap, expect in ((10, 50, 45), (10, 10, 45), (12, 11, 0)):
+        docs = spark.createDataFrame(
+            [(i, text) for i in range(d)], "doc_id long, text string"
+        )
+        got = dd.repeated_spans(docs, k=8, min_span=12, df_cap=cap).count()
+        assert got == expect, (d, cap, got)
+
+
 def _ref_dhash(d: int) -> int:
     w, h = 4 + d % 5, 3 + d % 4
     px = bytes((d + i) % 256 for i in range(w * h * 3))
