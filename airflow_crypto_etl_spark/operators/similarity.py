@@ -110,6 +110,58 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most cosine-similar corpus vectors whose LABEL
+    differs from the query's — the near-miss negatives an embedding-
+    training pipeline pairs with each anchor (harder than random
+    negatives, far cheaper than cross-encoder rescoring).
+
+    Scale shape = brute_force_topk: the Q anchors broadcast against the
+    map-side corpus (the corpus never shuffles), with the cross-label
+    filter riding the broadcast-join condition so same-label pairs are
+    dropped before any scoring output exists; then per-anchor top-k via
+    a window partitioned by query id (bounded Q·corpus/parallelism
+    state per task). Deterministic: cosine ties break on neighbor id."""
+    v = _to_double(F.col(vec_col))
+    base = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        v.alias("v"),
+        norm2(v).alias("nrm"),
+    ).repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_lbl").alias("q_lbl"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = base.join(
+        F.broadcast(queries),
+        (F.col(id_col) != F.col("query_id")) & (F.col("_lbl") != F.col("q_lbl")),
+    ).withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("q_lbl").alias("query_label"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col("_lbl").alias("neighbor_label"),
+            "cos",
+            "rank",
+        )
+    )
+
+
 LSH_TABLES = 8  # L hash tables; candidate = same bucket in ANY table
 LSH_PLANES = 4  # P sign bits per table → 2^P buckets per table
 

@@ -870,3 +870,47 @@ def holt_fir(
     return out.select(
         "symbol", "bucket", "close", F.round(num / F.lit(den), ROUND_DP).alias("holt")
     )
+
+
+def m4_downsample(ticks: DataFrame, width: int = 64) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): split each
+    symbol's time range into ``width`` pixel buckets and keep only the
+    min, max, first, and last tick per bucket — the four points that
+    make a line rendering at ``width`` pixels error-free, reducing any
+    tick volume to O(symbols × width) rows.
+
+    Scale shape: one 1-row-per-symbol bounds aggregate broadcast back
+    onto the ticks (the tick relation never shuffles for the bounds),
+    then ONE partial-aggregatable groupBy (symbol, px) — first/last via
+    lexicographic struct min/max on (us, tick_id), deterministic under
+    duplicate timestamps because tick_id is unique. Pixel assignment is
+    pure integer arithmetic: px = (us - t0) * width div (t1 - t0 + 1),
+    in [0, width), identical in any engine (no float rounding)."""
+    us = F.unix_micros(F.col("tick_ts").cast("timestamp"))
+    t = ticks.select("symbol", "tick_id", "price", us.alias("us"))
+    bounds = t.groupBy("symbol").agg(
+        F.min("us").alias("t0"), F.max("us").alias("t1")
+    )
+    j = t.join(F.broadcast(bounds), "symbol").withColumn(
+        "px",
+        F.expr(f"cast(((us - t0) * {width}) div (t1 - t0 + 1) as int)"),
+    )
+    point = F.struct("us", "tick_id", "price")
+    agg = j.groupBy("symbol", "px").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min(point).alias("_f"),
+        F.max(point).alias("_l"),
+        F.min("price").alias("_vmin"),
+        F.max("price").alias("_vmax"),
+    )
+    return agg.select(
+        "symbol",
+        "px",
+        "n_ticks",
+        F.col("_f.us").alias("t_first_us"),
+        F.col("_f.price").cast("double").alias("v_first"),
+        F.col("_l.us").alias("t_last_us"),
+        F.col("_l.price").cast("double").alias("v_last"),
+        F.col("_vmin").cast("double").alias("v_min"),
+        F.col("_vmax").cast("double").alias("v_max"),
+    )

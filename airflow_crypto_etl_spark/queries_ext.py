@@ -2043,3 +2043,69 @@ FROM sig s JOIN cls c USING (vhash)
 
 QUERIES_EXT["q_video_phash_dedup"] = q_video_phash_dedup
 ORACLE_EXT["q_video_phash_dedup"] = ORACLE_VIDEO_PHASH_DEDUP
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (r7): for each of the 8 fixed anchor
+    vectors, the 5 most cosine-similar corpus vectors with a DIFFERENT
+    label — contrastive-training pairs, mined with the broadcast
+    scoring shape of q_ann_topk (corpus never shuffles; the cross-label
+    filter rides the join condition)."""
+    return sim.hard_negatives(_emb(spark, sf_dir), ANN_QUERY_IDS, k=5)
+
+
+ORACLE_HARD_NEGATIVES = f"""
+WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, label, ve, {_norm_sql('ve')} AS nrm FROM v0),
+q AS (SELECT vec_id AS query_id, label AS q_lbl, ve AS qv, nrm AS qn
+      FROM v WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT query_id, q_lbl, v.vec_id AS neighbor_id, v.label AS n_lbl,
+         {_dot_sql('qv', 've')} / (qn * nrm) AS cos
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> query_id AND v.label <> q_lbl),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, q_lbl AS query_label, neighbor_id, n_lbl AS neighbor_label,
+       cos, CAST(rnk AS INTEGER) AS rank
+FROM r WHERE rnk <= 5
+"""
+
+QUERIES_EXT["q_hard_negatives"] = q_hard_negatives
+ORACLE_EXT["q_hard_negatives"] = ORACLE_HARD_NEGATIVES
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features (r7): 16-sample frames over the real
+    WAV decode — integer sum-of-squares, RMS energy, zero-crossing
+    count. The oracle re-derives every frame from the payload
+    generator's sample formula ((doc_id + 3i) mod 65536 − 32768), so a
+    decoder that skipped the PCM samples could not hash-match."""
+    d = mm.attach_wav_payload(_docs(spark, sf_dir))
+    return mm.audio_frame_features(d, frame=16)
+
+
+ORACLE_AUDIO_FEATURES = """
+WITH geo AS (
+  SELECT doc_id, CAST(50 + doc_id % 20 AS BIGINT) AS n FROM documents),
+fr AS (
+  SELECT doc_id, unnest(range(0, n // 16)) AS frame_id FROM geo),
+s AS (
+  SELECT doc_id, frame_id,
+         list_transform(range(frame_id * 16, frame_id * 16 + 16),
+                        i -> (doc_id + 3 * i) % 65536 - 32768) AS smp
+  FROM fr)
+SELECT doc_id,
+       CAST(frame_id AS INTEGER) AS frame_id,
+       CAST(16 AS INTEGER) AS n_samples,
+       CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+       sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) / 16.0) AS rms,
+       CAST(len(list_filter(range(1, 16),
+                            i -> (smp[i] < 0) != (smp[i + 1] < 0))) AS BIGINT)
+         AS n_zero_cross
+FROM s
+"""
+
+QUERIES_EXT["q_audio_features"] = q_audio_features
+ORACLE_EXT["q_audio_features"] = ORACLE_AUDIO_FEATURES

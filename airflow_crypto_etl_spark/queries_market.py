@@ -1340,3 +1340,36 @@ FROM g
 
 QUERIES_MARKET["q_twap"] = q_twap
 ORACLE_MARKET["q_twap"] = ORACLE_TWAP
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (r7): the error-free line-rendering reduction —
+    min/max/first/last tick per (symbol, pixel bucket), 64 buckets per
+    symbol. One broadcast bounds join + one partial-agg groupBy; output
+    O(symbols × 64) regardless of tick volume."""
+    return ts.m4_downsample(_ticks(spark, sf_dir), width=64)
+
+
+ORACLE_M4_DOWNSAMPLE = f"""
+WITH t AS (
+  SELECT symbol, tick_id, price, epoch_us(tick_ts) AS us
+  FROM ({_TICKS_SQL})),
+b AS (SELECT symbol, min(us) AS t0, max(us) AS t1 FROM t GROUP BY symbol),
+j AS (
+  SELECT t.*, CAST(((us - t0) * 64) // (t1 - t0 + 1) AS INT) AS px
+  FROM t JOIN b USING (symbol)),
+agg AS (
+  SELECT symbol, px, CAST(count(*) AS BIGINT) AS n_ticks,
+         min(struct_pack(us := us, tick_id := tick_id, price := price)) AS f,
+         max(struct_pack(us := us, tick_id := tick_id, price := price)) AS l,
+         min(price) AS vmin, max(price) AS vmax
+  FROM j GROUP BY symbol, px)
+SELECT symbol, px, n_ticks,
+       f.us AS t_first_us, CAST(f.price AS DOUBLE) AS v_first,
+       l.us AS t_last_us,  CAST(l.price AS DOUBLE) AS v_last,
+       CAST(vmin AS DOUBLE) AS v_min, CAST(vmax AS DOUBLE) AS v_max
+FROM agg
+"""
+
+QUERIES_MARKET["q_m4_downsample"] = q_m4_downsample
+ORACLE_MARKET["q_m4_downsample"] = ORACLE_M4_DOWNSAMPLE

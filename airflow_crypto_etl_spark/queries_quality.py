@@ -1134,3 +1134,70 @@ ORACLE_CURRICULUM = _curriculum_oracle()
 
 QUERIES_QUALITY["q_curriculum"] = q_curriculum
 ORACLE_QUALITY["q_curriculum"] = ORACLE_CURRICULUM
+
+
+# ---------------------------------------------------------------------------
+# Privacy audits (r7): k-anonymity report + l-diversity violations —
+# the re-identification checks a curation pipeline runs before a
+# user-derived projection ships (engine extension; the reference's
+# coin-market rows are public and carry no privacy surface).
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer projection under QI =
+    (nation, market segment, acctbal kilo-band), k = 10: one partial-
+    agg groupBy over the QI, one 1-row rollup. The kilo-band makes the
+    QI fine enough that violating groups actually exist at test scale."""
+    from .operators import privacy as pv
+
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band")
+    return pv.k_anonymity_report(c, ["c_nationkey", "c_mktsegment", band], k=10)
+
+
+ORACLE_K_ANONYMITY = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS grp_n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT CAST(10 AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN grp_n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(CASE WHEN grp_n < 10 THEN grp_n ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(sum(CASE WHEN grp_n < 10 THEN grp_n ELSE 0 END) AS DOUBLE)
+         / CAST(sum(grp_n) AS DOUBLE) AS risk_frac,
+       min(grp_n) AS min_group_size
+FROM g
+"""
+
+QUERIES_QUALITY["q_k_anonymity"] = q_k_anonymity
+ORACLE_QUALITY["q_k_anonymity"] = ORACLE_K_ANONYMITY
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity violations in orders under QI = (priority, order
+    date), sensitive = order status, l = 3: QI groups whose sensitive
+    attribute takes < 3 distinct values (k-anonymous-but-leaking
+    groups). One hash aggregate with an exact per-group count-distinct."""
+    from .operators import privacy as pv
+
+    o = _t(spark, sf_dir, "orders")
+    return pv.l_diversity_violations(
+        o, ["o_orderpriority", "o_orderdate"], "o_orderstatus", l=3
+    )
+
+
+ORACLE_L_DIVERSITY = """
+SELECT o_orderpriority, o_orderdate,
+       CAST(count(*) AS BIGINT) AS grp_n,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct
+FROM orders GROUP BY 1, 2
+HAVING count(DISTINCT o_orderstatus) < 3
+"""
+
+QUERIES_QUALITY["q_l_diversity"] = q_l_diversity
+ORACLE_QUALITY["q_l_diversity"] = ORACLE_L_DIVERSITY
