@@ -501,12 +501,14 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
-    # Incremental span lookup (r6): FIXED 50-doc batch vs a 1×/N×
-    # posting index — the daily-ingest direction. Matched postings (and
-    # so output spans) grow ~N because every index copy matches the
-    # batch; the claim under probe is that the join cost rides matched
-    # volume (O(batch + matched)), never the index row count beyond the
-    # hot-gram count pass — ratio must stay ~N, not N².
+    # Incremental span lookup (r6; r7: df table precomputed): FIXED
+    # 50-doc batch vs a 1×/N× posting index — the daily-ingest
+    # direction. Matched postings (and so output spans) grow ~N because
+    # every index copy matches the batch; the claim under probe is that
+    # the batch join cost rides matched volume (O(batch + matched)),
+    # never the index row count — the former O(corpus-postings)
+    # hot-gram count pass now lives at index-build time (gram_df) and
+    # is excluded, matching production. Ratio must stay ~N, not N².
     if want("spans_lookup"):
         batch = docs.limit(50).select(
             (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
