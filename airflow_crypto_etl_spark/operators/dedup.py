@@ -219,6 +219,59 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    df_frac: float | None = 0.5,
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """All-pairs n-gram CONTAINMENT ≥ threshold: C(A→B) = |A∩B| / |A|,
+    the asymmetric companion to Jaccard resemblance (Broder 1997's
+    second measure). A short doc embedded verbatim in a much longer one
+    has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 — exactly the
+    quote/boilerplate-inclusion duplication a resemblance threshold
+    misses, so curation pipelines screen both.
+
+    Same inverted-index scale shape as :func:`ngram_jaccard_pairs`
+    (shingle equi-join, never a cross join; the same stop-shingle
+    df_frac/df_cap pruning bounds every join bucket), same exact
+    integer arithmetic: emits both directions (c_in_a = common/na,
+    c_in_b = common/nb) and keeps pairs where EITHER direction clears
+    the threshold."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    if df_frac is not None or df_cap is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        if df_frac is not None:
+            total = docs.agg(F.count(F.lit(1)).alias("__ndocs"))
+            dfreq = dfreq.crossJoin(F.broadcast(total))
+            dfreq = dfreq.filter(F.col("__df") <= df_frac * F.col("__ndocs"))
+        if df_cap is not None:
+            dfreq = dfreq.filter(F.col("__df") <= df_cap)
+        sh = sh.join(dfreq.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("ns"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("ns").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("ns").alias("nb"))
+    out = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("c_in_a", F.col("common") / F.col("na"))
+        .withColumn("c_in_b", F.col("common") / F.col("nb"))
+        .filter(
+            (F.col("c_in_a") >= threshold) | (F.col("c_in_b") >= threshold)
+        )
+    )
+    return out.select("doc_a", "doc_b", "common", "na", "nb", "c_in_a", "c_in_b")
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

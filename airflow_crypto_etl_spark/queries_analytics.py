@@ -1376,3 +1376,59 @@ LIMIT {_PATHS_K}
 
 QUERIES_ANALYTICS["q_event_paths"] = q_event_paths
 ORACLE_ANALYTICS["q_event_paths"] = ORACLE_EVENT_PATHS
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index (r7) of order value per priority class:
+    T = (1/n) Σ (x/μ)·ln(x/μ). Group means come from EXACT decimal sums
+    (one partial-agg pass, broadcast back as a 5-row join); the per-row
+    terms are floor-quantized to integer nano-units before summing, so
+    the distributed sum is order-free and bit-identical to the oracle's.
+    Complements q_gini (rank-based) with the entropy-based measure that
+    decomposes across subgroups."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s"),
+        )
+        .withColumn("mu", F.col("_s").cast("double") / F.col("n"))
+        .select("o_orderpriority", "n", "mu")
+    )
+    r = F.col("o_totalprice") / F.col("mu")
+    term = F.floor(r * F.log(r) * F.lit(1000000000.0)).cast("bigint")
+    j = o.join(F.broadcast(g), "o_orderpriority")
+    t = j.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mean_price"),
+        F.sum(term).alias("_q"),
+    )
+    return t.select(
+        "o_orderpriority",
+        "n",
+        "mean_price",
+        ((F.col("_q").cast("double") / F.lit(1000000000.0)) / F.col("n")).alias(
+            "theil"
+        ),
+    )
+
+
+ORACLE_THEIL_INDEX = """
+WITH g AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu
+  FROM orders GROUP BY 1),
+t AS (
+  SELECT o.o_orderpriority,
+         CAST(floor((o_totalprice / mu) * ln(o_totalprice / mu)
+                    * 1000000000.0) AS BIGINT) AS q
+  FROM orders o JOIN g USING (o_orderpriority))
+SELECT t.o_orderpriority, g.n, g.mu AS mean_price,
+       (CAST(sum(q) AS DOUBLE) / 1000000000.0) / g.n AS theil
+FROM t JOIN g ON t.o_orderpriority = g.o_orderpriority
+GROUP BY t.o_orderpriority, g.n, g.mu
+"""
+
+QUERIES_ANALYTICS["q_theil_index"] = q_theil_index
+ORACLE_ANALYTICS["q_theil_index"] = ORACLE_THEIL_INDEX

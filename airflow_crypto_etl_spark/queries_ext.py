@@ -2109,3 +2109,38 @@ FROM s
 
 QUERIES_EXT["q_audio_features"] = q_audio_features
 ORACLE_EXT["q_audio_features"] = ORACLE_AUDIO_FEATURES
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram CONTAINMENT pairs (r7): the asymmetric companion to
+    q_dedup_ngram's Jaccard — catches a short doc embedded verbatim in
+    a longer one (containment ≈ 1, Jaccard ≈ |A|/|B|). Same inverted-
+    index join and stop-shingle pruning; both directions published as
+    exact integer ratios."""
+    return dd.containment_pairs(
+        _docs(spark, sf_dir), threshold=0.6, df_frac=0.5, df_cap=1000
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+    i -> ({_TOKS})[i] || ' ' || ({_TOKS})[i+1] || ' ' || ({_TOKS})[i+2]))) AS shingle
+  FROM documents),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) <= 0.5 * (SELECT count(*) FROM documents)
+     AND count(*) <= 1000),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, c AS common, na.ns AS na, nb.ns AS nb,
+       c / na.ns AS c_in_a, c / nb.ns AS c_in_b
+FROM common JOIN sizes na ON doc_a = na.doc_id JOIN sizes nb ON doc_b = nb.doc_id
+WHERE c / na.ns >= 0.6 OR c / nb.ns >= 0.6
+"""
+
+QUERIES_EXT["q_dedup_containment"] = q_dedup_containment
+ORACLE_EXT["q_dedup_containment"] = ORACLE_DEDUP_CONTAINMENT

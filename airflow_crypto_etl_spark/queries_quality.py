@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions.hashing import affine_hash, affine_hash_sql
+from .functions.hashing import affine_hash, affine_hash_sql, char_hash, char_hash_sql
 from .operators import rank as rk
 from .operators.text import tokens_col
 from .queries import _t
@@ -1201,3 +1201,66 @@ HAVING count(DISTINCT o_orderstatus) < 3
 
 QUERIES_QUALITY["q_l_diversity"] = q_l_diversity
 ORACLE_QUALITY["q_l_diversity"] = ORACLE_L_DIVERSITY
+
+
+def q_dp_noisy_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-SHAPED noisy counts (r7): per-event-type
+    counts with two-sided geometric (discrete Laplace) noise at
+    epsilon = 0.5 — the exact mechanism a DP release pipeline applies
+    to a histogram (Ghosh et al. 2009: noise = G1 − G2 with
+    G = floor(ln(u)/−epsilon), geometric from a uniform).
+
+    DETERMINISM CAVEAT, stated loudly: the uniforms here are SEEDED
+    from the group key (affine hash → (h+1)/P in (0,1]), which makes
+    the mechanism reproducible for oracle checking but gives NO privacy
+    guarantee — a real release swaps the two hash-uniforms for true
+    randomness; everything else (sensitivity-1 counts, the geometric
+    ladder, the epsilon accounting column) is the production shape.
+    Scale: one partial-agg groupBy; noise is per-GROUP arithmetic on
+    the 1-row-per-type rollup."""
+    from .operators import privacy as _pv  # noqa: F401  (family anchor)
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    key = char_hash(F.col("event_type"))
+    p = float((1 << 31) - 1)
+    eps = 0.5
+
+    def geom(salt: int):
+        u = (affine_hash(key, F.lit(salt)) + F.lit(1).cast("bigint")) / F.lit(p)
+        return F.floor(F.log(u) / F.lit(-eps)).cast("bigint")
+
+    noise = geom(101) - geom(202)
+    return g.select(
+        "event_type",
+        "n_true",
+        noise.alias("noise"),
+        (F.col("n_true") + noise).alias("n_noisy"),
+        F.lit(eps).alias("epsilon"),
+    )
+
+
+_DPN_P = (1 << 31) - 1
+_DPN_KEY = char_hash_sql("event_type")
+_DPN_G1 = (
+    f"CAST(floor(ln((({affine_hash_sql(_DPN_KEY, '101')}) + 1)"
+    f" / {float(_DPN_P)!r}) / -0.5) AS BIGINT)"
+)
+_DPN_G2 = (
+    f"CAST(floor(ln((({affine_hash_sql(_DPN_KEY, '202')}) + 1)"
+    f" / {float(_DPN_P)!r}) / -0.5) AS BIGINT)"
+)
+
+ORACLE_DP_NOISY_COUNT = f"""
+WITH g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1)
+SELECT event_type, n_true,
+       ({_DPN_G1}) - ({_DPN_G2}) AS noise,
+       n_true + ({_DPN_G1}) - ({_DPN_G2}) AS n_noisy,
+       CAST(0.5 AS DOUBLE) AS epsilon
+FROM g
+"""
+
+QUERIES_QUALITY["q_dp_noisy_count"] = q_dp_noisy_count
+ORACLE_QUALITY["q_dp_noisy_count"] = ORACLE_DP_NOISY_COUNT

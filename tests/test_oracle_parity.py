@@ -74,6 +74,7 @@ _PRODUCT_OK = {
     "q_hard_negatives",     # corpus x broadcast 8 anchor vectors (cross-label)
     "q_dedup_recall",       # 1-row n_true x 1-row n_caught scalar bind
     "q_dedup_ngram",        # dfreq x broadcast 1-row corpus count
+    "q_dedup_containment",  # same dfreq x broadcast 1-row corpus count
     "q_dedup_simhash",      # broadcast scalar threshold
     "q_distinctive_terms",  # broadcast 1-row corpus count (DF pruning)
     "q_range_join",         # broadcast 3-row band interval table
