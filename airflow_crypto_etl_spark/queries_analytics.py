@@ -1385,7 +1385,17 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms are floor-quantized to integer nano-units before summing, so
     the distributed sum is order-free and bit-identical to the oracle's.
     Complements q_gini (rank-based) with the entropy-based measure that
-    decomposes across subgroups."""
+    decomposes across subgroups.
+
+    KNOWN PORTABILITY RISK (ADVICE r7, accepted): floor(x·ln(x)·1e9)
+    depends on JVM Math.log and DuckDB std::log agreeing bitwise —
+    neither guarantees correctly-rounded ln, so a 1-ULP divergence
+    landing exactly on a floor boundary would flip one nano-unit term
+    and fail the hash compare. Empirically green at sf0.01/sf1 and
+    covered by the determinism audit; unlike the pure integer/quantized
+    patterns this row is NOT provably portable — if a libm/JDK bump
+    ever fails exactly this query (or q_dp_noisy_count's geometric
+    ladder, which shares the idiom), this is why."""
     o = _t(spark, sf_dir, "orders")
     g = (
         o.groupBy("o_orderpriority")

@@ -570,6 +570,72 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
+    # Adversarial containment pair join (r8, verdict item 4): the
+    # containment screen shares the Jaccard inverted index, but its
+    # OUTPUT rides C(D,2) per near-duplicate group — so like
+    # spans_hotdup, probe it on a high-duplication corpus where every
+    # shingle's df sits just under df_cap. Inflation adds MORE groups
+    # (per-shingle fan-out constant at C(D,2), group count ×N) → ratio
+    # must stay ~N; a missing df cap would show ~N². Also pins the
+    # wholesale-drop contract: with df_cap below the group size every
+    # shingle is dropped and the output is exactly zero.
+    if want("containment_hotdup"):
+        D, GROUPS = 20, 60
+        spark_ = docs.sparkSession
+
+        def dup_corpus_c(n_groups: int) -> DataFrame:
+            base = spark_.range(n_groups).select(
+                F.col("id").alias("g"),
+                F.concat_ws(
+                    " ",
+                    *[F.concat(F.lit(f"w{j}_"), F.col("id")) for j in range(40)],
+                ).alias("text"),
+            )
+            copies = spark_.range(D).select(F.col("id").alias("c"))
+            return base.crossJoin(copies).select(
+                (F.col("g") * 1000 + F.col("c")).alias("doc_id"), "text"
+            )
+
+        def containment_case(corpus: DataFrame) -> DataFrame:
+            return dd.containment_pairs(
+                corpus, threshold=0.6, df_frac=None, df_cap=D + 5
+            )
+
+        small_c, big_c = dup_corpus_c(GROUPS), dup_corpus_c(GROUPS * INFLATE)
+        # df_cap below the duplicate-group df drops every shingle
+        # wholesale — the stop-shingle contract, pinned here like
+        # tests/test_spans.py pins it for the span family
+        assert dd.containment_pairs(small_c, df_frac=None, df_cap=D - 1).count() == 0
+        containment_case(small_c).count()  # warm
+        t0 = time.perf_counter(); c1 = containment_case(small_c).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); cn = containment_case(big_c).count(); tn = time.perf_counter() - t0
+        # exact duplicates: every group contributes all C(D,2) pairs
+        assert c1 == GROUPS * D * (D - 1) // 2, c1
+        assert cn == GROUPS * INFLATE * D * (D - 1) // 2, cn
+        results["containment_hotdup"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # LSH hard-negative mining under ANCHOR-count inflation (r8,
+    # verdict item 1 done-bar): corpus fixed, anchor set ×N — the
+    # contrastive-training direction where the broadcast miner dies.
+    # Candidate volume is Σ_anchors (bucket sizes), linear in anchors
+    # at fixed corpus, so the ratio must stay ~N; a plan that scored
+    # anchors × corpus (the broadcast shape) would blow past it.
+    if want("hard_negatives_anchors"):
+        def hn_case(mod: int) -> DataFrame:
+            return sim.hard_negatives_lsh(
+                emb, k=3, anchor_pred=F.col("vec_id") % mod == 0, spread=True
+            )
+
+        base_mod = 10 * INFLATE  # N× more anchors when mod shrinks to 10
+        hn_case(base_mod).count()  # warm
+        t0 = time.perf_counter(); hn_case(base_mod).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); hn_case(10).count(); tn = time.perf_counter() - t0
+        results["hard_negatives_anchors"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
     print(json.dumps({"inflate": INFLATE, "queries": results}))
 
 

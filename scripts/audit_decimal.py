@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 from airflow_crypto_etl_spark.queries import has_decimal
 from airflow_crypto_etl_spark.session import get_spark

@@ -18,7 +18,7 @@ import math
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 _args = sys.argv[1:]
 JSON_OUT = None

@@ -24,9 +24,11 @@ from __future__ import annotations
 
 import hashlib
 import json
+import pathlib
 import sys
 
-sys.path.insert(0, "/root/repo")
+# repo root derived from this file's location, not hardcoded (ADVICE r7)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "

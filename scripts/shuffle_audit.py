@@ -19,7 +19,7 @@ import sys
 import time
 import urllib.request
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 _args = sys.argv[1:]
 JSON_OUT = "SHUFFLE_AUDIT.json"
@@ -46,18 +46,25 @@ def _stage_totals(base: str, app_id: str) -> dict:
     return tot
 
 
+def _active_stages(base: str, app_id: str) -> int:
+    return len(_api(base, f"/api/v1/applications/{app_id}/stages?status=active"))
+
+
 def _settled_totals(base: str, app_id: str, timeout: float = 15.0) -> dict:
     """Poll the stages endpoint until the completed-stage count AND the
-    byte totals are identical across two consecutive polls. The status
-    store drains its event queue asynchronously — a fixed post-query
-    sleep can attribute a late-completing stage's bytes to the NEXT
-    query in the report; settling on stability cannot."""
+    byte totals are identical across two consecutive polls AND no stage
+    is still active. The status store drains its event queue
+    asynchronously — a fixed post-query sleep can attribute a
+    late-completing stage's bytes to the NEXT query in the report.
+    Requiring zero active stages closes the residual race (ADVICE r7)
+    where a stage completing >0.2s after the previous drain could still
+    slip through two coincidentally-identical polls."""
     prev = _stage_totals(base, app_id)
     deadline = time.time() + timeout
     while time.time() < deadline:
         time.sleep(0.2)
         cur = _stage_totals(base, app_id)
-        if cur == prev:
+        if cur == prev and _active_stages(base, app_id) == 0:
             return cur
         prev = cur
     return prev  # pragma: no cover — status store stuck; report last poll

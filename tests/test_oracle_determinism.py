@@ -16,11 +16,15 @@ import pathlib
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
-sys.path.insert(0, str(ROOT / "scripts"))
+_SCRIPTS = str(ROOT / "scripts")
+sys.path.insert(0, _SCRIPTS)
 try:
     from oracle_determinism import audit
 finally:
-    sys.path.pop(0)
+    # remove by VALUE: importing oracle_determinism itself inserts the
+    # repo root at index 0, so pop(0) would evict the wrong entry and
+    # leave the scripts dir on sys.path permanently (ADVICE r7)
+    sys.path.remove(_SCRIPTS)
 
 
 def test_all_oracles_deterministic(sf_dir):

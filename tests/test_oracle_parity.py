@@ -234,3 +234,41 @@ def test_no_rdd_probe_on_query_paths():
             if ".rdd" in line and "``" not in line and not line.lstrip().startswith("#"):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, f".rdd plan-materializing probe on a query path: {offenders}"
+
+
+def test_no_unconditional_corpus_repartition():
+    """Grep-gate (r7 verdict item 2): a `.repartition(` on a corpus-side
+    relation must be caller-gated behind the `spread` discipline — at
+    100 TB an unconditional round-robin repartition is a full extra pass
+    of the corpus through the exchange for zero benefit (the scan
+    already yields thousands of partitions). Sanctioned sites: the two
+    `_spread` helpers (dedup.py, similarity.py — both behind an
+    `if not spread: return df` guard) and compaction.py's small-file
+    compactor, whose entire JOB is choosing the output file count."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "airflow_crypto_etl_spark"
+    sanctioned = {
+        ("operators/dedup.py", "def _spread"),
+        ("operators/similarity.py", "def _spread"),
+        ("sinks/compaction.py", None),
+    }
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg)).replace("\\", "/")
+        text = py.read_text()
+        lines = text.splitlines()
+        for i, line in enumerate(lines, 1):
+            if ".repartition(" not in line or line.lstrip().startswith("#"):
+                continue
+            if rel == "sinks/compaction.py":
+                continue
+            # the call must sit inside a function named _spread with a
+            # `if not spread` guard above it
+            head = "\n".join(lines[max(0, i - 20) : i])
+            if "def _spread" in head and "if not spread" in head:
+                continue
+            offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, (
+        f"unconditional .repartition( outside the spread discipline: {offenders}"
+    )
