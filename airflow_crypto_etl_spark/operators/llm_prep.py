@@ -216,10 +216,17 @@ def split_corpus(
     ``weights`` maps split name → integer weight; expected share of
     split i is weights[i]/sum(weights).
     """
+    return df.withColumn("split", _split_expr(F.col(id_col), weights, salt))
+
+
+def _split_expr(key: Column, weights: dict[str, int], salt: int) -> Column:
+    """The split-assignment expression of :func:`split_corpus`, factored
+    so cluster-keyed splitting reuses the identical integer-exact
+    threshold arithmetic."""
     from ..functions.hashing import affine_hash
 
     total = sum(weights.values())
-    h = F.pmod(affine_hash(F.col(id_col), F.lit(salt)), F.lit(SPLIT_RESOLUTION))
+    h = F.pmod(affine_hash(key, F.lit(salt)), F.lit(SPLIT_RESOLUTION))
     expr: Column | None = None
     cum = 0
     names = list(weights)
@@ -227,8 +234,46 @@ def split_corpus(
         cum += weights[name]
         cond = (h * total) < (cum * SPLIT_RESOLUTION)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
-    return df.withColumn("split", split)
+    return F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+
+
+def split_by_cluster(
+    assign: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: int = 11,
+) -> DataFrame:
+    """Leakage-SAFE holdout: assign splits by hashing the DEDUP CLUSTER
+    id, not the document id, so near-duplicate documents can never
+    straddle train and eval — the contamination mode a plain id-hash
+    split cannot prevent (two near-identical docs hash independently,
+    and with a 5% eval split ~10% of duplicate pairs leak an eval doc's
+    near-twin into train).
+
+    Input is a cluster assignment (from dedup.duplicate_clusters or any
+    pair generator + clustering): one row per doc with its cluster id.
+    Output adds ``split`` (cluster-keyed — the safe assignment),
+    ``naive_split`` (id-keyed, what split_corpus would do), and
+    ``naive_leak`` (true iff the doc's cluster straddles >1 naive
+    split — the audit column: its TRUE count is exactly the leakage the
+    cluster-keyed split prevents; the cluster-keyed assignment itself
+    can never leak, by construction).
+
+    Scale shape: both assignments are map-side codegen'd expressions;
+    the audit is one partial-agg groupBy over cluster ids plus one
+    keyed equi-join of 8-byte keys — no windows, no broadcast of
+    anything row-scale. Same stability guarantees as split_corpus:
+    membership depends only on (cluster_id, salt), so appends that
+    join an existing cluster land in that cluster's split."""
+    out = assign.withColumn("split", _split_expr(F.col(cluster_col), weights, salt))
+    out = out.withColumn("naive_split", _split_expr(F.col(id_col), weights, salt))
+    audit = out.groupBy(cluster_col).agg(
+        (F.size(F.collect_set("naive_split")) > 1).alias("naive_leak")
+    )
+    return out.join(audit, cluster_col).select(
+        id_col, cluster_col, "split", "naive_split", "naive_leak"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1733,6 +1733,56 @@ QUERIES_EXT["q_cluster_sizes"] = q_cluster_sizes
 ORACLE_EXT["q_cluster_sizes"] = _cluster_sizes_oracle()
 
 
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (r8): split membership is
+    hashed from the DEDUP CLUSTER id, so near-duplicates never straddle
+    train and eval; the naive_leak audit column counts exactly the
+    leaks an id-hash split would have committed on this corpus
+    (operators/llm_prep.split_by_cluster over
+    dedup.duplicate_clusters)."""
+    from .operators import llm_prep as lp
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    assign = dd.duplicate_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return lp.split_by_cluster(assign, {"train": 90, "valid": 5, "test": 5})
+
+
+def _split_case_sql(key: str, salt: int) -> str:
+    h = f"(({affine_hash_sql(key, str(salt))}) % 10000)"
+    return (
+        f"CASE WHEN {h} * 100 < 90 * 10000 THEN 'train' "
+        f"WHEN {h} * 100 < 95 * 10000 THEN 'valid' "
+        "ELSE 'test' END"
+    )
+
+
+def _split_by_cluster_oracle() -> str:
+    # extend the recursive clusters chain (same surgery as
+    # _cluster_sizes_oracle: the recursive WITH must stay outermost)
+    clusters = ORACLE_DEDUP_CLUSTERS.strip()
+    body = clusters.replace("WITH RECURSIVE", "", 1)
+    head, select = body.split("SELECT src AS doc_id", 1)
+    return f"""
+WITH RECURSIVE {head.rstrip().rstrip(',')},
+assign AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+s AS (
+  SELECT doc_id, cluster_id,
+         {_split_case_sql('cluster_id', 11)} AS split,
+         {_split_case_sql('doc_id', 11)} AS naive_split
+  FROM assign),
+audit AS (
+  SELECT cluster_id, count(DISTINCT naive_split) > 1 AS naive_leak
+  FROM s GROUP BY cluster_id)
+SELECT s.doc_id, s.cluster_id, s.split, s.naive_split, audit.naive_leak
+FROM s JOIN audit USING (cluster_id)
+"""
+
+
+QUERIES_EXT["q_split_by_cluster"] = q_split_by_cluster
+ORACLE_EXT["q_split_by_cluster"] = _split_by_cluster_oracle()
+
+
 def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WAV (RIFF PCM) decode — the audio member of the
     dependency-free decoder family (PPM/PNG/JPEG/WAV): every doc gets

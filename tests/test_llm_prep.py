@@ -108,6 +108,43 @@ def test_split_corpus_stable_and_proportional(spark):
     assert all(full[r.doc_id] == r.split for r in sub.collect())
 
 
+def test_split_by_cluster_never_straddles_and_audits_naive_leaks(spark):
+    """The cluster-keyed split assigns every member of a cluster the
+    SAME split (zero leakage by construction), while naive_leak counts
+    exactly the clusters an id-hash split would have torn apart."""
+    # 400 clusters of 5 docs each, ids deliberately far apart within a
+    # cluster so the naive id-hash disagrees often
+    assign = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "id % 400 AS cluster_id"
+    )
+    out = lp.split_by_cluster(assign, {"train": 80, "valid": 10, "test": 10})
+    rows = out.collect()
+    assert len(rows) == 2000
+    per_cluster: dict[int, set[str]] = {}
+    leak_flag: dict[int, bool] = {}
+    naive_per_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        per_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        naive_per_cluster.setdefault(r.cluster_id, set()).add(r.naive_split)
+        leak_flag[r.cluster_id] = r.naive_leak
+    # safe split: one split per cluster, always
+    assert all(len(s) == 1 for s in per_cluster.values())
+    # audit column == ground truth of the naive assignment
+    for cid, naive in naive_per_cluster.items():
+        assert leak_flag[cid] == (len(naive) > 1)
+    # with 5 far-apart ids per cluster the naive split MUST leak somewhere
+    assert any(leak_flag.values())
+    # split shares still near the weights (clusters hash uniformly)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.06
+    # stability: a subset of clusters sees identical assignments
+    sub = lp.split_by_cluster(
+        assign.filter("cluster_id % 3 = 0"), {"train": 80, "valid": 10, "test": 10}
+    )
+    full = {r.doc_id: r.split for r in rows}
+    assert all(full[r.doc_id] == r.split for r in sub.collect())
+
+
 def test_mixture_rebalance_hits_target_and_binds_on_scarcest(spark):
     rows = (
         [(i, "web") for i in range(1000)]
