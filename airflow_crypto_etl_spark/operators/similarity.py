@@ -399,6 +399,15 @@ def hard_negatives_recall(
         anchor_pred=F.col(id_col).isin(query_ids),
         spread=False,
     ).select("query_id", F.col("neighbor_id").alias("a"))
+    return _recall_vs_exact(exact, approx)
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate neighbor set vs exact truth:
+    exact carries (query_id, t), approx carries (query_id, a); output
+    (query_id, recall). Shared by the LSH / IVF / hard-negative recall
+    gates — both inputs deterministic → the fractions are
+    oracle-reproducible."""
     hits = exact.join(
         approx, (exact.query_id == approx.query_id) & (F.col("t") == F.col("a"))
     ).groupBy(exact.query_id).agg(F.count(F.lit(1)).alias("n_hits"))
@@ -413,6 +422,30 @@ def hard_negatives_recall(
             ).alias("recall"),
         )
     )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF searcher vs the brute-force scorer — the
+    second ANN path gets the same measure-don't-guess gate as LSH
+    (:func:`ann_recall`). On clustered embeddings IVF recall at search
+    fraction n_probe/n_centroids is the number a deployment trades
+    against LSH's; publishing both lets the choice be data-driven."""
+    exact = brute_force_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("t")
+    )
+    approx = ivf_topk(
+        emb, query_ids, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", F.col("neighbor_id").alias("a"))
+    return _recall_vs_exact(exact, approx)
 
 
 def lsh_near_pairs(
@@ -967,17 +1000,4 @@ def ann_recall(
     approx = lsh_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col("neighbor_id").alias("a")
     )
-    hits = exact.join(
-        approx, (exact.query_id == approx.query_id) & (F.col("t") == F.col("a"))
-    ).groupBy(exact.query_id).agg(F.count(F.lit(1)).alias("n_hits"))
-    return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_true"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            (
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_true")
-            ).alias("recall"),
-        )
-    )
+    return _recall_vs_exact(exact, approx)

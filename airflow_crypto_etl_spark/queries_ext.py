@@ -708,6 +708,86 @@ SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk
 """
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF searcher vs the exact brute-force scorer
+    (r8): the second ANN path gets the same in-engine
+    measure-don't-guess gate as LSH (q_ann_recall) — publishing both
+    recalls at their search fractions makes the LSH-vs-IVF choice
+    data-driven instead of asserted."""
+    return sim.ivf_recall(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _ivf_recall_oracle() -> str:
+    exact = ORACLE_ANN_TOPK.strip()
+    approx = ORACLE_ANN_IVF.strip()
+    return f"""
+WITH ex AS ({exact}),
+ap AS ({approx}),
+hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
+         FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         GROUP BY ex.query_id),
+tot AS (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id)
+SELECT tot.query_id, CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
+FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
+"""
+
+
+ORACLE_ANN_IVF_RECALL = _ivf_recall_oracle()
+
+
+def q_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP eval-set contamination (r8): corpus docs whose MinHash
+    estimate against any benchmark doc clears 0.5 — catches the
+    paraphrased/partially-edited leakage the exact n-gram screen
+    (q_contamination) misses. Benchmark = every 20th doc (id % 20 = 7),
+    corpus = the rest; reuses the incremental-dedup lookup
+    (dd.minhash_lookup) with the BENCHMARK as the index side, so the
+    corpus is shingled once map-side and only matched band buckets
+    shuffle — O(corpus×B + matched), never O(corpus×benchmark)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    corpus = docs.filter(F.col("doc_id") % 20 != 7)
+    bench_sig = dd.register_cache(dd.minhash_signatures(bench))
+    bench_bands = dd.minhash_bands(bench_sig)
+    out = dd.minhash_lookup(corpus, bench_sig, bench_bands, threshold=0.5)
+    return out.select(
+        F.col("new_id").alias("doc_id"),
+        F.col("corpus_id").alias("bench_id"),
+        "est_jaccard",
+    )
+
+
+def _minhash_contamination_oracle() -> str:
+    weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
+    return f"""
+WITH tokh AS (
+  SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
+sig AS MATERIALIZED (
+  SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
+  FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
+bands AS MATERIALIZED (
+  SELECT doc_id, i // {MINHASH_R} AS band,
+         CAST(sum(mh * ({weights})[(i % {MINHASH_R}) + 1]) AS BIGINT) AS band_sig
+  FROM sig GROUP BY doc_id, i // {MINHASH_R}),
+cand AS (
+  SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+  FROM bands c JOIN bands b
+    ON c.band = b.band AND c.band_sig = b.band_sig
+  WHERE c.doc_id % 20 <> 7 AND b.doc_id % 20 = 7),
+est AS (
+  SELECT cand.doc_id, bench_id,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / {MINHASH_K} AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_id
+  JOIN sig sb ON sb.doc_id = bench_id AND sb.i = sa.i
+  GROUP BY cand.doc_id, bench_id)
+SELECT doc_id, bench_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_CONTAMINATION_MINHASH = _minhash_contamination_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Sessionization / streaming windows (SURVEY §2.10 extensions)
 # ---------------------------------------------------------------------------
@@ -1447,6 +1527,12 @@ ORACLE_EXT = {
     "q_shuffle_shards": ORACLE_SHUFFLE_SHARDS,
     "q_length_batches": ORACLE_LENGTH_BATCHES,
 }
+
+
+QUERIES_EXT["q_ann_ivf_recall"] = q_ann_ivf_recall
+ORACLE_EXT["q_ann_ivf_recall"] = ORACLE_ANN_IVF_RECALL
+QUERIES_EXT["q_contamination_minhash"] = q_contamination_minhash
+ORACLE_EXT["q_contamination_minhash"] = ORACLE_CONTAMINATION_MINHASH
 
 
 def q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
