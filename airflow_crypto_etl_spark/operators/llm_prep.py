@@ -355,6 +355,58 @@ def mixture_rebalance(
     )
 
 
+EPOCH_STRIDE = 8  # > max repetition count; keeps copy ids collision-free
+
+
+def epoch_upsample(
+    staged: DataFrame,
+    reps_by_stage: dict[int, int],
+    id_col: str = "doc_id",
+    stage_col: str = "stage",
+    n_shards: int = 16,
+    salt: int = 17,
+) -> DataFrame:
+    """Quality-weighted EPOCH UPSAMPLING: repeat cleaner data more —
+    the data-constrained scaling knob (Muennighoff et al. 2023: up to
+    ~4 epochs of good data beat one epoch of worse data) made
+    deterministic. Input is a corpus with a quality stage column (e.g.
+    the distributed ntile of q_curriculum); ``reps_by_stage`` maps
+    stage → repetition count; every document is fanned out to that many
+    copies, and each copy gets a STABLE shard assignment from the
+    overflow-safe affine hash of (doc_id, copy) — so the emitted
+    training stream is reproducible row-for-row across reruns,
+    backfills, and partitioning changes (no rand(), no
+    zipWithIndex-style partition-order dependence).
+
+    Scale shape: the fan-out is a map-side explode of a literal
+    sequence (output rows = Σ reps, no shuffle); the shard id is a
+    codegen'd expression. Downstream writers partition by shard —
+    one shuffle keyed on (shard) if a clustered layout is wanted,
+    zero if shard-partitioned files suffice.
+
+    Max repetition must stay below EPOCH_STRIDE (collision-free copy
+    encoding: combined = (doc_id mod P)·STRIDE + copy, reduced mod P —
+    int64-safe for any 64-bit id, same guard as the bootstrap fan-out).
+    """
+    from ..functions.hashing import MERSENNE_P, affine_hash
+
+    if any(r < 0 or r >= EPOCH_STRIDE for r in reps_by_stage.values()):
+        raise ValueError(f"repetition counts must be in [0, {EPOCH_STRIDE})")
+    rep: Column | None = None
+    for stg, r in reps_by_stage.items():
+        cond = F.col(stage_col) == stg
+        rep = F.when(cond, r) if rep is None else rep.when(cond, r)
+    reps = F.coalesce(rep, F.lit(0))
+    fan = staged.withColumn("_er", reps).filter(F.col("_er") > 0).withColumn(
+        "epoch_copy", F.explode(F.sequence(F.lit(0), F.col("_er") - 1))
+    )
+    combined = (
+        (F.col(id_col) % MERSENNE_P) * EPOCH_STRIDE + F.col("epoch_copy")
+    ) % MERSENNE_P
+    shard = F.pmod(affine_hash(combined, F.lit(salt)), F.lit(n_shards))
+    return fan.withColumn("shard", shard).drop("_er")
+
+
 # ---------------------------------------------------------------------------
 # RAG / context-window chunking
 # ---------------------------------------------------------------------------

@@ -1136,6 +1136,79 @@ QUERIES_QUALITY["q_curriculum"] = q_curriculum
 ORACLE_QUALITY["q_curriculum"] = ORACLE_CURRICULUM
 
 
+_EPOCH_REPS = {1: 1, 2: 2, 3: 3, 4: 4}  # noisiest once, cleanest 4 epochs
+
+
+def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted epoch upsampling (r8): the corpus's quality
+    quartiles (same distributed ntile as q_curriculum) are repeated
+    1/2/3/4 epochs — noisiest once, cleanest four times (the
+    data-constrained scaling recipe) — and every (doc, copy) gets a
+    stable hash shard (operators/llm_prep.epoch_upsample). Published as
+    the per-(stage, shard) manifest a training scheduler consumes:
+    row count, distinct docs, exact token budget."""
+    from .operators import llm_prep as lp
+    from .operators.text import quality_score
+
+    scored = (
+        quality_score(_t(spark, sf_dir, "documents"))
+        .select("doc_id", "n_tokens", "quality_score")
+        # same materialization rationale as q_curriculum: the rank
+        # primitive's boundary actions would re-run the tokenizing
+        # score pass 3x otherwise
+        .localCheckpoint(eager=True)
+    )
+    staged = rk.ranked_ntile(
+        scored, [("quality_score", True), ("doc_id", True)], _CURR_STAGES, out="stage"
+    )
+    fan = lp.epoch_upsample(staged, _EPOCH_REPS)
+    return (
+        fan.groupBy("stage", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("token_budget"),
+        )
+        .select("stage", F.col("shard").cast("int").alias("shard"),
+                "n_rows", "n_docs", "token_budget")
+    )
+
+
+def _epoch_upsample_oracle() -> str:
+    from .operators.llm_prep import EPOCH_STRIDE
+    from .functions.hashing import MERSENNE_P
+    from .queries_analytics import _quality_sql
+
+    combined = f"(((doc_id % {MERSENNE_P}) * {EPOCH_STRIDE} + epoch_copy) % {MERSENNE_P})"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER)
+           AS n_tokens,
+         quality_score
+  FROM ({_quality_sql('documents')})),
+staged AS (
+  SELECT *, ntile({_CURR_STAGES}) OVER (ORDER BY quality_score, doc_id) AS stage
+  FROM scored),
+fan AS (
+  SELECT doc_id, n_tokens, stage, unnest(range(0, stage)) AS epoch_copy
+  FROM staged),
+sharded AS (
+  SELECT *, ({affine_hash_sql(combined, '17')}) % 16 AS shard FROM fan)
+SELECT CAST(stage AS INT) AS stage, CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_budget
+FROM sharded GROUP BY stage, shard
+"""
+
+
+ORACLE_EPOCH_UPSAMPLE = _epoch_upsample_oracle()
+
+QUERIES_QUALITY["q_epoch_upsample"] = q_epoch_upsample
+ORACLE_QUALITY["q_epoch_upsample"] = ORACLE_EPOCH_UPSAMPLE
+
+
 # ---------------------------------------------------------------------------
 # Privacy audits (r7): k-anonymity report + l-diversity violations —
 # the re-identification checks a curation pipeline runs before a

@@ -145,6 +145,31 @@ def test_split_by_cluster_never_straddles_and_audits_naive_leaks(spark):
     assert all(full[r.doc_id] == r.split for r in sub.collect())
 
 
+def test_epoch_upsample_fanout_stability_and_guard(spark):
+    """Fan-out = reps per stage exactly; copy shards are a pure
+    function of (doc_id, copy) so a subset rerun reproduces them;
+    repetition counts >= EPOCH_STRIDE are rejected."""
+    import pytest
+
+    staged = spark.range(0, 400).selectExpr("id AS doc_id", "1 + id % 4 AS stage")
+    out = lp.epoch_upsample(staged, {1: 1, 2: 2, 3: 3, 4: 4})
+    rows = out.collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append((r.epoch_copy, r.shard))
+    for r in staged.collect():
+        copies = sorted(per_doc[r.doc_id])
+        assert [c for c, _ in copies] == list(range(r.stage))
+    # stage-0 reps drop rows entirely
+    assert lp.epoch_upsample(staged, {1: 0, 2: 0, 3: 0, 4: 1}).count() == 100
+    # stability under subsetting
+    sub = lp.epoch_upsample(staged.filter("doc_id % 5 = 0"), {1: 1, 2: 2, 3: 3, 4: 4})
+    full = {(r.doc_id, r.epoch_copy): r.shard for r in rows}
+    assert all(full[(r.doc_id, r.epoch_copy)] == r.shard for r in sub.collect())
+    with pytest.raises(ValueError):
+        lp.epoch_upsample(staged, {1: lp.EPOCH_STRIDE})
+
+
 def test_mixture_rebalance_hits_target_and_binds_on_scarcest(spark):
     rows = (
         [(i, "web") for i in range(1000)]
