@@ -275,6 +275,37 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
 """
 
 
+def q_dedup_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the MinHash-LSH near-dup screen (r8): the fraction
+    of flagged pairs (est Jaccard ≥ 0.5) that are TRUE near-dups under
+    the exact n-gram Jaccard (≥ 0.6) — q_dedup_recall's PR twin. A
+    screen tuned on recall alone can silently flood the survivor
+    election with false pairs; publishing both closes the loop."""
+    truth = q_dedup_ngram(spark, sf_dir).select("doc_a", "doc_b")
+    approx = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    caught = approx.join(truth, ["doc_a", "doc_b"])
+    return approx.agg(F.count(F.lit(1)).alias("n_flagged")).crossJoin(
+        caught.agg(F.count(F.lit(1)).alias("n_true_pos"))
+    ).select(
+        "n_flagged",
+        "n_true_pos",
+        (F.col("n_true_pos").cast("double") / F.col("n_flagged")).alias("precision"),
+    )
+
+
+def _dedup_precision_oracle() -> str:
+    return f"""
+WITH truth AS ({ORACLE_DEDUP_NGRAM}),
+approx AS ({ORACLE_DEDUP_MINHASH}),
+caught AS (SELECT a.doc_a, a.doc_b FROM approx a
+           JOIN truth t ON t.doc_a = a.doc_a AND t.doc_b = a.doc_b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM approx) AS n_flagged,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM caught) AS n_true_pos,
+       CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+         / (SELECT COUNT(*) FROM approx) AS precision
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a new batch (id-shifted copies of the corpus,
     so every new doc has a known match) joined against the persisted
@@ -1529,6 +1560,8 @@ ORACLE_EXT = {
 }
 
 
+QUERIES_EXT["q_dedup_precision"] = q_dedup_precision
+ORACLE_EXT["q_dedup_precision"] = _dedup_precision_oracle()
 QUERIES_EXT["q_ann_ivf_recall"] = q_ann_ivf_recall
 ORACLE_EXT["q_ann_ivf_recall"] = ORACLE_ANN_IVF_RECALL
 QUERIES_EXT["q_contamination_minhash"] = q_contamination_minhash
