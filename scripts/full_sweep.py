@@ -1,0 +1,97 @@
+"""Sharded full-registry correctness sweep: run driver_sim in N
+parallel subprocesses (query names split round-robin by sorted index)
+and merge the per-shard JSON reports into one CORRECTNESS file.
+
+Why: the sequential sweep alternates one Spark query (local[16]) with
+one DuckDB oracle — each leaves most of the box idle while the other
+runs. Four shards overlap them and cut the sf1 leg's wall time ~3-4×
+(r7 verdict item 3 — evidence-regeneration cost taxes every round).
+Shards are plain driver_sim processes, so the per-query semantics,
+normalization, and pass/fail criteria are byte-identical to the
+driver's; only the orchestration is new.
+
+Usage: python scripts/full_sweep.py [sf_dir] [--procs N] [--json OUT]
+Exit 1 if any shard reported a failure or died.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    procs = 4
+    json_out = None
+    if "--procs" in args:
+        i = args.index("--procs")
+        procs = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as e
+
+    names = sorted(e.queries())
+    shards = [names[i::procs] for i in range(procs)]
+    t0 = time.time()
+    tmp = tempfile.mkdtemp(prefix="sweep_")
+    running = []
+    for i, shard in enumerate(shards):
+        out = f"{tmp}/shard{i}.json"
+        log = open(f"{tmp}/shard{i}.log", "w")
+        p = subprocess.Popen(
+            [sys.executable, str(ROOT / "scripts/driver_sim.py"), sf, "--json", out, *shard],
+            stdout=log, stderr=log, cwd=str(ROOT),
+        )
+        running.append((p, out, log))
+    merged: dict = {}
+    rc = 0
+    for i, (p, out, log) in enumerate(running):
+        p.wait()
+        log.close()
+        if p.returncode not in (0, 1):
+            print(f"shard {i} died rc={p.returncode} (see {log.name})")
+            rc = 1
+            continue
+        try:
+            merged.update(json.loads(pathlib.Path(out).read_text()))
+        except Exception as ex:  # noqa: BLE001
+            print(f"shard {i}: unreadable report: {ex}")
+            rc = 1
+        if p.returncode == 1:
+            rc = 1
+    n_pass = sum(
+        1 for r in merged.values()
+        if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+    )
+    missing = [n for n in names if n not in merged]
+    if missing:
+        print(f"MISSING from merged report: {missing}")
+        rc = 1
+    print(
+        f"sweep: {n_pass}/{len(names)} pass in {time.time()-t0:.0f}s "
+        f"({procs} shards, logs in {tmp})"
+    )
+    for n, r in sorted(merged.items()):
+        if not (r.get("rows_match") and r.get("schema_match") and r.get("hash_match")):
+            print(f"  FAIL {n}: {r}")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(merged)} queries)")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
