@@ -131,6 +131,9 @@ def main() -> int:
             n_fail += 1
             rec["err"] = f"{type(ex).__name__}: {str(ex)[:200]}"
             print(f"FAIL {name}: {rec['err']}")
+        finally:
+            # recorded so full_sweep can LPT-balance shards by cost
+            rec["wall_s"] = round(time.time() - t0, 1)
     print(f"\npass={n_pass} rows_only={n_rows_only} fail={n_fail} of {len(names)}")
     if JSON_OUT:
         with open(JSON_OUT, "w") as f:

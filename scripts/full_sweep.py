@@ -11,6 +11,11 @@ normalization, and pass/fail criteria are byte-identical to the
 driver's; only the orchestration is new.
 
 Usage: python scripts/full_sweep.py [sf_dir] [--procs N] [--json OUT]
+           [--balance PRIOR.json]
+--balance uses a prior report's per-query wall_s for longest-
+processing-time-first shard assignment (the default round-robin left
+one shard holding most of the dedup family in the first r8 sf1 run:
+72 min wall while its siblings finished in ~36).
 Exit 1 if any shard reported a failure or died.
 """
 from __future__ import annotations
@@ -38,12 +43,29 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    balance = None
+    if "--balance" in args:
+        i = args.index("--balance")
+        balance = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     sf = args[0] if args else "/root/testdata/sf0.01"
 
     import __spark_entry__ as e
 
     names = sorted(e.queries())
-    shards = [names[i::procs] for i in range(procs)]
+    if balance:
+        prior = json.loads(pathlib.Path(balance).read_text())
+        cost = {n: float(prior.get(n, {}).get("wall_s") or 1.0) for n in names}
+        # LPT: heaviest first into the currently-lightest shard
+        shards = [[] for _ in range(procs)]
+        loads = [0.0] * procs
+        for n in sorted(names, key=lambda x: -cost[x]):
+            j = loads.index(min(loads))
+            shards[j].append(n)
+            loads[j] += cost[n]
+        print("balanced shard loads (prior-s):", [round(x) for x in loads])
+    else:
+        shards = [names[i::procs] for i in range(procs)]
     t0 = time.time()
     tmp = tempfile.mkdtemp(prefix="sweep_")
     running = []
@@ -51,7 +73,10 @@ def main() -> int:
         out = f"{tmp}/shard{i}.json"
         log = open(f"{tmp}/shard{i}.log", "w")
         p = subprocess.Popen(
-            [sys.executable, str(ROOT / "scripts/driver_sim.py"), sf, "--json", out, *shard],
+            # -u: unbuffered stdout so per-query ok/FAIL lines hit the
+            # shard log as they happen (block-buffered stdout otherwise
+            # flushes ~every 8KB — invisible progress for minutes)
+            [sys.executable, "-u", str(ROOT / "scripts/driver_sim.py"), sf, "--json", out, *shard],
             stdout=log, stderr=log, cwd=str(ROOT),
         )
         running.append((p, out, log))
