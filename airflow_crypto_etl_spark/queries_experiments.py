@@ -2493,3 +2493,123 @@ WHERE c_a + c_b > 0 AND c_a + c_b < n_a + n_b
 
 QUERIES_EXPERIMENTS["q_sequential_ab"] = q_sequential_ab
 ORACLE_EXPERIMENTS["q_sequential_ab"] = ORACLE_SEQUENTIAL_AB
+
+
+# ---------------------------------------------------------------------------
+# Tabular-ML feature preparation (r8): smoothed target encoding + the
+# hashing trick — the two classical leakage-prone feature transforms a
+# training-data platform has to compute AT SCALE with exact arithmetic.
+# ---------------------------------------------------------------------------
+
+_TE_SMOOTH = 20  # pseudo-count m in (sum + m*prior) / (n + m)
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of the supplier key's mod-25 band
+    (a high-cardinality-category stand-in) against the binary target
+    "line item was returned" (l_returnflag = 'R'): enc = (n_pos +
+    m·prior) / (n + m) with pseudo-count m=20 — the empirical-Bayes
+    shrinkage that keeps rare categories from memorizing the label.
+
+    Exactness: n/n_pos are integer counts, the prior is one exact
+    integer ratio, and the encoding is single IEEE double ops on those
+    exact inputs — bit-reproducible under any shuffle order. Scale
+    shape: ONE partial-agg groupBy over the (few) categories plus a
+    1-row broadcast prior; the fact table never shuffles."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "supp_band", (F.col("l_suppkey") % 25).cast("int")
+    )
+    flag = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    g = li.groupBy("supp_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(flag).cast("bigint").alias("n_pos"),
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.sum(flag).cast("bigint").alias("_gpos"),
+    )
+    prior = F.col("_gpos").cast("double") / F.col("_gn").cast("double")
+    enc = (F.col("n_pos").cast("double") + F.lit(float(_TE_SMOOTH)) * prior) / (
+        F.col("n").cast("double") + F.lit(float(_TE_SMOOTH))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "supp_band",
+            "n",
+            "n_pos",
+            F.round(enc, 6).alias("target_enc"),
+        )
+    )
+
+
+ORACLE_TARGET_ENCODE = f"""
+WITH li AS (SELECT *, CAST(l_suppkey % 25 AS INT) AS supp_band FROM lineitem),
+g AS (
+  SELECT supp_band, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM li GROUP BY supp_band),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS gpos
+  FROM li)
+SELECT supp_band, n, n_pos,
+       round((CAST(n_pos AS DOUBLE) + {float(_TE_SMOOTH)!r} * (CAST(gpos AS DOUBLE) / CAST(gn AS DOUBLE)))
+             / (CAST(n AS DOUBLE) + {float(_TE_SMOOTH)!r}), 6) AS target_enc
+FROM g CROSS JOIN tot
+"""
+
+QUERIES_EXPERIMENTS["q_target_encode"] = q_target_encode
+ORACLE_EXPERIMENTS["q_target_encode"] = ORACLE_TARGET_ENCODE
+
+
+_FH_BUCKETS = 256
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization audit: every token maps to
+    char_hash(token) mod 256 (the fixed-width feature space of
+    Weinberger et al. 2009), published as the per-bucket manifest
+    (total occurrences, docs touched, distinct tokens — the collision
+    profile that decides whether 2^k buckets suffice). Map-side
+    explode + ONE partial-agg groupBy over a bounded 256-row domain;
+    exact distinct counts stay per-bucket (bounded fan-in)."""
+    from .functions.hashing import char_hash
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), t -> t <> '')")).alias("tok")
+    )
+    b = toks.withColumn("bucket", char_hash(F.col("tok")) % _FH_BUCKETS)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("tok").alias("n_distinct_tokens"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_occurrences", "n_docs", "n_distinct_tokens",
+        )
+    )
+
+
+def _feature_hash_oracle() -> str:
+    from .functions.hashing import char_hash_sql
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents),
+b AS (SELECT doc_id, tok, ({char_hash_sql('tok')}) % {_FH_BUCKETS} AS bucket FROM toks)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+FROM b GROUP BY bucket
+"""
+
+
+QUERIES_EXPERIMENTS["q_feature_hash"] = q_feature_hash
+ORACLE_EXPERIMENTS["q_feature_hash"] = _feature_hash_oracle()

@@ -88,6 +88,7 @@ _PRODUCT_OK = {
     "q_tpch_q20",           # broadcast scalar availqty threshold
     "q_tpch_q22",           # broadcast 1-row avg(acctbal) scalar
     "q_mixture_rebalance",  # broadcast 1-row binding mixture total
+    "q_target_encode",      # category table x broadcast 1-row global prior
     "q_udtf_ngrams",        # lateral UDTF join
     "q_tfidf",              # broadcast 1-row corpus doc-count scalar
     "q_collocations",       # broadcast 1-row corpus doc-count scalar
