@@ -134,6 +134,11 @@ def main() -> None:
         args = args[:i] + args[i + 2 :]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = list(args[1:]) or None
+    if only and "--json" not in sys.argv:
+        # a targeted subset run must not clobber the committed
+        # registry-wide artifact (bit us in r8: a 2-query spot check
+        # overwrote the 291-oracle record between commits)
+        json_out = None
     try:
         res = audit(sf_dir, runs=runs, only=only)
     except KeyError as e:
@@ -150,8 +155,9 @@ def main() -> None:
         "n_stable": sum(r["stable"] for r in res.values()),
         "flaky": flaky,
     }
-    with open(json_out, "w") as f:
-        json.dump({"summary": summary, "oracles": res}, f, indent=1, sort_keys=True)
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "oracles": res}, f, indent=1, sort_keys=True)
     print(json.dumps(summary))
     sys.exit(1 if flaky else 0)
 
