@@ -145,6 +145,48 @@ def shingle_hashes_col(text_col: str, n: int = 3):
     return F.expr(shingle_hashes_sql(text_col, n))
 
 
+def minhash_sig_array(text_col: str = "text"):
+    """Per-ROW MinHash signature as array<bigint>[K]: element i is the
+    minimum of affine_i over the doc's distinct shingle hashes — the
+    STATELESS twin of :func:`minhash_signatures` (identical values; min
+    over the same set under the same hash family). No explode, no
+    groupBy: a pure projection, which is what makes MinHash usable
+    inside an append-mode STREAMING pipeline (a streaming
+    explode+groupBy(min) would be an unbounded stateful aggregation).
+    Docs with fewer than n tokens yield NULL elements — filter
+    ``size(tokens) >= n`` upstream, as the batch path does."""
+    from ..functions.hashing import affine_hash
+
+    sh = shingle_hashes_col(text_col)
+
+    def _hash_i(idx: int):
+        # single-arg closure per family member: a `lambda th, i=i:`
+        # two-param lambda would be interpreted by F.transform as its
+        # (element, index) form, silently shadowing the family index
+        # with the ARRAY position (caught by the batch-parity test)
+        return lambda th: affine_hash(th, F.lit(idx))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, _hash_i(i))) for i in range(MINHASH_K)]
+    )
+
+
+def minhash_band_array(sig_col):
+    """Band signatures from a per-row signature array: band b =
+    Σ_j sig[b·R+j] · 31^j — same integer weighting as
+    :func:`minhash_bands`, as a projection over the array."""
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            sum(
+                (c[b * MINHASH_R + j] * F.lit(BAND_WEIGHTS[j]) for j in range(1, MINHASH_R)),
+                c[b * MINHASH_R] * F.lit(BAND_WEIGHTS[0]),
+            )
+            for b in range(MINHASH_K // MINHASH_R)
+        ]
+    )
+
+
 def _spread(df: DataFrame, spread: bool = True) -> DataFrame:
     """Widen a narrow scan before CPU-heavy per-doc projections.
 

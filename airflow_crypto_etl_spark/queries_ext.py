@@ -1568,6 +1568,22 @@ QUERIES_EXT["q_contamination_minhash"] = q_contamination_minhash
 ORACLE_EXT["q_contamination_minhash"] = ORACLE_CONTAMINATION_MINHASH
 
 
+def q_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time contamination screen (r8): the document
+    stream is MinHash-banded STATELESSLY per row
+    (dedup.minhash_sig_array) and checked against the broadcast
+    benchmark band index — append-mode end-to-end except the bounded
+    (doc, bench) pair dedup. Same oracle as the batch screen: the
+    emitted pair set is order-independent."""
+    from .streaming.windows import streaming_contamination
+
+    return streaming_contamination(spark, sf_dir)
+
+
+QUERIES_EXT["q_stream_contamination"] = q_stream_contamination
+ORACLE_EXT["q_stream_contamination"] = ORACLE_CONTAMINATION_MINHASH
+
+
 def q_subword_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword tokenization (regex pre-tokenize + fixed-length
     chunking) — token-budget estimation over the corpus."""

@@ -100,6 +100,67 @@ def streaming_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup eval-contamination screen AT INGEST: every
+    arriving document is MinHash-banded and checked against the static
+    benchmark index before it can enter the corpus — the streaming twin
+    of q_contamination_minhash, and the shape a production ingest gate
+    actually wants (leakage rejected on arrival, not in a nightly
+    batch).
+
+    The enabler is the STATELESS per-row signature
+    (operators/dedup.minhash_sig_array — identical values to the batch
+    explode+groupBy path, parity-tested): signature and band
+    computation are pure projections, candidate generation is a
+    stream-static equi-join against the broadcast benchmark band table,
+    and the Jaccard estimate is a zip_with fold over the two signature
+    arrays — all append-mode-safe. The only stateful operator is the
+    (doc, bench) pair dedup (a pair can collide in several bands),
+    whose state is bounded by the number of DISTINCT contaminated
+    pairs — the same footprint the batch distinct carries.
+
+    At 100 TB: the benchmark index is eval-set-sized (broadcastable by
+    construction); the stream side never shuffles except the bounded
+    pair-dedup exchange."""
+    from ..operators import dedup as dd
+    from ..sources.tables import load_table
+
+    min_tokens = F.expr(f"size({dd._tokens_sql('text')}) >= 3")
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 20 == 7) & min_tokens)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    bsig = bench.select("bench_id", dd.minhash_sig_array("text").alias("bsig"))
+    bench_long = bsig.select(
+        "bench_id", "bsig",
+        F.posexplode(dd.minhash_band_array("bsig")).alias("band", "band_sig"),
+    )
+    stream = (
+        stream_documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") % 20 != 7) & min_tokens)
+        .select("doc_id", dd.minhash_sig_array("text").alias("sig"))
+    )
+    s_long = stream.select(
+        "doc_id", "sig",
+        F.posexplode(dd.minhash_band_array("sig")).alias("band", "band_sig"),
+    )
+    matches = F.aggregate(
+        F.zip_with("sig", "bsig", lambda a, b: F.when(a == b, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    out = (
+        s_long.join(F.broadcast(bench_long), ["band", "band_sig"])
+        .withColumn("est_jaccard", matches.cast("double") / F.lit(float(dd.MINHASH_K)))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_id", "bench_id", "est_jaccard")
+        .dropDuplicates(["doc_id", "bench_id"])
+    )
+    return run_available_now(out, "append")
+
+
 def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "complete",

@@ -433,3 +433,37 @@ def test_streaming_gram_multi_batch_equals_batch_sums(spark, sf_dir, tmp_path):
         assert got["n"] == b["n"], k
         for c in sums:
             assert got[c] == b[c], (k, c)
+
+
+def test_streaming_contamination_matches_batch_screen(spark, sf_dir):
+    """The ingest-time streaming screen must emit EXACTLY the pair set
+    of the batch minhash screen (same benchmark split, same threshold),
+    and the per-row stateless signature must reproduce the batch
+    explode+groupBy signature bit-for-bit."""
+    from airflow_crypto_etl_spark.operators import dedup as dd
+    from airflow_crypto_etl_spark.queries_ext import q_contamination_minhash
+    from airflow_crypto_etl_spark.streaming.windows import streaming_contamination
+    from airflow_crypto_etl_spark.sources.tables import load_table
+
+    stream_rows = {
+        (r["doc_id"], r["bench_id"], r["est_jaccard"])
+        for r in streaming_contamination(spark, sf_dir).collect()
+    }
+    batch_rows = {
+        (r["doc_id"], r["bench_id"], r["est_jaccard"])
+        for r in q_contamination_minhash(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert stream_rows, "fixture corpus should contain contaminated pairs"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ok = docs.filter(F.expr(f"size({dd._tokens_sql('text')}) >= 3"))
+    arr = ok.select("doc_id", dd.minhash_sig_array("text").alias("sig"))
+    batch_arr = (
+        dd.minhash_signatures(docs)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select("doc_id", F.transform("s", lambda x: x["mh"]).alias("bsig"))
+    )
+    bad = arr.join(batch_arr, "doc_id").filter(F.col("sig") != F.col("bsig")).count()
+    assert bad == 0
