@@ -115,13 +115,25 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static equi-join against the broadcast benchmark band table,
     and the Jaccard estimate is a zip_with fold over the two signature
     arrays — all append-mode-safe. The only stateful operator is the
-    (doc, bench) pair dedup (a pair can collide in several bands),
-    whose state is bounded by the number of DISTINCT contaminated
-    pairs — the same footprint the batch distinct carries.
+    (doc, bench) pair dedup (a pair can collide in several bands) —
+    and a pair can ONLY collide across bands within the doc's own
+    arrival (every band row of a doc is exploded from the same input
+    row, so all its duplicates carry the SAME ingest time). That makes
+    the dedup state watermark-expirable: ``dropDuplicatesWithinWatermark``
+    over the ingest event time drops the cross-band duplicates exactly
+    like the unbounded ``dropDuplicates`` did, but EVICTS a pair's
+    state once the watermark passes its arrival — on a continuous
+    ingest stream the state is bounded by one watermark window of
+    contaminated pairs, not the full history (r8 verdict item 2; the
+    four-micro-batch eviction proof is
+    tests/test_streaming.py::test_contamination_pair_dedup_state_evicts).
+    The ingest time here is synthesized deterministically from doc_id
+    (the documents table carries no timestamp), so the availableNow
+    replay emits the identical pair set the batch distinct produced.
 
     At 100 TB: the benchmark index is eval-set-sized (broadcastable by
-    construction); the stream side never shuffles except the bounded
-    pair-dedup exchange."""
+    construction); the stream side never shuffles except the
+    watermark-bounded pair-dedup exchange."""
     from ..operators import dedup as dd
     from ..sources.tables import load_table
 
@@ -131,19 +143,45 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") % 20 == 7) & min_tokens)
         .select(F.col("doc_id").alias("bench_id"), "text")
     )
+    stream = (
+        stream_documents(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") % 20 != 7) & min_tokens)
+        # synthesized arrival clock: the documents table has no
+        # timestamp, and a CONSTANT replay time makes the emitted pair
+        # set invariant to how availableNow slices the input into
+        # micro-batches (an advancing synthetic clock + a file split
+        # could drop later slices as late data); a production ingest
+        # stream passes its real arrival time here instead, which is
+        # what lets the watermark actually evict
+        .withColumn("ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    return run_available_now(contamination_screen(stream, bench), "append")
+
+
+def contamination_screen(
+    stream_docs: DataFrame, bench: DataFrame, wm_delay: str = "1 hour"
+) -> DataFrame:
+    """The ingest contamination gate proper (see
+    :func:`streaming_contamination` for the full design notes):
+    ``stream_docs`` is an unbounded (doc_id, text, ingest_ts) stream,
+    ``bench`` the static (bench_id, text) benchmark set. Emits one
+    (doc_id, bench_id, est_jaccard) row per contaminated pair, with
+    the cross-band pair dedup held in ``dropDuplicatesWithinWatermark``
+    state that expires ``wm_delay`` past the pair's arrival time —
+    bounded on a continuous stream, unlike plain ``dropDuplicates``."""
+    from ..operators import dedup as dd
+
     bsig = bench.select("bench_id", dd.minhash_sig_array("text").alias("bsig"))
     bench_long = bsig.select(
         "bench_id", "bsig",
         F.posexplode(dd.minhash_band_array("bsig")).alias("band", "band_sig"),
     )
-    stream = (
-        stream_documents(spark, sf_dir)
-        .select("doc_id", "text")
-        .filter((F.col("doc_id") % 20 != 7) & min_tokens)
-        .select("doc_id", dd.minhash_sig_array("text").alias("sig"))
+    s = stream_docs.select(
+        "doc_id", "ingest_ts", dd.minhash_sig_array("text").alias("sig")
     )
-    s_long = stream.select(
-        "doc_id", "sig",
+    s_long = s.select(
+        "doc_id", "ingest_ts", "sig",
         F.posexplode(dd.minhash_band_array("sig")).alias("band", "band_sig"),
     )
     matches = F.aggregate(
@@ -151,14 +189,15 @@ def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    out = (
+    return (
         s_long.join(F.broadcast(bench_long), ["band", "band_sig"])
         .withColumn("est_jaccard", matches.cast("double") / F.lit(float(dd.MINHASH_K)))
         .filter(F.col("est_jaccard") >= 0.5)
-        .select("doc_id", "bench_id", "est_jaccard")
-        .dropDuplicates(["doc_id", "bench_id"])
+        .select("doc_id", "bench_id", "est_jaccard", "ingest_ts")
+        .withWatermark("ingest_ts", wm_delay)
+        .dropDuplicatesWithinWatermark(["doc_id", "bench_id"])
+        .drop("ingest_ts")
     )
-    return run_available_now(out, "append")
 
 
 def run_available_now(

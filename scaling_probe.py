@@ -636,6 +636,97 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
+    # Degenerate-bucket guard on the all-anchor miner (r9, verdict
+    # item 1): a hot cluster of IDENTICAL vectors (mixed labels) lands
+    # in the same cell of every LSH table — the uncapped self-fan-out
+    # is |hot|² per table, the docstring's "one degenerate bucket is
+    # the whole runtime" failure. With bucket_cap below the cluster
+    # size the cells are dropped WHOLESALE, so runtime must be ~FLAT in
+    # the hot-cluster size (background fixed, hot ×N contributes only
+    # the map-side bucketing of the extra rows). Also pins the
+    # wholesale-drop semantics: identical vectors share every bucket,
+    # so no capped candidate can involve a hot id at either scale.
+    if want("hard_negatives_hotbucket"):
+        spark_ = docs.sparkSession
+        DIM, B, M, CAP = 64, 2000, 500, 200
+
+        def hot_emb(n_hot: int) -> DataFrame:
+            bg = spark_.range(B).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(DIM)),
+                    lambda j: ((F.col("id") * 31 + j * 17) % 13 - 6).cast("double"),
+                ).alias("embedding"),
+                (F.col("id") % 4).cast("int").alias("label"),
+            )
+            hot = spark_.range(n_hot).select(
+                (F.col("id") + 10_000_000).alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(DIM)),
+                    lambda j: (j * 17 % 13 - 6).cast("double"),
+                ).alias("embedding"),
+                (F.col("id") % 2).cast("int").alias("label"),
+            )
+            return bg.unionByName(hot)
+
+        def hb_case(n_hot: int) -> DataFrame:
+            return sim.hard_negatives_lsh(
+                hot_emb(n_hot), k=3, dim=DIM, bucket_cap=CAP, spread=True
+            )
+
+        # wholesale-drop contract: no hot id survives into the output
+        assert hb_case(M).filter(F.col("query_id") >= 10_000_000).count() == 0
+        hb_case(M).count()  # warm
+        t0 = time.perf_counter(); hb_case(M).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        big_out = hb_case(M * INFLATE)
+        big_out.count()
+        tn = time.perf_counter() - t0
+        assert big_out.filter(F.col("query_id") >= 10_000_000).count() == 0
+        results["hard_negatives_hotbucket"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # split_by_cluster under corpus inflation (r9, verdict item 6):
+    # the docstring claims map-side split exprs + ONE partial-agg
+    # groupBy + one keyed 8-byte equi-join — so ×N docs (and ×N
+    # clusters) must cost ~N.
+    if want("split_by_cluster"):
+        weights = {"train": 18, "eval": 1, "test": 1}
+
+        def split_case(d: DataFrame) -> DataFrame:
+            assign = d.select("doc_id", (F.col("doc_id") / 3).cast("long").alias("cluster_id"))
+            return lp.split_by_cluster(assign, weights)
+
+        big_docs_s = inflate(docs, ["doc_id"], INFLATE)
+        split_case(docs).count()  # warm
+        t0 = time.perf_counter(); split_case(docs).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); split_case(big_docs_s).count(); tn = time.perf_counter() - t0
+        results["split_by_cluster"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # epoch_upsample under repetition inflation (r9, verdict item 6):
+    # corpus FIXED, reps ×N — the fan-out is a map-side explode of a
+    # literal sequence (output rows = Σ reps, no shuffle), so time must
+    # track output volume ~N, not corpus passes.
+    if want("epoch_upsample_reps"):
+        # reps must stay below EPOCH_STRIDE (= 8, collision-free copy
+        # encoding), so the fan-out multiplier is clamped on 8× runs
+        mult_n = min(INFLATE, lp.EPOCH_STRIDE - 1)
+
+        def ups_case(mult: int) -> DataFrame:
+            staged = docs.select("doc_id", (F.col("doc_id") % 4).cast("int").alias("stage"))
+            return lp.epoch_upsample(staged, {s: mult for s in range(4)})
+
+        ups_case(1).count()  # warm
+        t0 = time.perf_counter(); n1 = ups_case(1).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); nn = ups_case(mult_n).count(); tn = time.perf_counter() - t0
+        assert nn == mult_n * n1  # exact fan-out arithmetic
+        results["epoch_upsample_reps"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
     print(json.dumps({"inflate": INFLATE, "queries": results}))
 
 

@@ -75,8 +75,7 @@ _PRODUCT_OK = {
     "q_hard_negatives",     # corpus x broadcast 8 anchor vectors (cross-label)
     "q_hard_negatives_recall",  # exact side composes q_hard_negatives' shape
                                 # (the LSH side is pure equi-join)
-    "q_dedup_recall",       # 1-row n_true x 1-row n_caught scalar bind
-    "q_dedup_precision",    # 1-row n_flagged x 1-row n_true_pos scalar bind
+    "q_dedup_pr",           # 1-row n_true x n_flagged x n_caught scalar bind
     "q_dedup_ngram",        # dfreq x broadcast 1-row corpus count
     "q_dedup_containment",  # same dfreq x broadcast 1-row corpus count
     "q_dedup_simhash",      # broadcast scalar threshold

@@ -467,3 +467,65 @@ def test_streaming_contamination_matches_batch_screen(spark, sf_dir):
     )
     bad = arr.join(batch_arr, "doc_id").filter(F.col("sig") != F.col("bsig")).count()
     assert bad == 0
+
+
+def test_contamination_pair_dedup_state_evicts(spark, tmp_path):
+    """The contamination gate's pair-dedup state is watermark-BOUNDED
+    (r8 verdict item 2), proven across four real micro-batches: the
+    same contaminated doc re-arriving within the 1 h delay is dropped
+    (one emission despite every band colliding), a later arrival
+    advances the watermark past the pair's expiry and EVICTS its state,
+    and a post-eviction re-arrival is re-admitted — exactly the
+    bounded-state contract unbounded dropDuplicates lacks (the
+    dropDuplicatesWithinWatermark proof pattern of
+    test_drop_duplicates_within_watermark_bounds_state)."""
+    import glob
+    import os
+    import time
+
+    from airflow_crypto_etl_spark.streaming.windows import (
+        contamination_screen,
+        run_available_now,
+    )
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    bench = spark.createDataFrame([(7, t_a), (27, t_b)], "bench_id long, text string")
+
+    src = str(tmp_path / "contam_stream")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    batches = [
+        [(1, t_a, "2024-01-01 00:00:00")],  # emits (1, 7)
+        [(1, t_a, "2024-01-01 00:30:00")],  # dup within 1h delay -> dropped
+        [(2, t_b, "2024-01-01 05:00:00")],  # emits (2, 27); advances the
+                                            # watermark to 04:00 for the NEXT batch
+        [(3, t_b, "2024-01-01 05:30:00")],  # emits (3, 27); runs under wm=04:00
+                                            # -> (1, 7) state (expiry 01:00)
+                                            # evicted at batch end
+        [(1, t_a, "2024-01-01 06:00:00")],  # state gone -> re-admitted
+    ]
+    seen: set[str] = set()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts string"
+        ).selectExpr(
+            "doc_id", "text", "CAST(ingest_ts AS TIMESTAMP) ingest_ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+        # micro-batch order follows file modification time; pin it
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            if f not in seen:
+                seen.add(f)
+                t = time.time() + i * 10
+                os.utime(f, (t, t))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = run_available_now(contamination_screen(stream, bench), "append")
+    pairs = [(r["doc_id"], r["bench_id"]) for r in out.collect()]
+    # identical text -> est_jaccard 1.0, ALL bands collide: the single
+    # emission per admitted arrival is the cross-band dedup working
+    assert pairs.count((1, 7)) == 2  # first arrival + post-eviction re-admit
+    assert pairs.count((2, 27)) == 1 and pairs.count((3, 27)) == 1
+    assert len(pairs) == 4
+    assert all(r["est_jaccard"] == 1.0 for r in out.collect())
