@@ -30,6 +30,7 @@ from airflow_crypto_etl_spark import queries_market as qm
 from airflow_crypto_etl_spark import queries_pipeline as qp
 from airflow_crypto_etl_spark import queries_quality as qq
 from airflow_crypto_etl_spark import queries_scale as qs
+from airflow_crypto_etl_spark import queries_selection as qsel
 from airflow_crypto_etl_spark import queries_tpch as qt
 from airflow_crypto_etl_spark import queries_udf as qu
 from airflow_crypto_etl_spark import queries_window as qw
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qa.QUERIES_ANALYTICS,
         qq.QUERIES_QUALITY,
         qe.QUERIES_EXPERIMENTS,
+        qsel.QUERIES_SELECTION,
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
@@ -105,4 +107,5 @@ def oracle_sql() -> dict[str, str]:
         qa.ORACLE_ANALYTICS,
         qq.ORACLE_QUALITY,
         qe.ORACLE_EXPERIMENTS,
+        qsel.ORACLE_SELECTION,
     )

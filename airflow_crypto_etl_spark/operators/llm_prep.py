@@ -588,3 +588,114 @@ def chunk_by_sentences(
             .alias("chunk_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+_DSIR_Q = 1 << 20  # log-ratio quantizer (the theil/lm_score idiom)
+
+
+def dsir_scores(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance scores: hashed-unigram bag features, per-bucket
+    smoothed log-likelihood ratio between the TARGET distribution (the
+    small high-quality set) and the RAW distribution (the big crawl),
+    summed over each raw document's tokens — docs whose token buckets
+    look target-like score high and get selected.
+
+    Exactness: the per-bucket log-ratio ln(((c_t+1)·(N_r+B)) /
+    ((c_r+1)·(N_t+B))) is evaluated ONCE per bucket (≤ B = 4096
+    evaluations) on a double formed from exact int64 products, then
+    floor-quantized at 2^20 — the documented theil/lm_score ln-parity
+    idiom, bounded to the bucket domain. Per-doc scores are integer
+    sums of (count × quantized ratio), shuffle-order-free.
+
+    Scale shape: the bucket stats are ONE partial-agg groupBy over a
+    B-bounded domain each (tiny result, broadcast back); the per-doc
+    (doc, bucket) counts collapse map-side because a document's tokens
+    never span partitions; the scoring join broadcasts the ≤B-row
+    ratio table. Nothing row-scale ever shuffles except ~1 row per
+    (doc, distinct bucket).
+
+    Output: (id_col, n_tokens, q) with q the integer 2^20-quantized
+    score — divide by 2^20 for the log-importance weight.
+    """
+    from ..functions.hashing import char_hash
+
+    def toks(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+            .select(F.col(id_col), F.explode("_toks").alias("_w"))
+            .withColumn("_b", char_hash(F.col("_w")) % n_buckets)
+            .select(F.col(id_col), "_b")
+        )
+
+    tgt_tok = toks(target)
+    raw_tok = toks(raw)
+    ct = tgt_tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    cr = raw_tok.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tot = (
+        tgt_tok.agg(F.count(F.lit(1)).alias("_nt"))
+        .crossJoin(raw_tok.agg(F.count(F.lit(1)).alias("_nr")))
+    )
+    lr = (
+        cr.join(ct, "_b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_b",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("_ct"), F.lit(0)) + 1) * (F.col("_nr") + n_buckets))
+                    .cast("double")
+                    / ((F.col("_cr") + 1) * (F.col("_nt") + n_buckets)).cast("double")
+                )
+                * F.lit(float(_DSIR_Q))
+            )
+            .cast("bigint")
+            .alias("_lrq"),
+        )
+    )
+    dterm = raw_tok.groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_m"))
+    return (
+        dterm.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").alias("n_tokens"),
+            F.sum(F.col("_m") * F.col("_lrq")).alias("q"),
+        )
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    raw: DataFrame,
+    top_n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``top_n`` raw docs by
+    importance score (ties to the smaller doc id). The paper's
+    Gumbel-noise resample is replaced by the rank cut so the selected
+    set is reproducible and oracle-checkable; the scores themselves are
+    the paper's. orderBy+limit compiles to TakeOrderedAndProject — a
+    per-partition top-n then a driver merge of n·partitions rows, never
+    a global sort."""
+    sc = dsir_scores(target, raw, text_col, id_col, n_buckets)
+    return (
+        sc.orderBy(F.col("q").desc(), F.col(id_col).asc())
+        .limit(top_n)
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("q").cast("double") / F.lit(float(_DSIR_Q))).alias("dsir_score"),
+        )
+    )

@@ -1001,3 +1001,204 @@ def ann_recall(
         "query_id", F.col("neighbor_id").alias("a")
     )
     return _recall_vs_exact(exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN path
+# ---------------------------------------------------------------------------
+
+PQ_SUB = 4  # subspaces (dim must divide evenly)
+PQ_CENT = 16  # centroids per subspace codebook
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Squared-L2 distance as a sequential fold (deterministic,
+    codegen'd — the L2 sibling of :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(emb: DataFrame, n_cent: int = PQ_CENT,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """1-row codebook: the first ``n_cent`` corpus vectors, cid-sorted
+    (deterministic seed selection — the same convention as
+    :func:`ivf_topk`'s centroids; a trained per-subspace k-means
+    codebook would slot into the same shape)."""
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cents = base.filter(F.col(id_col) < n_cent).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("cb")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``n_sub``
+    subspaces and record, per subspace, the id of the nearest codebook
+    centroid (squared L2, ties to the smaller cid via lexicographic
+    struct min). Output: (id, codes array<bigint>).
+
+    Scale shape: the codebook is ONE broadcast row and the assignment
+    is a pure projection (array_min over a transform — whole-stage
+    codegen), so encoding 100 TB of embeddings is a map-only pass with
+    zero shuffle; the encoded corpus is dim·4-bytes → n_sub·8-bytes
+    smaller. The subvector slice inside the per-centroid lambda is
+    re-sliced per centroid (no CSE in higher-order lambdas) — that is
+    ``n_cent`` cheap array copies per row, deliberately traded for
+    staying codegen-side."""
+    sd = dim // n_sub
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    enc = base.crossJoin(F.broadcast(pq_codebook(emb, n_cent, id_col, vec_col)))
+
+    def code_for(s: int) -> Column:
+        sub_v = F.slice(F.col("v"), s * sd + 1, sd)
+        scored = F.transform(
+            F.col("cb"),
+            lambda e: F.struct(
+                _d2(sub_v, F.slice(e["cv"], s * sd + 1, sd)).alias("d"),
+                e["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(scored)["cid"]
+
+    return enc.select(
+        F.col(id_col), F.array(*[code_for(s) for s in range(n_sub)]).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance
+    computation (ADC, Jégou et al. 2011): the corpus is searched in its
+    CODED form — each corpus vector contributes only its ``n_sub``
+    centroid ids — against a per-query lookup table of exact
+    query-subvector→centroid distances. ADC score = Σ_s LUT[s][code_s],
+    folded in fixed subspace order so the double sum is deterministic.
+
+    Scale shape: encode is map-only (see :func:`pq_encode`); the LUT is
+    |Q|·n_sub·n_cent rows reduced to |Q| broadcast rows of
+    array<array<double>>; scoring is a broadcast cross join + a
+    constant-time fold per (corpus row, query) — the corpus never
+    shuffles and never carries its raw vectors past the encode. Only
+    the final per-query top-k window moves data, and it moves
+    (id, adc) pairs, not vectors."""
+    sd = dim // n_sub
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    cents = base.filter(F.col(id_col) < n_cent).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    codes = pq_encode(emb, n_sub, n_cent, dim, id_col, vec_col)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cid", "cv")
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
+        .withColumn(
+            "d",
+            _d2(
+                F.slice(F.col("qv"), F.col("s") * sd + 1, sd),
+                F.slice(F.col("cv"), F.col("s") * sd + 1, sd),
+            ),
+        )
+        .select("query_id", "s", "cid", "d")
+    )
+    drows = (
+        lut.groupBy("query_id", "s")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("d")))).alias("_cd"))
+        .select("query_id", "s", F.transform(F.col("_cd"), lambda e: e["d"]).alias("drow"))
+    )
+    tbl = (
+        drows.groupBy("query_id")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("drow")))).alias("_sd"))
+        .select("query_id", F.transform(F.col("_sd"), lambda e: e["drow"]).alias("tbl"))
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("tbl"), s + 1),
+            F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(tbl))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc", "rank")
+    )
+
+
+def l2_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k (the truth side for :func:`pq_recall` —
+    PQ approximates L2, so its recall gate must be measured against an
+    L2 exact scan, not the cosine one)."""
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = base.join(
+        F.broadcast(queries), F.col(id_col) != F.col("query_id")
+    ).withColumn("d2", _d2(F.col("qv"), F.col("v")))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "d2", "rank")
+    )
+
+
+def pq_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the PQ/ADC searcher vs the exact L2 scan — the same
+    measure-don't-guess gate as :func:`ann_recall` / :func:`ivf_recall`,
+    in PQ's own metric. Publishing LSH, IVF and PQ recalls side by side
+    makes the index choice (and its memory/recall trade) data-driven."""
+    exact = l2_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("t")
+    )
+    approx = pq_topk(
+        emb, query_ids, k=k, n_sub=n_sub, n_cent=n_cent, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", F.col("neighbor_id").alias("a"))
+    return _recall_vs_exact(exact, approx)

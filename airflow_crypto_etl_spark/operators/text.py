@@ -192,3 +192,101 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = 
         .where(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "df_term", "tfidf", "term_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # char-gram length
+WINNOW_W = 4  # window of consecutive gram hashes
+_WINNOW_MOD = 1 << 30  # CHAR_MOD — keeps sums far from int64 overflow
+# 31^(K-1) ... 31^0 — the explicit polynomial weights, so each gram
+# hash is ONE flat 8-term expression (no inner fold): equal to the
+# step-wise (acc*31 + c) % MOD hash by modular arithmetic, but ~8×
+# fewer lambda frames per gram in both engines.
+_WINNOW_POW = [31 ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)]
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints: hash every char k-gram, slide a
+    w-gram window, keep each window's minimum hash (rightmost on ties —
+    the paper's robust-winnowing rule), and de-duplicate the selected
+    (hash, position) pairs. Guarantees at least one shared fingerprint
+    for any match of length ≥ k + w - 1, with density 2/(w+1) — the
+    MOSS scheme for plagiarism/overlap detection at corpus scale.
+
+    Everything is a per-row codegen expression (char codes → gram
+    hashes → window minima → distinct), zero shuffle: at 100 TB the
+    fingerprint pass is a pure map over the corpus, and cross-doc
+    overlap search is then an equi-join on the 8-byte fingerprint
+    hashes, never on text. Docs shorter than k+w-1 chars have no
+    complete window and are filtered (they cannot produce a guaranteed
+    match anyway).
+
+    Output per doc: n_grams, n_selected (distinct fingerprints kept,
+    ≈ 2/(w+1)·n_grams), fp_checksum (integer sum of the distinct
+    selected hashes — order-free, an equality witness for the whole
+    fingerprint set).
+
+    Expression-shape note: each window hashes its w member grams
+    INLINE from the materialized char-code column (a bounded w·k-term
+    expression), rather than indexing a precomputed gram-hash array
+    column. A gram-hash array referenced once inside the window lambda
+    would be re-inlined there by CollapseProject and then re-evaluated
+    per window element (no CSE inside higher-order lambdas — the
+    :func:`similarity._normed_base` rule), turning the O(n·w·k) sweep
+    into O(n²·w·k); the inline form re-hashes each gram at most w
+    times, a fixed 4× and loop-safe. The `_codes` column itself is
+    referenced k times per window element, which keeps its projection
+    from collapsing into the lambda.
+    """
+    n = F.length(F.col(text_col))
+    codes = F.transform(F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("bigint"))
+
+    def gram_hash(i: Column) -> Column:  # i is 1-based gram start
+        expr = F.lit(0).cast("bigint")
+        for j, p in enumerate(_WINNOW_POW):
+            expr = expr + F.element_at(F.col("_codes"), i + j) * F.lit(p)
+        return expr % _WINNOW_MOD
+
+    staged = (
+        df.filter(n >= k + w - 1)
+        .select(
+            F.col(id_col),
+            (n - k + 1).cast("int").alias("_ng"),
+            codes.alias("_codes"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_ng"),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_ng") - w + 1),
+                    lambda p: F.array_min(
+                        F.transform(
+                            F.sequence(p, p + w - 1),
+                            lambda j: F.struct(
+                                gram_hash(j).alias("h"),
+                                (-j).cast("bigint").alias("np"),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("_picked"),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_ng").cast("bigint").alias("n_grams"),
+        F.size(F.col("_picked")).alias("n_selected"),
+        F.aggregate(
+            F.col("_picked"), F.lit(0).cast("bigint"), lambda acc, e: acc + e["h"]
+        ).alias("fp_checksum"),
+    )

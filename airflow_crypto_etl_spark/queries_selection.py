@@ -1,0 +1,290 @@
+"""Data-selection and fingerprinting queries (round 9) — the
+model-distribution-aware passes a pretraining pipeline runs after the
+heuristic and dedup filters:
+
+- DSIR importance-resampling selection (Xie et al. 2023): hashed-unigram
+  log-likelihood ratios between a small target domain and the raw crawl,
+  summed per doc — the standard "make the crawl look like Wikipedia"
+  selector,
+- CCNet-style per-language perplexity buckets (Wenzek et al. 2020):
+  head/middle/tail thirds by the bigram LM score within each language,
+- product-quantization ANN with asymmetric distance computation
+  (Jégou et al. 2011) plus its measured recall@k gate — the
+  memory-bound ANN path alongside the LSH and IVF searchers,
+- winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003) —
+  the guaranteed-detection overlap fingerprint scheme (MOSS).
+
+Exactness rules are the repo's: integer/rational sums across shuffles,
+ln() only on bounded domains with the documented floor-quantization
+idiom (theil/lm_score), double folds in pinned order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.hashing import char_hash_sql
+from .operators import llm_prep as lp
+from .operators import similarity as sim
+from .operators import text as tx
+from .queries import _t
+from .queries_ext import ANN_QUERY_IDS
+from .queries_quality import ORACLE_LM_SCORE, lm_score_docs
+
+_Q = 1 << 20
+_IDS = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+# ---------------------------------------------------------------------------
+# DSIR — importance-resampling data selection
+# ---------------------------------------------------------------------------
+
+DSIR_TOP_N = 100
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: target = the English slice, raw = every other
+    language; the top-100 raw docs whose hashed-unigram distribution is
+    most target-like, by summed per-bucket log-likelihood ratio (see
+    operators/llm_prep.dsir_scores for the exactness and scale
+    contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    raw = docs.filter(F.col("lang") != "en")
+    return lp.dsir_select(target, raw, top_n=DSIR_TOP_N)
+
+
+_DSIR_B = lp.DSIR_BUCKETS
+_DSIR_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+ORACLE_DSIR = f"""
+WITH t0 AS (
+  SELECT doc_id, lang, {_DSIR_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, lang, unnest(toks) AS w FROM t0),
+words AS (SELECT DISTINCT w FROM tok),
+wh AS (SELECT w, ({char_hash_sql('w')}) % {_DSIR_B} AS b FROM words),
+tk AS (SELECT doc_id, lang, b FROM tok JOIN wh USING (w)),
+tgt AS (SELECT b FROM tk WHERE lang = 'en'),
+raw AS (SELECT doc_id, b FROM tk WHERE lang <> 'en'),
+ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tgt GROUP BY 1),
+cr AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM raw GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM tgt) AS n_t, (SELECT count(*) FROM raw) AS n_r),
+lr AS (
+  SELECT cr.b,
+         CAST(floor(ln(
+             CAST((COALESCE(ct.ct, 0) + 1) * (n_r + {_DSIR_B}) AS DOUBLE)
+             / CAST((cr.cr + 1) * (n_t + {_DSIR_B}) AS DOUBLE)) * {float(_Q)}) AS BIGINT) AS lrq
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+dterm AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS m FROM raw GROUP BY 1, 2),
+score AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens, CAST(sum(m * lrq) AS BIGINT) AS q
+  FROM dterm JOIN lr USING (b) GROUP BY 1)
+SELECT doc_id, n_tokens, CAST(q AS DOUBLE) / {float(_Q)} AS dsir_score
+FROM score ORDER BY q DESC, doc_id ASC LIMIT {DSIR_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiers: within each language, rank documents
+    by the bigram LM score (the engine's KenLM-perplexity analog,
+    queries_quality.lm_score_docs) and cut into head/middle/tail thirds
+    (bucket 1 = most corpus-like). Published per (lang, bucket):
+    doc count and mean LM score.
+
+    Scale shape: the only new shuffle over lm_score's is the per-
+    language ntile window — partitioned on ``lang`` (bounded domain;
+    CCNet's bucketing is BY DEFINITION a per-language total order, and
+    each language sorts in parallel). The mean is an integer sum of
+    2^20-floor-quantized per-doc scores (each score is itself a pinned
+    single division), so the aggregate is shuffle-order-free and
+    oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    sc = lm_score_docs(docs)
+    j = sc.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("lm_score").desc(), F.col("doc_id").asc())
+    b = j.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.floor(F.col("lm_score") * _Q).cast("bigint")).alias("_sq"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            (
+                F.col("_sq").cast("double") / F.col("n_docs") / F.lit(float(_Q))
+            ).alias("avg_lm_score"),
+        )
+    )
+
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH sc AS ({ORACLE_LM_SCORE}),
+l AS (SELECT doc_id, lang FROM documents),
+b AS (
+  SELECT lang, lm_score,
+         ntile(3) OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id ASC) AS bucket
+  FROM sc JOIN l USING (doc_id))
+SELECT lang, CAST(bucket AS INTEGER) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(floor(lm_score * {_Q}) AS BIGINT)) AS DOUBLE)
+         / count(*) / {float(_Q)} AS avg_lm_score
+FROM b GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN + recall gate
+# ---------------------------------------------------------------------------
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-10 for the standard query set (see
+    operators/similarity.pq_topk): the corpus is searched in coded form
+    (4 subspace codes per vector), distances come from a broadcast
+    per-query lookup table."""
+    return sim.pq_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+_PQ_SUB, _PQ_CENT = sim.PQ_SUB, sim.PQ_CENT
+_PQ_SD = 64 // _PQ_SUB
+
+
+def _pq_d2_sql(a: str, b: str, s: str, sd: int) -> str:
+    """Squared-L2 over subspace ``s`` of lists a, b — same fold order as
+    operators.similarity._d2 (position-ascending, 0.0 seed)."""
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {sd + 1}), "
+        f"i -> ({a}[{s}*{sd}+i] - {b}[{s}*{sd}+i]) * ({a}[{s}*{sd}+i] - {b}[{s}*{sd}+i]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+ORACLE_ANN_PQ = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_PQ_CENT}),
+sub AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+d AS (
+  SELECT v.vec_id, s, cid, {_pq_d2_sql('ve', 'cv', 's', _PQ_SD)} AS d2
+  FROM v CROSS JOIN c CROSS JOIN sub),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, cid AS code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d) WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, s, cid, d2 FROM d WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(l.d2 ORDER BY l.s)),
+                     (acc, x) -> acc + x) AS adc
+  FROM assign a JOIN lut l ON a.s = l.s AND a.code = l.cid
+  WHERE a.vec_id <> l.query_id
+  GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, adc, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the PQ/ADC searcher vs the exact L2 scan — PQ's
+    measure-don't-guess gate, in PQ's own metric (squared L2, which is
+    what ADC approximates; the cosine truth set would mis-grade it)."""
+    return sim.pq_recall(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+_ORACLE_ANN_L2 = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+             i -> (qv[i] - ve[i]) * (qv[i] - ve[i]))), (acc, x) -> acc + x) AS d2
+  FROM v CROSS JOIN q WHERE v.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, d2, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
+
+ORACLE_ANN_PQ_RECALL = f"""
+WITH ex AS ({_ORACLE_ANN_L2.strip()}),
+ap AS ({ORACLE_ANN_PQ.strip()}),
+hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
+         FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         GROUP BY ex.query_id),
+tot AS (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id)
+SELECT tot.query_id, CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
+FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document (see
+    operators/text.winnow_fingerprints): k=8 char grams, w=4 windows,
+    rightmost-min selection, distinct (hash, pos) set witnessed by an
+    order-free integer checksum."""
+    return tx.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_WIN_K, _WIN_W, _WIN_MOD = tx.WINNOW_K, tx.WINNOW_W, tx._WINNOW_MOD
+
+
+def _winnow_gram_sql(i: str) -> str:
+    terms = " + ".join(
+        f"codes[{i}+{j}]*{p}" if j else f"codes[{i}]*{p}"
+        for j, p in enumerate(tx._WINNOW_POW)
+    )
+    return f"(({terms}) % {_WIN_MOD})"
+
+
+ORACLE_WINNOWING = f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS codes,
+         length(text) AS n
+  FROM documents WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+s AS (
+  SELECT doc_id, n - {_WIN_K} + 1 AS n_grams,
+         list_transform(range(1, (n - {_WIN_K} + 1) - {_WIN_W} + 2), p ->
+            list_reduce(
+              list_transform(range(p, p + {_WIN_W}),
+                             j -> struct_pack(h := {_winnow_gram_sql('j')}, np := -j)),
+              (a, x) -> CASE WHEN x.h < a.h OR (x.h = a.h AND x.np < a.np)
+                             THEN x ELSE a END)) AS sels
+  FROM c),
+u AS (SELECT doc_id, n_grams, unnest(sels) AS sel FROM s),
+dd AS (SELECT DISTINCT doc_id, n_grams, sel.h AS h, sel.np AS np FROM u)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(count(*) AS INTEGER) AS n_selected,
+       CAST(sum(h) AS BIGINT) AS fp_checksum
+FROM dd GROUP BY 1, 2
+"""
+
+
+QUERIES_SELECTION = {
+    "q_dsir": q_dsir,
+    "q_ccnet_buckets": q_ccnet_buckets,
+    "q_ann_pq": q_ann_pq,
+    "q_ann_pq_recall": q_ann_pq_recall,
+    "q_winnowing": q_winnowing,
+}
+
+ORACLE_SELECTION = {
+    "q_dsir": ORACLE_DSIR,
+    "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
+    "q_ann_pq": ORACLE_ANN_PQ,
+    "q_ann_pq_recall": ORACLE_ANN_PQ_RECALL,
+    "q_winnowing": ORACLE_WINNOWING,
+}
