@@ -100,6 +100,9 @@ _PRODUCT_OK = {
     "q_mann_whitney",       # 1-row rank sums x broadcast 1-row tie-term scalar
     "q_kmv_intersect",      # 1-row sketch stats x broadcast 1-row exact counts
     "q_sequential_ab",      # day rollup x broadcast 1-row arm-totals scalar
+    "q_ann_pq",             # corpus x broadcast 1-row codebook + 8-row ADC LUT
+    "q_ann_pq_recall",      # composes q_ann_pq + the broadcast exact-L2 scan
+    "q_dsir",               # bucket table x broadcast 1-row token totals
 }
 
 

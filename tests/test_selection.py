@@ -1,0 +1,281 @@
+"""Round-9 selection battery: DSIR, CCNet buckets, PQ/ADC ANN,
+winnowing fingerprints — first-principles Python references recomputed
+per test (sequential IEEE folds, same op order as the Spark plans), so
+these are engine-vs-math checks, not engine-vs-itself.
+
+Reference parity note: the reference pipeline has no data-selection or
+fingerprinting surface — this family is part of the training-data
+extension (SURVEY.md LLM-prep battery)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_crypto_etl_spark.operators import llm_prep as lp
+from airflow_crypto_etl_spark.operators import similarity as sim
+from airflow_crypto_etl_spark.operators import text as tx
+from airflow_crypto_etl_spark.queries_selection import (
+    q_ann_pq,
+    q_ann_pq_recall,
+    q_ccnet_buckets,
+    q_dsir,
+)
+from airflow_crypto_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+CHAR_MOD = 1 << 30
+Q20 = 1 << 20
+
+
+def _docs_rows():
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def _emb_rows():
+    return duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing — python reference equivalence
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int = 8, w: int = 4):
+    codes = [ord(c) for c in text]
+    n = len(codes)
+    if n < k + w - 1:
+        return None
+    gh = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h = h * 31 + codes[i + j]
+        gh.append(h % CHAR_MOD)
+    picked = set()
+    for p in range(len(gh) - w + 1):
+        # min hash, rightmost on ties == lexicographic min of (h, -pos)
+        best = min((gh[p + j], -(p + j + 1)) for j in range(w))
+        picked.add(best)
+    return len(gh), len(picked), sum(h for h, _ in picked)
+
+
+def test_winnow_matches_python_reference(spark, sf_dir):
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_selected"], r["fp_checksum"])
+        for r in tx.winnow_fingerprints(load_table(spark, sf_dir, "documents")).collect()
+    }
+    checked = 0
+    for doc_id, text, _lang in _docs_rows():
+        ref = _py_winnow(text)
+        if ref is None:
+            assert doc_id not in out
+            continue
+        assert out[doc_id] == ref, f"doc {doc_id}"
+        checked += 1
+    assert checked >= 400
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee: two docs sharing a substring of length
+    >= k + w - 1 = 11 share at least one fingerprint HASH (position
+    differs, hash set intersects)."""
+    shared = "the quick brown fox jumps over"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"), (2, "zzzz " + shared + " qqqq")],
+        ["doc_id", "text"],
+    )
+    # recompute hash sets with the python reference
+    texts = {r["doc_id"]: r["text"] for r in df.collect()}
+
+    def hash_set(t):
+        codes = [ord(c) for c in t]
+        gh = []
+        for i in range(len(codes) - 7):
+            h = 0
+            for j in range(8):
+                h = h * 31 + codes[i + j]
+            gh.append(h % CHAR_MOD)
+        return {
+            min((gh[p + j], -(p + j + 1)) for j in range(4))[0]
+            for p in range(len(gh) - 3)
+        }
+
+    assert hash_set(texts[1]) & hash_set(texts[2])
+    # and the operator agrees with the reference on these rows
+    got = {r["doc_id"]: r["n_selected"] for r in tx.winnow_fingerprints(df).collect()}
+    assert got[1] > 0 and got[2] > 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR — python reference equivalence
+# ---------------------------------------------------------------------------
+
+
+def _py_char_hash(s: str) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % CHAR_MOD
+    return h
+
+
+def test_dsir_matches_python_reference(spark, sf_dir):
+    B = lp.DSIR_BUCKETS
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    raw_docs: dict[int, list[int]] = {}
+    for doc_id, text, lang in _docs_rows():
+        toks = [t for t in text.split(" ") if t]
+        buckets = [_py_char_hash(t) % B for t in toks]
+        if lang == "en":
+            for b in buckets:
+                ct[b] = ct.get(b, 0) + 1
+        else:
+            raw_docs[doc_id] = buckets
+            for b in buckets:
+                cr[b] = cr.get(b, 0) + 1
+    n_t, n_r = sum(ct.values()), sum(cr.values())
+    lrq = {
+        b: math.floor(
+            math.log(((ct.get(b, 0) + 1) * (n_r + B)) / ((c + 1) * (n_t + B))) * Q20
+        )
+        for b, c in cr.items()
+    }
+    scores = {
+        d: (len(bs), sum(lrq[b] for b in bs)) for d, bs in raw_docs.items()
+    }
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:100]
+
+    got = q_dsir(spark, sf_dir).collect()
+    assert len(got) == 100
+    got_sorted = sorted(got, key=lambda r: (-r["dsir_score"], r["doc_id"]))
+    for row, (doc_id, (n_tokens, q)) in zip(got_sorted, expect):
+        assert row["doc_id"] == doc_id
+        assert row["n_tokens"] == n_tokens
+        # ln parity: python libm vs JVM Math.log — allow one quantum
+        # per bucket-term; scores are ~1e5 quanta wide
+        assert abs(row["dsir_score"] - q / Q20) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets — structural properties
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_bucket_structure(spark, sf_dir):
+    rows = q_ccnet_buckets(spark, sf_dir).collect()
+    by_lang: dict[str, dict[int, int]] = {}
+    for r in rows:
+        assert r["bucket"] in (1, 2, 3)
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+    assert set(by_lang) == {"en", "de", "es", "fr", "zh"}
+    for lang, buckets in by_lang.items():
+        sizes = [buckets.get(b, 0) for b in (1, 2, 3)]
+        # ntile: sizes differ by at most 1, earlier tiles never smaller
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert sizes[0] >= sizes[1] >= sizes[2], (lang, sizes)
+
+
+def test_ccnet_head_scores_dominate(spark, sf_dir):
+    """Mean LM score must be non-increasing head → middle → tail within
+    every language (the whole point of the bucketing)."""
+    rows = q_ccnet_buckets(spark, sf_dir).collect()
+    by_lang: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r["avg_lm_score"]
+    for lang, m in by_lang.items():
+        assert m[1] >= m[2] >= m[3], (lang, m)
+
+
+# ---------------------------------------------------------------------------
+# PQ — python reference equivalence and recall gate
+# ---------------------------------------------------------------------------
+
+
+def _py_pq(emb_rows, n_sub=4, n_cent=16, dim=64, k=10, query_ids=range(8)):
+    sd = dim // n_sub
+    vecs = {vid: [float(x) for x in v] for vid, v in emb_rows}
+    cents = {cid: vecs[cid] for cid in range(n_cent)}
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def sub(v, s):
+        return v[s * sd : (s + 1) * sd]
+
+    codes = {
+        vid: [
+            min(((d2(sub(v, s), sub(cv, s)), cid) for cid, cv in sorted(cents.items())))[1]
+            for s in range(n_sub)
+        ]
+        for vid, v in vecs.items()
+    }
+    out = {}
+    for q in query_ids:
+        qv = vecs[q]
+        lut = {
+            (s, cid): d2(sub(qv, s), sub(cv, s))
+            for s in range(n_sub)
+            for cid, cv in cents.items()
+        }
+        scored = []
+        for vid, cs in codes.items():
+            if vid == q:
+                continue
+            adc = 0.0
+            for s in range(n_sub):
+                adc = adc + lut[(s, cs[s])]
+            scored.append((adc, vid))
+        scored.sort()
+        out[q] = [(vid, adc) for adc, vid in scored[:k]]
+    return out
+
+
+def test_pq_matches_python_reference(spark, sf_dir):
+    ref = _py_pq(_emb_rows())
+    got: dict[int, list] = {}
+    for r in q_ann_pq(spark, sf_dir).orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc"]))
+    assert set(got) == set(ref)
+    for q in ref:
+        assert [v for v, _ in got[q]] == [v for v, _ in ref[q]], f"query {q}"
+        for (_, a), (_, b) in zip(got[q], ref[q]):
+            assert a == b  # bit-identical sequential folds
+
+
+def test_pq_encode_contract(spark, sf_dir):
+    enc = sim.pq_encode(load_table(spark, sf_dir, "embeddings")).collect()
+    assert len(enc) == len(_emb_rows())
+    for r in enc:
+        assert len(r["codes"]) == sim.PQ_SUB
+        assert all(0 <= c < sim.PQ_CENT for c in r["codes"])
+    # centroids encode to themselves (their own subvector distance is 0)
+    own = {r["vec_id"]: r["codes"] for r in enc if r["vec_id"] < sim.PQ_CENT}
+    vecs = {vid: v for vid, v in _emb_rows() if vid < sim.PQ_CENT}
+    for vid, codes in own.items():
+        for s, c in enumerate(codes):
+            # chosen centroid's subvector must be at distance 0 from the
+            # vector's own subvector (== its own, or an exact duplicate)
+            a = vecs[vid][s * 16 : (s + 1) * 16]
+            b = vecs[c][s * 16 : (s + 1) * 16]
+            assert list(a) == list(b)
+
+
+def test_pq_recall_bounds(spark, sf_dir):
+    rows = q_ann_pq_recall(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+    # 16 centroids × 4 subspaces on clustered data should beat random
+    assert sum(r["recall"] for r in rows) / len(rows) >= 0.3
