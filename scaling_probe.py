@@ -30,6 +30,7 @@ from airflow_crypto_etl_spark.operators import jpeg as jp
 from airflow_crypto_etl_spark.operators import multimodal as _mm
 from airflow_crypto_etl_spark.operators import llm_prep as lp
 from airflow_crypto_etl_spark.operators import similarity as sim
+from airflow_crypto_etl_spark.operators import text as tx
 from airflow_crypto_etl_spark.operators import timeseries as tsx
 from airflow_crypto_etl_spark import queries_quality as qq
 from airflow_crypto_etl_spark.session import get_spark
@@ -210,6 +211,12 @@ def main() -> None:
         # fixed, so all three aggregations and the probability join must
         # scale ~N (a per-pair blowup would show super-linear)
         "lm_score": lambda d: qq.lm_score_docs(d),
+        # Winnowing fingerprints (r9): pure per-row codegen (codes ->
+        # window minima -> distinct -> checksum), zero shuffle -- ratio
+        # must stay ~N; a super-linear blow-up would mean CollapseProject
+        # re-inlined a stage into the window lambda (the O(n^2) shape the
+        # operator's docstring guards against)
+        "winnow_fingerprints": lambda d: tx.winnow_fingerprints(d),
     }
 
     orders = load_table(spark, SF_DIR, "orders").select(
@@ -436,6 +443,42 @@ def main() -> None:
         t0 = time.perf_counter(); sim.kmeans_assign(emb, k=8, iters=1).count(); t1 = time.perf_counter() - t0
         t0 = time.perf_counter(); sim.kmeans_assign(big_emb, k=8, iters=1).count(); tn = time.perf_counter() - t0
         results["kmeans_assign"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # PQ/ADC search (r9): the CORPUS inflates N× while the codebook
+    # (16 original centroids) and the 8 query vectors stay fixed —
+    # encode is a map-only pass against the broadcast codebook and ADC
+    # is a constant-time fold per (row, query), so the ratio must stay
+    # ~N; a blow-up would mean the corpus started shuffling or the LUT
+    # stopped broadcasting. Shifted-id copies keep vec_id<16 /
+    # ANN_QUERY_IDS pointing at the ORIGINAL rows only.
+    if want("pq_search"):
+        from airflow_crypto_etl_spark.queries_ext import ANN_QUERY_IDS
+
+        big_emb_pq = inflate(emb, ["vec_id"], INFLATE)
+        sim.pq_topk(emb, ANN_QUERY_IDS, k=10).count()  # warm
+        t0 = time.perf_counter(); sim.pq_topk(emb, ANN_QUERY_IDS, k=10).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); sim.pq_topk(big_emb_pq, ANN_QUERY_IDS, k=10).count(); tn = time.perf_counter() - t0
+        results["pq_search"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # DSIR scoring (r9): the RAW side inflates N× while the target
+    # distribution stays fixed — the production shape (small curated
+    # target, huge crawl). Bucket stats are bounded-domain partial
+    # aggs and the ratio table broadcasts, so the ratio must stay ~N;
+    # super-linear would mean the scoring join stopped broadcasting or
+    # the (doc, bucket) agg stopped collapsing map-side.
+    if want("dsir_scores"):
+        docs_l = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text")
+        tgt = docs_l.filter(F.col("lang") == "en")
+        raw1 = docs_l.filter(F.col("lang") != "en")
+        rawN = inflate(raw1, ["doc_id"], INFLATE)
+        lp.dsir_scores(tgt, raw1).count()  # warm
+        t0 = time.perf_counter(); lp.dsir_scores(tgt, raw1).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); lp.dsir_scores(tgt, rawN).count(); tn = time.perf_counter() - t0
+        results["dsir_scores"] = {
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
