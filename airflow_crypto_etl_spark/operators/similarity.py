@@ -1202,3 +1202,191 @@ def pq_recall(
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", F.col("neighbor_id").alias("a"))
     return _recall_vs_exact(exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — coarse IVF + residual PQ (the FAISS IVF-PQ composition)
+# ---------------------------------------------------------------------------
+
+IVFPQ_COARSE = 16  # coarse (list) centroids
+IVFPQ_PROBE = 4    # lists probed per query
+IVFPQ_RCENT = 16   # residual-codebook centroids per subspace
+
+
+def _coarse_best(v: Column, cb: Column) -> Column:
+    """Nearest coarse centroid of vector ``v`` over the 1-row codebook
+    array ``cb`` of (cid, cv): lexicographic array_min of
+    (full-dim d2, cid, cv) — ties impossible past cid. Map-side."""
+    return F.array_min(
+        F.transform(
+            cb,
+            lambda e: F.struct(
+                _d2(v, e["cv"]).alias("d"), e["cid"].alias("cid"), e["cv"].alias("cv")
+            ),
+        )
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_coarse: int = IVFPQ_COARSE,
+    n_probe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_SUB,
+    n_rcent: int = IVFPQ_RCENT,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC search (Jégou et al. 2011, the FAISS IVF-PQ composition):
+    a coarse L2 quantizer assigns every vector to one of ``n_coarse``
+    inverted lists; the vector's RESIDUAL against its coarse centroid
+    is product-quantized; a query probes its ``n_probe`` nearest lists
+    and scores candidates by asymmetric distance over the residual
+    codes. Deterministic seeds: coarse centroids = vectors with
+    id < n_coarse (the :func:`ivf_topk` convention), residual codebook
+    = the residuals of vectors with id in [n_coarse, n_coarse+n_rcent)
+    — trained k-means codebooks slot into the same shape.
+
+    Scale shape — this is the layout a 100 TB vector store actually
+    ships: coarse assignment AND residual encoding are map-only passes
+    against two 1-row broadcast codebooks (the corpus never shuffles
+    and stores only (list_id, n_sub codes) per vector); the candidate
+    step is an EQUI-join on list_id against a broadcast
+    (query, probed-list, LUT) table, so each query pays only its
+    n_probe/n_coarse fraction of the corpus, with ADC a constant-time
+    fold per candidate. All-metric-coherent: coarse assignment,
+    probes, ADC, and the recall gate's truth are all squared L2."""
+    sd = dim // n_sub
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    coarse = base.filter(F.col(id_col) < n_coarse).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    coarse_cb = coarse.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("ccb")
+    )
+    # corpus: coarse-assign + residual, both map-side (_best is its own
+    # projection so its two consumers don't recompute the array_min)
+    resid = (
+        base.crossJoin(F.broadcast(coarse_cb))
+        .select(F.col(id_col), "v", _coarse_best(F.col("v"), F.col("ccb")).alias("_best"))
+        .select(
+            F.col(id_col),
+            F.col("_best")["cid"].alias("list_id"),
+            F.zip_with(F.col("v"), F.col("_best")["cv"], lambda x, y: x - y).alias("r"),
+        )
+    )
+    # residual codebook: residuals of the seed slice, rid = id - n_coarse
+    rcb_rows = resid.filter(
+        (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
+    ).select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
+    rcb = rcb_rows.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("rid"), F.col("rv")))).alias("rcb")
+    )
+
+    def code_for(s: int) -> Column:
+        sub_r = F.slice(F.col("r"), s * sd + 1, sd)
+        return F.array_min(
+            F.transform(
+                F.col("rcb"),
+                lambda e: F.struct(
+                    _d2(sub_r, F.slice(e["rv"], s * sd + 1, sd)).alias("d"),
+                    e["rid"].alias("rid"),
+                ),
+            )
+        )["rid"]
+
+    enc = (
+        resid.crossJoin(F.broadcast(rcb))
+        .select(
+            F.col(id_col),
+            "list_id",
+            F.array(*[code_for(s) for s in range(n_sub)]).alias("codes"),
+        )
+    )
+    # queries: probe the n_probe nearest coarse lists (tiny window)
+    queries = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_scored = queries.crossJoin(F.broadcast(coarse)).withColumn(
+        "_dc", _d2(F.col("qv"), F.col("cv"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("_dc").asc(), F.col("cid").asc())
+    probed = (
+        probe_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x - y).alias("qr"),
+        )
+    )
+    # per-(query, probed list) ADC lookup table over the residual codebook
+    lut = (
+        probed.crossJoin(F.broadcast(rcb_rows))
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
+        .withColumn(
+            "d",
+            _d2(
+                F.slice(F.col("qr"), F.col("s") * sd + 1, sd),
+                F.slice(F.col("rv"), F.col("s") * sd + 1, sd),
+            ),
+        )
+        .select("query_id", "cid", "s", "rid", "d")
+    )
+    drows = (
+        lut.groupBy("query_id", "cid", "s")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("rid"), F.col("d")))).alias("_rd"))
+        .select(
+            "query_id", "cid", "s", F.transform(F.col("_rd"), lambda e: e["d"]).alias("drow")
+        )
+    )
+    tblq = (
+        drows.groupBy("query_id", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("drow")))).alias("_sd"))
+        .select(
+            "query_id", "cid", F.transform(F.col("_sd"), lambda e: e["drow"]).alias("tbl")
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0).cast("double"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("tbl"), s + 1),
+            F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+        ),
+    )
+    scored = (
+        enc.join(
+            F.broadcast(tblq),
+            (F.col("list_id") == F.col("cid")) & (F.col(id_col) != F.col("query_id")),
+        )
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adc", "rank")
+    )
+
+
+def ivfpq_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVFADC searcher vs the exact L2 scan — the
+    composed index gets the same measured gate as its LSH / IVF / PQ
+    siblings, at its n_probe/n_coarse search fraction."""
+    exact = l2_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("t")
+    )
+    approx = ivfpq_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("a")
+    )
+    return _recall_vs_exact(exact, approx)

@@ -226,6 +226,92 @@ FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
 
 
 # ---------------------------------------------------------------------------
+# IVFADC — coarse IVF + residual PQ (FAISS IVF-PQ composition)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-10 (see operators/similarity.ivfpq_topk): coarse L2
+    lists + residual-PQ codes, candidates by list equi-join, ADC
+    scoring — the composed index layout a production vector store
+    ships."""
+    return sim.ivfpq_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+_IVFPQ_NC, _IVFPQ_NP = sim.IVFPQ_COARSE, sim.IVFPQ_PROBE
+_D2FULL = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+)
+
+ORACLE_ANN_IVFPQ = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_IVFPQ_NC}),
+ad AS (
+  SELECT v.vec_id, cid, cv, ve, {_D2FULL.format(a='ve', b='cv')} AS d2
+  FROM v CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cid, cv, ve FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM ad) WHERE rn = 1),
+resid AS (
+  SELECT vec_id, cid AS list_id,
+         list_transform(range(1, 65), i -> ve[i] - cv[i]) AS r
+  FROM assign),
+rcb AS (SELECT vec_id - {_IVFPQ_NC} AS rid, r AS rv FROM resid
+        WHERE vec_id >= {_IVFPQ_NC} AND vec_id < {_IVFPQ_NC + sim.IVFPQ_RCENT}),
+sub AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+encd AS (
+  SELECT resid.vec_id, list_id, s, rid, {_pq_d2_sql('r', 'rv', 's', _PQ_SD)} AS d2
+  FROM resid CROSS JOIN rcb CROSS JOIN sub),
+enc AS (
+  SELECT vec_id, list_id, s, code FROM (
+    SELECT vec_id, list_id, s, rid AS code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, rid ASC) AS rn
+    FROM encd) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid, cv, ve AS qe FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM ad WHERE vec_id IN ({_IDS})) WHERE rn <= {_IVFPQ_NP}),
+qres AS (
+  SELECT query_id, cid, list_transform(range(1, 65), i -> qe[i] - cv[i]) AS qr
+  FROM probes),
+lut AS (
+  SELECT query_id, cid, s, rid, {_pq_d2_sql('qr', 'rv', 's', _PQ_SD)} AS d2
+  FROM qres CROSS JOIN rcb CROSS JOIN sub),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list(l.d2 ORDER BY l.s)),
+                     (acc, x) -> acc + x) AS adc
+  FROM enc e JOIN lut l ON e.list_id = l.cid AND e.s = l.s AND e.code = l.rid
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rnk
+       FROM scored)
+SELECT query_id, neighbor_id, adc, CAST(rnk AS INTEGER) AS rank FROM rk WHERE rnk <= 10
+"""
+
+
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVFADC vs the exact L2 scan at its 4/16 search
+    fraction — completing the measured-recall table across all four
+    index choices (LSH, IVF, PQ, IVF-PQ)."""
+    return sim.ivfpq_recall(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+ORACLE_ANN_IVFPQ_RECALL = f"""
+WITH ex AS ({_ORACLE_ANN_L2.strip()}),
+ap AS ({ORACLE_ANN_IVFPQ.strip()}),
+hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
+         FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         GROUP BY ex.query_id),
+tot AS (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id)
+SELECT tot.query_id, CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
+FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints
 # ---------------------------------------------------------------------------
 
@@ -278,6 +364,8 @@ QUERIES_SELECTION = {
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_ann_pq": q_ann_pq,
     "q_ann_pq_recall": q_ann_pq_recall,
+    "q_ann_ivfpq": q_ann_ivfpq,
+    "q_ann_ivfpq_recall": q_ann_ivfpq_recall,
     "q_winnowing": q_winnowing,
 }
 
@@ -286,5 +374,7 @@ ORACLE_SELECTION = {
     "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "q_ann_pq": ORACLE_ANN_PQ,
     "q_ann_pq_recall": ORACLE_ANN_PQ_RECALL,
+    "q_ann_ivfpq": ORACLE_ANN_IVFPQ,
+    "q_ann_ivfpq_recall": ORACLE_ANN_IVFPQ_RECALL,
     "q_winnowing": ORACLE_WINNOWING,
 }

@@ -93,6 +93,12 @@ HEADLINE = [
     # join + diagonal islands) and the decoded-pixel perceptual hash
     "q_dedup_spans",
     "q_image_dedup_phash",
+    # round-9 selection battery: DSIR bucket-ratio scoring, PQ/ADC
+    # search (map-only encode + broadcast LUT), and the zero-shuffle
+    # winnowing fingerprint pass
+    "q_dsir",
+    "q_ann_pq",
+    "q_winnowing",
 ]
 
 

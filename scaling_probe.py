@@ -464,6 +464,22 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
+    # IVFADC search (r9): corpus N×, fixed coarse/residual codebooks
+    # and queries — coarse-assign + residual-encode are map-only, the
+    # candidate step is a list_id equi-join against the broadcast
+    # (query, probed-list, LUT) table, so the ratio must stay ~N (each
+    # query still touches only its n_probe lists, which deepen N×).
+    if want("ivfpq_search"):
+        from airflow_crypto_etl_spark.queries_ext import ANN_QUERY_IDS as _IDS9
+
+        big_emb_ip = inflate(emb, ["vec_id"], INFLATE)
+        sim.ivfpq_topk(emb, _IDS9, k=10).count()  # warm
+        t0 = time.perf_counter(); sim.ivfpq_topk(emb, _IDS9, k=10).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); sim.ivfpq_topk(big_emb_ip, _IDS9, k=10).count(); tn = time.perf_counter() - t0
+        results["ivfpq_search"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
     # DSIR scoring (r9): the RAW side inflates N× while the target
     # distribution stays fixed — the production shape (small curated
     # target, huge crawl). Bucket stats are bounded-domain partial

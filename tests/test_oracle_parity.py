@@ -102,6 +102,8 @@ _PRODUCT_OK = {
     "q_sequential_ab",      # day rollup x broadcast 1-row arm-totals scalar
     "q_ann_pq",             # corpus x broadcast 1-row codebook + 8-row ADC LUT
     "q_ann_pq_recall",      # composes q_ann_pq + the broadcast exact-L2 scan
+    "q_ann_ivfpq",          # corpus x broadcast 1-row coarse + residual codebooks
+    "q_ann_ivfpq_recall",   # composes q_ann_ivfpq + the broadcast exact-L2 scan
     "q_dsir",               # bucket table x broadcast 1-row token totals
 }
 

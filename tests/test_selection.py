@@ -19,6 +19,8 @@ from airflow_crypto_etl_spark.operators import llm_prep as lp
 from airflow_crypto_etl_spark.operators import similarity as sim
 from airflow_crypto_etl_spark.operators import text as tx
 from airflow_crypto_etl_spark.queries_selection import (
+    q_ann_ivfpq,
+    q_ann_ivfpq_recall,
     q_ann_pq,
     q_ann_pq_recall,
     q_ccnet_buckets,
@@ -279,3 +281,81 @@ def test_pq_recall_bounds(spark, sf_dir):
         assert 0.0 <= r["recall"] <= 1.0
     # 16 centroids × 4 subspaces on clustered data should beat random
     assert sum(r["recall"] for r in rows) / len(rows) >= 0.3
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — python reference equivalence and recall gate
+# ---------------------------------------------------------------------------
+
+
+def _py_ivfpq(emb_rows, n_coarse=16, n_probe=4, n_sub=4, dim=64, k=10, query_ids=range(8)):
+    sd = dim // n_sub
+    vecs = {vid: [float(x) for x in v] for vid, v in emb_rows}
+    coarse = {cid: vecs[cid] for cid in range(n_coarse)}
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    assign = {
+        vid: min((d2(v, cv), cid) for cid, cv in sorted(coarse.items()))[1]
+        for vid, v in vecs.items()
+    }
+    resid = {
+        vid: [x - y for x, y in zip(v, coarse[assign[vid]])] for vid, v in vecs.items()
+    }
+    rcb = {rid: resid[rid + n_coarse] for rid in range(16)}
+
+    def sub(v, s):
+        return v[s * sd : (s + 1) * sd]
+
+    codes = {
+        vid: [
+            min(((d2(sub(r, s), sub(rv, s)), rid) for rid, rv in sorted(rcb.items())))[1]
+            for s in range(n_sub)
+        ]
+        for vid, r in resid.items()
+    }
+    out = {}
+    for q in query_ids:
+        qv = vecs[q]
+        probed = sorted((d2(qv, cv), cid) for cid, cv in coarse.items())[:n_probe]
+        scored = []
+        for _, cid in probed:
+            qr = [x - y for x, y in zip(qv, coarse[cid])]
+            lut = {
+                (s, rid): d2(sub(qr, s), sub(rv, s))
+                for s in range(n_sub)
+                for rid, rv in rcb.items()
+            }
+            for vid, lid in assign.items():
+                if lid != cid or vid == q:
+                    continue
+                adc = 0.0
+                for s in range(n_sub):
+                    adc = adc + lut[(s, codes[vid][s])]
+                scored.append((adc, vid))
+        scored.sort()
+        out[q] = [(vid, adc) for adc, vid in scored[:k]]
+    return out
+
+
+def test_ivfpq_matches_python_reference(spark, sf_dir):
+    ref = _py_ivfpq(_emb_rows())
+    got: dict[int, list] = {}
+    for r in q_ann_ivfpq(spark, sf_dir).orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc"]))
+    assert set(got) == set(ref)
+    for q in ref:
+        assert [v for v, _ in got[q]] == [v for v, _ in ref[q]], f"query {q}"
+        for (_, a), (_, b) in zip(got[q], ref[q]):
+            assert a == b  # bit-identical sequential folds
+
+
+def test_ivfpq_recall_bounds(spark, sf_dir):
+    rows = q_ann_ivfpq_recall(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
