@@ -290,3 +290,88 @@ def winnow_fingerprints(
             F.col("_picked"), F.lit(0).cast("bigint"), lambda acc, e: acc + e["h"]
         ).alias("fp_checksum"),
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    min_shared: int = 3,
+    df_cap: int | None = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """MOSS-style overlap detection over winnowing fingerprints: doc
+    pairs sharing at least ``min_shared`` distinct fingerprint HASHES.
+    By the winnowing guarantee, any shared run of k+w-1 = 11 chars
+    yields at least one shared hash, so min_shared=3 demands ~3
+    independent shared runs (or one long one) — the plagiarism/overlap
+    candidate set.
+
+    Scale shape: the fingerprint pass is the zero-shuffle
+    :func:`winnow_fingerprints` projection; pairing is an EQUI-join of
+    the (doc, hash) posting list with itself on the 8-byte hash —
+    never an all-pairs product. ``df_cap`` drops boilerplate hashes
+    shared by more than df_cap docs WHOLESALE before the join (the
+    lsh_near_pairs discipline): one viral fingerprint otherwise
+    contributes C(df, 2) pairs and owns the runtime at 100 TB. The cap
+    is exercised by the registered query, not just available. The
+    posting list feeds THREE consumers (the df count and both join
+    sides), so it is cached via :func:`dedup.register_cache` — without
+    it the corpus-wide fingerprint projection re-runs three times."""
+    n = F.length(F.col(text_col))
+    codes = F.transform(F.split(F.col(text_col), ""), lambda ch: F.ascii(ch).cast("bigint"))
+
+    def gram_hash(i: Column) -> Column:
+        expr = F.lit(0).cast("bigint")
+        for j, p in enumerate(_WINNOW_POW):
+            expr = expr + F.element_at(F.col("_codes"), i + j) * F.lit(p)
+        return expr % _WINNOW_MOD
+
+    picked = (
+        df.filter(n >= k + w - 1)
+        .select(
+            F.col(id_col),
+            (n - k + 1).cast("int").alias("_ng"),
+            codes.alias("_codes"),
+        )
+        .select(
+            F.col(id_col),
+            # per-doc DISTINCT hashes computed inside the row (a hash
+            # selected at several positions collapses here), so the
+            # exploded posting list needs no global distinct shuffle
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_ng") - w + 1),
+                        lambda p: F.array_min(
+                            F.transform(
+                                F.sequence(p, p + w - 1),
+                                lambda j: F.struct(
+                                    gram_hash(j).alias("h"),
+                                    (-j).cast("bigint").alias("np"),
+                                ),
+                            )
+                        )["h"],
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    from .dedup import register_cache
+
+    picked = register_cache(picked)
+    if df_cap is not None:
+        keep = picked.groupBy("h").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") <= df_cap
+        )
+        picked = picked.join(keep.select("h"), "h")
+    a = picked.select(F.col(id_col).alias("doc_a"), "h")
+    b = picked.select(F.col(id_col).alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -30,7 +30,7 @@ from .operators import llm_prep as lp
 from .operators import similarity as sim
 from .operators import text as tx
 from .queries import _t
-from .queries_ext import ANN_QUERY_IDS
+from .queries_ext import _DUP_CORPUS_SQL, ANN_QUERY_IDS, _dup_corpus
 from .queries_quality import ORACLE_LM_SCORE, lm_score_docs
 
 _Q = 1 << 20
@@ -359,6 +359,46 @@ FROM dd GROUP BY 1, 2
 """
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS overlap candidates over the duplicate corpus (see
+    operators/text.winnow_pairs): doc pairs sharing ≥3 distinct
+    winnowed fingerprint hashes, boilerplate hashes with df > 20
+    dropped WHOLESALE before the posting self-join — the df-cap guard
+    is exercised by this registration, not merely available (the r8
+    bucket-cap lesson)."""
+    return tx.winnow_pairs(_dup_corpus(spark, sf_dir), min_shared=3, df_cap=20)
+
+
+_WP_CAP, _WP_MIN = 20, 3
+
+ORACLE_WINNOW_PAIRS = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+c AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS codes,
+         length(text) AS n
+  FROM corpus WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+s AS (
+  SELECT doc_id,
+         list_transform(range(1, (n - {_WIN_K} + 1) - {_WIN_W} + 2), p ->
+            list_reduce(
+              list_transform(range(p, p + {_WIN_W}),
+                             j -> struct_pack(h := {_winnow_gram_sql('j')}, np := -j)),
+              (a, x) -> CASE WHEN x.h < a.h OR (x.h = a.h AND x.np < a.np)
+                             THEN x ELSE a END)) AS sels
+  FROM c),
+u AS (SELECT doc_id, unnest(sels) AS sel FROM s),
+fp AS (SELECT DISTINCT doc_id, sel.h AS h FROM u),
+keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= {_WP_CAP}),
+fk AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {_WP_MIN}
+"""
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -367,6 +407,7 @@ QUERIES_SELECTION = {
     "q_ann_ivfpq": q_ann_ivfpq,
     "q_ann_ivfpq_recall": q_ann_ivfpq_recall,
     "q_winnowing": q_winnowing,
+    "q_winnow_pairs": q_winnow_pairs,
 }
 
 ORACLE_SELECTION = {
@@ -377,4 +418,5 @@ ORACLE_SELECTION = {
     "q_ann_ivfpq": ORACLE_ANN_IVFPQ,
     "q_ann_ivfpq_recall": ORACLE_ANN_IVFPQ_RECALL,
     "q_winnowing": ORACLE_WINNOWING,
+    "q_winnow_pairs": ORACLE_WINNOW_PAIRS,
 }

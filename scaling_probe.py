@@ -480,6 +480,37 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
+    # Winnowing pair join under degenerate duplication (r9): GROUPS
+    # groups of D=30 identical docs — every fingerprint's df is 30,
+    # above the df_cap of 20, so the cap drops ALL of them WHOLESALE
+    # and the pair join sees zero postings. Inflation adds more groups;
+    # the claim under probe is ratio ≈ N (fingerprint pass + df count)
+    # and ZERO surviving pairs — a missing cap would emit
+    # GROUPS·C(30,2) pairs and blow past linear.
+    if want("winnow_hotdup"):
+        spark_w = docs.sparkSession
+
+        def hot_corpus(n_groups: int) -> DataFrame:
+            base = spark_w.range(n_groups).select(
+                F.col("id").alias("g"),
+                F.concat_ws(
+                    " ", *[F.concat(F.lit(f"tok{j}_"), F.col("id")) for j in range(40)]
+                ).alias("text"),
+            )
+            copies = spark_w.range(30).select(F.col("id").alias("c"))
+            return base.crossJoin(copies).select(
+                (F.col("g") * 1000 + F.col("c")).alias("doc_id"), "text"
+            )
+
+        small_h, big_h = hot_corpus(60), hot_corpus(60 * INFLATE)
+        assert tx.winnow_pairs(small_h, df_cap=20).count() == 0
+        t0 = time.perf_counter(); tx.winnow_pairs(small_h, df_cap=20).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); n_hot = tx.winnow_pairs(big_h, df_cap=20).count(); tn = time.perf_counter() - t0
+        assert n_hot == 0, "df_cap must wholesale-drop the degenerate fingerprints"
+        results["winnow_hotdup"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
     # DSIR scoring (r9): the RAW side inflates N× while the target
     # distribution stays fixed — the production shape (small curated
     # target, huge crawl). Bucket stats are bounded-domain partial

@@ -359,3 +359,42 @@ def test_ivfpq_recall_bounds(spark, sf_dir):
     assert len(rows) == 8
     for r in rows:
         assert 0.0 <= r["recall"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Winnow pairs — overlap detection + df-cap behavior
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_pairs_detects_shared_run(spark):
+    shared = "the quick brown fox jumps over the lazy dog again"
+    rows = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " unique tail one here"),
+            (2, "zzzz " + shared + " entirely different ending"),
+            (3, "no overlap with anything else at all in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in
+           __import__("airflow_crypto_etl_spark.operators.text", fromlist=["x"]).winnow_pairs(
+               rows, min_shared=3, df_cap=20).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert not any(3 in pair for pair in got)
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    """25 docs sharing one boilerplate sentence (df=25 > cap=20): every
+    boilerplate fingerprint is dropped wholesale, so no pair survives;
+    with the cap lifted the C(25,2) pairs appear."""
+    from airflow_crypto_etl_spark.operators.text import winnow_pairs
+
+    boiler = "all rights reserved click here to unsubscribe from this list"
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} distinct words " + boiler) for i in range(25)],
+        ["doc_id", "text"],
+    )
+    capped = winnow_pairs(df, min_shared=3, df_cap=20).count()
+    uncapped = winnow_pairs(df, min_shared=3, df_cap=None).count()
+    assert capped == 0
+    assert uncapped == 25 * 24 // 2
