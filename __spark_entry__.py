@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airflow_crypto_etl_spark import queries as q
 from airflow_crypto_etl_spark import queries_analytics as qa
+from airflow_crypto_etl_spark import queries_corpus as qc
 from airflow_crypto_etl_spark import queries_experiments as qe
 from airflow_crypto_etl_spark import queries_ext as qx
 from airflow_crypto_etl_spark import queries_market as qm
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qq.QUERIES_QUALITY,
         qe.QUERIES_EXPERIMENTS,
         qsel.QUERIES_SELECTION,
+        qc.QUERIES_CORPUS,
     )
     return {name: _finalized(fn) for name, fn in raw.items()}
 
@@ -108,4 +110,5 @@ def oracle_sql() -> dict[str, str]:
         qq.ORACLE_QUALITY,
         qe.ORACLE_EXPERIMENTS,
         qsel.ORACLE_SELECTION,
+        qc.ORACLE_CORPUS,
     )

@@ -213,7 +213,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(threshold: float = 0.5) -> str:
+    """DuckDB twin of operators.dedup.minhash_lsh_pairs at the given
+    estimated-Jaccard threshold (0.0 = every LSH candidate pair — the
+    S-curve calibration view, queries_corpus.q_minhash_curve)."""
     weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
     return f"""
 WITH tokh AS (
@@ -236,7 +239,7 @@ est AS (
   JOIN sig sa ON sa.doc_id = doc_a
   JOIN sig sb ON sb.doc_id = doc_b AND sb.i = sa.i
   GROUP BY doc_a, doc_b)
-SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 """
 
 

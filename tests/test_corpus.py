@@ -1,0 +1,162 @@
+"""Round-9 corpus-analytics battery: source-overlap matrix, MinHash
+S-curve, token coverage, n-gram diversity, tokenizer fertility —
+first-principles Python references recomputed per test (exact integer
+counting in Python, one final float division — the same op order as
+the Spark plans), so these are engine-vs-math checks, not
+engine-vs-itself.
+
+Reference parity note: the reference pipeline has no corpus-analytics
+surface — this family is part of the training-data extension
+(SURVEY.md LLM-prep battery)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import duckdb
+
+from airflow_crypto_etl_spark.operators import dedup as dd
+from airflow_crypto_etl_spark.operators.dedup import MINHASH_K
+from airflow_crypto_etl_spark.queries_corpus import (
+    COVERAGE_KS,
+    q_fertility,
+    q_minhash_curve,
+    q_ngram_diversity,
+    q_source_overlap,
+    q_token_coverage,
+)
+from airflow_crypto_etl_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+_SUBWORD_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+
+
+def _docs_rows():
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+
+def _words(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def _pieces(text: str, max_piece: int = 4) -> list[str]:
+    out = []
+    for run in _SUBWORD_RE.findall(text):
+        out.extend(run[i : i + max_piece] for i in range(0, len(run), max_piece))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_matches_python_reference(spark, sf_dir):
+    got = {r["lang"]: r for r in q_fertility(spark, sf_dir).collect()}
+    by_lang: dict[str, list[int]] = {}
+    for _id, text, lang, _src in _docs_rows():
+        n_docs, n_words, n_pieces = by_lang.setdefault(lang, [0, 0, 0])
+        by_lang[lang] = [n_docs + 1, n_words + len(_words(text)), n_pieces + len(_pieces(text))]
+    assert set(got) == set(by_lang)
+    for lang, (n_docs, n_words, n_pieces) in by_lang.items():
+        r = got[lang]
+        assert (r["n_docs"], r["n_words"], r["n_pieces"]) == (n_docs, n_words, n_pieces)
+        assert r["fertility"] == n_pieces / n_words
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_matches_python_reference(spark, sf_dir):
+    got = {r["source"]: r for r in q_ngram_diversity(spark, sf_dir).collect()}
+    uni: dict[str, Counter] = {}
+    bi: dict[str, Counter] = {}
+    for _id, text, _lang, src in _docs_rows():
+        w = _words(text)
+        uni.setdefault(src, Counter()).update(w)
+        bi.setdefault(src, Counter()).update(
+            f"{a} {b}" for a, b in zip(w, w[1:])
+        )
+    assert set(got) == set(uni)
+    for src, cu in uni.items():
+        cb = bi.get(src, Counter())
+        r = got[src]
+        assert r["n_tokens"] == sum(cu.values())
+        assert r["n_types"] == len(cu)
+        assert r["n_bigrams"] == sum(cb.values())
+        assert r["n_bigram_types"] == len(cb)
+        assert r["ttr"] == len(cu) / sum(cu.values())
+        if sum(cb.values()):
+            assert r["distinct2"] == len(cb) / sum(cb.values())
+        else:
+            assert r["distinct2"] is None
+
+
+# ---------------------------------------------------------------------------
+# Token coverage curve
+# ---------------------------------------------------------------------------
+
+
+def test_token_coverage_matches_python_reference(spark, sf_dir):
+    got = {r["k"]: r for r in q_token_coverage(spark, sf_dir).collect()}
+    vocab = Counter()
+    for _id, text, _lang, _src in _docs_rows():
+        vocab.update(_words(text))
+    total = sum(vocab.values())
+    # ties broken by term ASC after count DESC — total order, same as both engines
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert set(got) == set(COVERAGE_KS)
+    for k in COVERAGE_KS:
+        top = ranked[:k]
+        cum = sum(c for _t, c in top)
+        r = got[k]
+        assert r["n_terms"] == len(top)
+        assert r["cum_tokens"] == cum
+        assert r["total_tokens"] == total
+        assert r["vocab_size"] == len(vocab)
+        assert r["coverage"] == cum / total
+
+    # the curve is monotone in k and coverage is a proper share
+    cov = [got[k]["coverage"] for k in sorted(COVERAGE_KS)]
+    assert cov == sorted(cov) and 0.0 < cov[0] and cov[-1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Source overlap matrix + MinHash S-curve: exact rollups of the
+# (already parity-tested) LSH pair set
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_is_exact_pair_rollup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    cells: dict[tuple[str, str], list[int]] = {}
+    for p in pairs:
+        a, b = sorted((src[p["doc_a"]], src[p["doc_b"]]))
+        n, m = cells.setdefault((a, b), [0, 0])
+        cells[(a, b)] = [n + 1, m + round(p["est_jaccard"] * MINHASH_K)]
+    got = {(r["source_a"], r["source_b"]): r for r in q_source_overlap(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    for key, (n, m) in cells.items():
+        r = got[key]
+        assert r["n_pairs"] == n
+        assert r["avg_jaccard"] == m / (n * MINHASH_K)
+        assert 0.5 <= r["avg_jaccard"] <= 1.0  # pairs pre-filtered at 0.5
+
+
+def test_minhash_curve_buckets_every_candidate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dd.minhash_lsh_pairs(docs, threshold=0.0).collect()
+    want = Counter((round(p["est_jaccard"] * MINHASH_K) * 10) // MINHASH_K for p in cand)
+    got = {r["bucket"]: r["n_pairs"] for r in q_minhash_curve(spark, sf_dir).collect()}
+    assert got == dict(want)
+    # the 0.5-threshold pair set is exactly the curve's mass at bucket >= 5
+    n_above = sum(n for b, n in got.items() if b >= 5)
+    assert n_above == len(dd.minhash_lsh_pairs(docs, threshold=0.5).collect())
