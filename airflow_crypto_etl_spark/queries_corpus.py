@@ -146,20 +146,19 @@ FROM mp GROUP BY 1
 COVERAGE_KS = (10, 100, 1000)
 
 
-def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative token-coverage of the top-k vocabulary at
-    k ∈ {10, 100, 1000}: for each k, how large a share of ALL token
-    occurrences the k most frequent terms account for — the
-    vocabulary-sizing curve of tokenizer training.
+def token_coverage(docs: DataFrame, ks: tuple[int, ...] = COVERAGE_KS) -> DataFrame:
+    """Cumulative token-coverage of the top-k vocabulary at each
+    k ∈ ``ks``: for each k, how large a share of ALL token occurrences
+    the k most frequent terms account for — the vocabulary-sizing
+    curve of tokenizer training.
 
     Scale shape: one doc-term groupBy and one term groupBy (both
     partial-aggregable — the same two shuffles vocab_topk pays), then
     per-k TakeOrderedAndProject over the CACHED vocab aggregate (ties
     broken by term, so each top-k set is total) feeding a 1-row agg;
-    the three 1-row results union with the broadcast 1-row corpus
+    the per-k 1-row results union with the broadcast 1-row corpus
     totals. No global window: the per-k rank never materializes, only
     top-k heaps. Coverage is one double division of bigint operands."""
-    docs = _docs(spark, sf_dir)
     tf = tx.term_frequencies(docs)
     vocab = dd.register_cache(tf.groupBy("term").agg(F.sum("tf").alias("n_occ")))
     total = vocab.agg(
@@ -167,7 +166,7 @@ def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
     )
     parts = []
-    for k in COVERAGE_KS:
+    for k in ks:
         topk = vocab.orderBy(F.col("n_occ").desc(), F.col("term").asc()).limit(k)
         parts.append(
             topk.agg(
@@ -175,7 +174,9 @@ def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_occ").cast("bigint").alias("cum_tokens"),
             ).select(F.lit(k).cast("int").alias("k"), "n_terms", "cum_tokens")
         )
-    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
     return u.crossJoin(F.broadcast(total)).select(
         "k",
         "n_terms",
@@ -184,6 +185,12 @@ def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_size",
         (F.col("cum_tokens").cast("double") / F.col("total_tokens")).alias("coverage"),
     )
+
+
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: the coverage curve at k ∈ {10, 100, 1000}
+    over the documents table (see :func:`token_coverage`)."""
+    return token_coverage(_docs(spark, sf_dir))
 
 
 ORACLE_TOKEN_COVERAGE = f"""
@@ -226,7 +233,7 @@ _BIGRAMS_DUCK = (
 )
 
 
-def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_diversity(docs: DataFrame) -> DataFrame:
     """Per-source corpus diversity: type/token ratio on unigrams and
     distinct-bigram ratio (the distinct-2 metric) — near-zero values
     flag template/boilerplate sources before any pairwise dedup runs.
@@ -236,7 +243,6 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast). Ratios are single double divisions of bigint counts;
     sources whose docs are all single-token publish NULL distinct-2 in
     both engines."""
-    docs = _docs(spark, sf_dir)
     uni = docs.select("source", F.explode(tx.tokens_col("text")).alias("g"))
     ua = (
         uni.groupBy("source", "g")
@@ -270,6 +276,12 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bigram_types").cast("double") / F.col("n_bigrams"),
         ).alias("distinct2"),
     )
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: per-source diversity over the documents table
+    (see :func:`ngram_diversity`)."""
+    return ngram_diversity(_docs(spark, sf_dir))
 
 
 ORACLE_NGRAM_DIVERSITY = f"""

@@ -32,6 +32,7 @@ from airflow_crypto_etl_spark.operators import llm_prep as lp
 from airflow_crypto_etl_spark.operators import similarity as sim
 from airflow_crypto_etl_spark.operators import text as tx
 from airflow_crypto_etl_spark.operators import timeseries as tsx
+from airflow_crypto_etl_spark import queries_corpus as qc
 from airflow_crypto_etl_spark import queries_quality as qq
 from airflow_crypto_etl_spark.session import get_spark
 from airflow_crypto_etl_spark.queries_pipeline import _cdc_feed
@@ -217,6 +218,17 @@ def main() -> None:
         # re-inlined a stage into the window lambda (the O(n^2) shape the
         # operator's docstring guards against)
         "winnow_fingerprints": lambda d: tx.winnow_fingerprints(d),
+        # Per-source n-gram diversity (r9): copy inflation multiplies
+        # gram OCCURRENCES N× while the per-source distinct gram sets
+        # stay fixed, so both explode→partial-agg legs and the bounded
+        # source-domain join must scale ~N (a super-linear ratio would
+        # mean the partial agg stopped combining map-side)
+        "ngram_diversity": lambda d: qc.ngram_diversity(d),
+        # Token coverage curve (r9): the vocab aggregate deepens N× in
+        # counts but not in distinct terms; the per-k TakeOrdered heaps
+        # are vocabulary-sized (fixed) — ratio must stay ~N, dominated
+        # by the two vocab shuffles (the same bound lm_score carries)
+        "token_coverage": lambda d: qc.token_coverage(d, ks=(10, 100, 1000)),
     }
 
     orders = load_table(spark, SF_DIR, "orders").select(
