@@ -1204,6 +1204,47 @@ def pq_recall(
     return _recall_vs_exact(exact, approx)
 
 
+MRL_DIMS = (8, 16, 32)
+
+
+def dim_truncated_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dims: tuple[int, ...] = MRL_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall curve (Kusupati et
+    al. 2022): recall@k of an exact L2 search over the FIRST d
+    coordinates against the full-dimension exact truth, for each
+    d ∈ ``dims`` — the measured answer to "how few prefix dimensions
+    can the coarse stage keep?", the same measure-don't-guess contract
+    as the LSH/IVF/PQ/IVFADC recall gates.
+
+    Scale shape: each leg is the l2_topk broadcast-scoring scan on a
+    PREFIX-SLICED projection (map-side slice — the corpus never
+    shuffles, the per-query top-k rides the partitioned rank window).
+    Like the sibling gates this is a diagnostic run on a query SAMPLE:
+    len(dims)+1 corpus scans at len(query_ids) queries each, not a
+    per-row production path. Ties in the truncated metric break by
+    neighbor_id in both engines, so every leg is total-ordered."""
+    exact = l2_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+        "query_id", F.col("neighbor_id").alias("t")
+    )
+    out = None
+    for d in dims:
+        trunc = emb.select(F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        ap = l2_topk(trunc, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
+            "query_id", F.col("neighbor_id").alias("a")
+        )
+        leg = _recall_vs_exact(exact, ap).select(
+            F.lit(d).cast("int").alias("dim"), "query_id", "recall"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # IVFADC — coarse IVF + residual PQ (the FAISS IVF-PQ composition)
 # ---------------------------------------------------------------------------

@@ -399,6 +399,56 @@ SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {_WP_MIN}
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation recall curve
+# ---------------------------------------------------------------------------
+
+
+def q_ann_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact L2 search over the first d ∈ {8, 16, 32}
+    embedding coordinates vs the full 64-dim exact truth (see
+    operators/similarity.dim_truncated_recall) — the measured curve
+    behind choosing a cheap prefix dimension for coarse ANN stages."""
+    return sim.dim_truncated_recall(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _l2_truncated_sql(d: int) -> str:
+    """Truncated-metric exact scan: same fold as _ORACLE_ANN_L2 with
+    the term range bounded at d (prefix truncation needs no slice —
+    only indices 1..d are touched)."""
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {d + 1}),
+             i -> (qv[i] - ve[i]) * (qv[i] - ve[i]))), (acc, x) -> acc + x) AS d2
+  FROM v CROSS JOIN q WHERE v.vec_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id FROM r WHERE rnk <= 10
+"""
+
+
+def _dim_recall_leg(d: int) -> str:
+    return f"""
+SELECT CAST({d} AS INTEGER) AS dim, tot.query_id,
+       CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
+FROM (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id) tot
+LEFT JOIN (SELECT ex.query_id, COUNT(*) AS n_hits
+           FROM ex JOIN a{d} ON ex.query_id = a{d}.query_id
+                            AND ex.neighbor_id = a{d}.neighbor_id
+           GROUP BY ex.query_id) hits ON tot.query_id = hits.query_id"""
+
+
+ORACLE_ANN_DIM_RECALL = (
+    "WITH ex AS MATERIALIZED (" + _ORACLE_ANN_L2.strip() + "),\n"
+    + ",\n".join(f"a{d} AS ({_l2_truncated_sql(d).strip()})" for d in sim.MRL_DIMS)
+    + "\n"
+    + "\nUNION ALL\n".join(_dim_recall_leg(d).strip() for d in sim.MRL_DIMS)
+)
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -408,6 +458,7 @@ QUERIES_SELECTION = {
     "q_ann_ivfpq_recall": q_ann_ivfpq_recall,
     "q_winnowing": q_winnowing,
     "q_winnow_pairs": q_winnow_pairs,
+    "q_ann_dim_recall": q_ann_dim_recall,
 }
 
 ORACLE_SELECTION = {
@@ -419,4 +470,5 @@ ORACLE_SELECTION = {
     "q_ann_ivfpq_recall": ORACLE_ANN_IVFPQ_RECALL,
     "q_winnowing": ORACLE_WINNOWING,
     "q_winnow_pairs": ORACLE_WINNOW_PAIRS,
+    "q_ann_dim_recall": ORACLE_ANN_DIM_RECALL,
 }

@@ -160,3 +160,48 @@ def test_minhash_curve_buckets_every_candidate(spark, sf_dir):
     # the 0.5-threshold pair set is exactly the curve's mass at bucket >= 5
     n_above = sum(n for b, n in got.items() if b >= 5)
     assert n_above == len(dd.minhash_lsh_pairs(docs, threshold=0.5).collect())
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation recall (registered in
+# queries_selection; tested here with the round's python references)
+# ---------------------------------------------------------------------------
+
+
+def test_dim_truncated_recall_matches_python_reference(spark, sf_dir):
+    import numpy as np
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+    from airflow_crypto_etl_spark.queries_ext import ANN_QUERY_IDS
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+
+    def topk(d: int, qid: int, k: int = 10) -> set[int]:
+        q = mat[ids == qid][0][:d]
+        d2 = ((mat[:, :d] - q) ** 2).sum(axis=1)
+        order = sorted(
+            (float(d2[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != qid
+        )
+        return {nid for _d, nid in order[:k]}
+
+    want = {}
+    for qid in ANN_QUERY_IDS:
+        truth = topk(64, qid)
+        for d in sim.MRL_DIMS:
+            want[(d, qid)] = len(topk(d, qid) & truth) / len(truth)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["dim"], r["query_id"]): r["recall"]
+        for r in sim.dim_truncated_recall(emb, ANN_QUERY_IDS, k=10).collect()
+    }
+    assert got == want
+    # more prefix dimensions can only help on average
+    import statistics as st
+
+    means = [st.mean(v for (d, _q), v in got.items() if d == dd_) for dd_ in sim.MRL_DIMS]
+    assert means == sorted(means)

@@ -106,6 +106,7 @@ _PRODUCT_OK = {
     "q_ann_ivfpq_recall",   # composes q_ann_ivfpq + the broadcast exact-L2 scan
     "q_dsir",               # bucket table x broadcast 1-row token totals
     "q_token_coverage",     # 3-row per-k union x broadcast 1-row token totals
+    "q_ann_dim_recall",     # composes q_ann_topk's broadcast exact-L2 scan x4 legs
 }
 
 
