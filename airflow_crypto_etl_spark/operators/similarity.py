@@ -577,6 +577,88 @@ def ivf_topk(
     )
 
 
+def ivf_batch_lookup(
+    emb: DataFrame,
+    batch: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    list_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spread: bool = True,
+) -> DataFrame:
+    """Batch-ingest ANN: EVERY vector of a new batch searched against
+    the corpus's IVF index with NO broadcast of the batch — the
+    production ingest path (the vector twin of
+    dedup.minhash_lookup's incremental contract, and the IVF
+    counterpart of :func:`hard_negatives_lsh`'s all-anchor scale-out).
+
+    :func:`ivf_topk` broadcasts its handful of probe queries; here the
+    batch may be millions of rows, so candidates come from the
+    inverted-LIST EQUI-JOIN instead: the corpus assignment table
+    (id → list) joins the batch's probe table (query → its n_probe
+    nearest lists) on the list id, scoring vectors are equi-joined
+    back per side, and the per-query top-k rides a query-partitioned
+    rank window. Only the n_centroids-row centroid table is broadcast
+    (bounded domain). No distinct is needed: each corpus vector lives
+    in exactly one list and a query probes n_probe DISTINCT lists, so
+    (query, neighbor) candidates are already unique — one shuffle
+    cheaper than the multi-table LSH path.
+
+    ``list_cap`` is the degenerate-list guard (the bucket_cap lesson,
+    r8 verdict item 1): an inverted list holding more than the cap is
+    dropped WHOLESALE before the probe join — a list that dense means
+    the quantizer collapsed, and at 100 TB one such list's join is the
+    whole runtime. Callers pass a data-relative cap (≈ 2× the mean
+    occupancy N/n_centroids) so the guard fires at every scale factor.
+
+    Deterministic end-to-end: centroid seed convention, argmax
+    assignment tiebreak (cos desc, cid asc), rank ties on neighbor id.
+    """
+    base = _normed_base(emb, id_col, vec_col, spread)
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim_c = F.col("__cos_c")
+    assign = (
+        base.join(F.broadcast(cents), F.lit(True))
+        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+        .select(F.col(id_col), "cid", sim_c)
+        .groupBy(id_col)
+        .agg(F.max_by("cid", F.struct(sim_c, (-F.col("cid")).cast("long"))).alias("cid"))
+    )
+    if list_cap is not None:
+        sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+        assign = assign.join(sizes.filter(F.col("__n") <= list_cap), "cid").drop("__n")
+    b = _normed_base(batch, id_col, vec_col, spread)
+    w_probe = Window.partitionBy("query_id").orderBy(sim_c.desc(), F.col("cid").asc())
+    probes = (
+        b.join(F.broadcast(cents), F.lit(True))
+        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+        .select(F.col(id_col).alias("query_id"), "cid", sim_c)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    cand = assign.join(probes, "cid").select(
+        "query_id", F.col(id_col).alias("neighbor_id")
+    )
+    qv = b.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    nb = base.select(F.col(id_col).alias("neighbor_id"), "v", "nrm")
+    scored = (
+        cand.join(nb, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def _pair_dot_arrow():
     """Arrow-vectorized pairwise dot product (numpy einsum over the
     batch matrix). Built lazily so importing this module never needs a

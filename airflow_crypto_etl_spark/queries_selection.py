@@ -30,7 +30,7 @@ from .operators import llm_prep as lp
 from .operators import similarity as sim
 from .operators import text as tx
 from .queries import _t
-from .queries_ext import _DUP_CORPUS_SQL, ANN_QUERY_IDS, _dup_corpus
+from .queries_ext import _DUP_CORPUS_SQL, ANN_QUERY_IDS, _dot_sql, _dup_corpus, _norm_sql
 from .queries_quality import ORACLE_LM_SCORE, lm_score_docs
 
 _Q = 1 << 20
@@ -449,6 +449,68 @@ ORACLE_ANN_DIM_RECALL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# IVF batch lookup — the batch-ingest ANN path
+# ---------------------------------------------------------------------------
+
+IVF_BATCH_MOD = 40  # batch = every 40th corpus vector, id-shifted
+
+
+def q_ann_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ingest ANN (see operators/similarity.ivf_batch_lookup):
+    an id-shifted sample of the corpus plays the new-ingest batch —
+    every batch vector's nearest neighbor is its own original at
+    cos 1.0, so the result doubles as an index-correctness witness.
+    The inverted-list cap is LIVE and data-relative (2× the mean list
+    occupancy, the q_hard_negatives_lsh_capped convention) so the
+    degenerate-list guard fires at every scale factor; the corpus
+    count is the bounded 1-row scalar collect (the k-means-seed
+    pattern)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = (2 * emb.count()) // 16
+    batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return sim.ivf_batch_lookup(
+        emb, batch, k=10, n_centroids=16, n_probe=4, list_cap=cap, spread=False
+    )
+
+
+ORACLE_ANN_BATCH_LOOKUP = f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v WHERE vec_id < 16),
+ascored AS (
+  SELECT v.vec_id, cid, {_dot_sql('ve', 'cv')} / (nrm * cn) AS cosc FROM v CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM ascored)
+  WHERE rn = 1),
+keepl AS (
+  SELECT cid FROM assign GROUP BY cid
+  HAVING count(*) <= (2 * (SELECT count(*) FROM embeddings)) // 16),
+assign_k AS (SELECT assign.* FROM assign JOIN keepl USING (cid)),
+b AS (SELECT vec_id + 1000000 AS query_id, ve AS qv, nrm AS qn
+      FROM v WHERE vec_id % {IVF_BATCH_MOD} = 0),
+bscored AS (
+  SELECT query_id, cid, {_dot_sql('qv', 'cv')} / (qn * cn) AS cosc FROM b CROSS JOIN c),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosc DESC, cid ASC) AS rn
+    FROM bscored)
+  WHERE rn <= 4),
+cand AS (
+  SELECT query_id, assign_k.vec_id AS neighbor_id FROM assign_k JOIN probes USING (cid)),
+scored AS (
+  SELECT cand.query_id, neighbor_id, {_dot_sql('qv', 'nv.ve')} / (qn * nv.nrm) AS cos
+  FROM cand JOIN v nv ON nv.vec_id = neighbor_id JOIN b ON b.query_id = cand.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -459,6 +521,7 @@ QUERIES_SELECTION = {
     "q_winnowing": q_winnowing,
     "q_winnow_pairs": q_winnow_pairs,
     "q_ann_dim_recall": q_ann_dim_recall,
+    "q_ann_batch_lookup": q_ann_batch_lookup,
 }
 
 ORACLE_SELECTION = {
@@ -471,4 +534,5 @@ ORACLE_SELECTION = {
     "q_winnowing": ORACLE_WINNOWING,
     "q_winnow_pairs": ORACLE_WINNOW_PAIRS,
     "q_ann_dim_recall": ORACLE_ANN_DIM_RECALL,
+    "q_ann_batch_lookup": ORACLE_ANN_BATCH_LOOKUP,
 }

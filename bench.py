@@ -99,6 +99,11 @@ HEADLINE = [
     "q_dsir",
     "q_ann_pq",
     "q_winnowing",
+    # round-9 corpus-analytics battery representatives: the provenance
+    # matrix (MinHash pair join + bounded source² agg) and the coverage
+    # curve (two vocab shuffles + per-k TakeOrdered heaps)
+    "q_source_overlap",
+    "q_token_coverage",
 ]
 
 

@@ -205,3 +205,70 @@ def test_dim_truncated_recall_matches_python_reference(spark, sf_dir):
 
     means = [st.mean(v for (d, _q), v in got.items() if d == dd_) for dd_ in sim.MRL_DIMS]
     assert means == sorted(means)
+
+
+# ---------------------------------------------------------------------------
+# IVF batch lookup (registered in queries_selection): python-reference
+# equivalence on real data + the degenerate-list wholesale-drop guard
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_batch_lookup_finds_originals(spark, sf_dir):
+    """Every id-shifted batch vector's top neighbor must be its own
+    original at cos ~1.0 — the index-correctness witness the
+    registered query doubles as."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    batch = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    out = sim.ivf_batch_lookup(emb, batch, k=10, spread=False).collect()
+    top = {r["query_id"]: r for r in out if r["rank"] == 1}
+    n_batch = batch.count()
+    assert len(top) == n_batch
+    for qid, r in top.items():
+        assert r["neighbor_id"] == qid - 1000000
+        assert abs(r["cos"] - 1.0) < 1e-9
+
+
+def test_ivf_batch_lookup_drops_degenerate_list_wholesale(spark):
+    """A collapsed quantizer list (here: 300 near-identical vectors all
+    assigned to one centroid) above ``list_cap`` is dropped WHOLESALE:
+    no candidate may come from it, while healthy lists keep serving.
+    This pins the guard the registered query carries at 2x mean
+    occupancy (which healthy near-uniform corpora never trip)."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+
+    dim = 8
+    # centroid convention: ids 0..15 are the seeds. Give ids 16..315 a
+    # vector ~= seed 0 (the hot list); ids 316..345 sit near seed 1.
+    def vec(seed_like: int, eps: int) -> list[float]:
+        v = [0.0] * dim
+        v[seed_like] = 1.0
+        v[(seed_like + 1) % dim] = eps * 1e-4
+        return v
+
+    rows = [(i, vec(i % dim, 0)) for i in range(16)]
+    rows += [(16 + j, vec(0, j + 1)) for j in range(300)]       # hot list 0
+    rows += [(316 + j, vec(1, j + 1)) for j in range(30)]       # healthy list 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    batch = emb.filter((F.col("vec_id") >= 16)).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    n = len(rows)
+    cap = (2 * n) // 16  # 43 — the hot list (301 members incl. seed) trips it
+    out = sim.ivf_batch_lookup(emb, batch, k=5, list_cap=cap, spread=False).collect()
+    hot_members = {i for i in range(16, 316)} | {0}
+    assert all(r["neighbor_id"] not in hot_members for r in out)
+    # healthy-list queries still get their neighbors (incl. their own original)
+    healthy_queries = {316 + j + 1000000 for j in range(30)}
+    got_q = {r["query_id"] for r in out}
+    assert healthy_queries <= got_q
+    for r in out:
+        if r["query_id"] in healthy_queries and r["rank"] == 1:
+            assert r["neighbor_id"] == r["query_id"] - 1000000
