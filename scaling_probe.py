@@ -492,6 +492,74 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
+    # IVF batch lookup (r9): corpus and index fixed at SF, the ingest
+    # BATCH inflates N× (vec_id % 40 → % 10) — the production scale
+    # direction (the hard_negatives_anchors convention). Candidates
+    # ride the inverted-list equi-join, so volume is Σ_batch probed
+    # list sizes — linear in the batch; super-linear would mean the
+    # batch started broadcasting or the probe window went global.
+    if want("ivf_batch"):
+        def _batch_of(mod: int) -> DataFrame:
+            return emb.filter(F.col("vec_id") % mod == 0).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            )
+
+        small_b, big_b = _batch_of(40), _batch_of(max(40 // INFLATE, 1))
+        sim.ivf_batch_lookup(emb, small_b, k=10, spread=False).count()  # warm
+        t0 = time.perf_counter(); sim.ivf_batch_lookup(emb, small_b, k=10, spread=False).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); sim.ivf_batch_lookup(emb, big_b, k=10, spread=False).count(); tn = time.perf_counter() - t0
+        results["ivf_batch"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # IVF batch lookup under a COLLAPSED quantizer list (r9): one list
+    # holds n_hot near-identical vectors (n_hot ≫ cap), the batch is 30
+    # healthy vectors near a different centroid. list_cap drops the hot
+    # list WHOLESALE, so its members serve ZERO candidates and runtime
+    # tracks the assignment scan (~N in n_hot), never the would-be
+    # hot-list join. A missing cap would score batch∩list0 × n_hot.
+    if want("ivf_batch_hotlist"):
+        spark_h = emb.sparkSession
+
+        def _hot_emb(n_hot: int) -> DataFrame:
+            seeds = spark_h.range(16).selectExpr(
+                "id AS vec_id",
+                "transform(sequence(0, 7), j -> CASE WHEN j = CAST(id % 8 AS INT)"
+                " THEN 1.0D ELSE 0.0D END) AS embedding",
+            )
+            hot = spark_h.range(n_hot).selectExpr(
+                "id + 16 AS vec_id",
+                "transform(sequence(0, 7), j -> CASE WHEN j = 0 THEN 1.0D"
+                " WHEN j = 1 THEN (id + 1) * 1.0e-4 ELSE 0.0D END) AS embedding",
+            )
+            healthy = spark_h.range(30).selectExpr(
+                f"id + 16 + {n_hot} AS vec_id",
+                "transform(sequence(0, 7), j -> CASE WHEN j = 1 THEN 1.0D"
+                " WHEN j = 2 THEN (id + 1) * 1.0e-4 ELSE 0.0D END) AS embedding",
+            )
+            return seeds.unionByName(hot).unionByName(healthy)
+
+        def _hot_case(n_hot: int) -> DataFrame:
+            corpus = _hot_emb(n_hot)
+            batch = corpus.filter(F.col("vec_id") >= 16 + n_hot).select(
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            )
+            return sim.ivf_batch_lookup(
+                corpus, batch, k=5, list_cap=60, spread=False
+            )
+
+        n_small = 300
+        out_small = _hot_case(n_small)
+        hot_ids = {0} | {16 + j for j in range(n_small)}
+        assert all(
+            r["neighbor_id"] not in hot_ids for r in out_small.collect()
+        ), "list_cap must wholesale-drop the collapsed list"
+        t0 = time.perf_counter(); _hot_case(n_small).count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); _hot_case(n_small * INFLATE).count(); tn = time.perf_counter() - t0
+        results["ivf_batch_hotlist"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
     # Winnowing pair join under degenerate duplication (r9): GROUPS
     # groups of D=30 identical docs — every fingerprint's df is 30,
     # above the df_cap of 20, so the cap drops ALL of them WHOLESALE
