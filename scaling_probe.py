@@ -222,8 +222,14 @@ def main() -> None:
         # gram OCCURRENCES N× while the per-source distinct gram sets
         # stay fixed, so both explode→partial-agg legs and the bounded
         # source-domain join must scale ~N (a super-linear ratio would
-        # mean the partial agg stopped combining map-side)
-        "ngram_diversity": lambda d: qc.ngram_diversity(d),
+        # mean the partial agg stopped combining map-side). The probe
+        # corpus is projected to (doc_id, text), so the bounded source
+        # key is re-derived from doc_id (20 sources, the sf shape).
+        "ngram_diversity": lambda d: qc.ngram_diversity(
+            d.withColumn(
+                "source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string"))
+            )
+        ),
         # Token coverage curve (r9): the vocab aggregate deepens N× in
         # counts but not in distinct terms; the per-k TakeOrdered heaps
         # are vocabulary-sized (fixed) — ratio must stay ~N, dominated
