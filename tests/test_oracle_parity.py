@@ -107,6 +107,8 @@ _PRODUCT_OK = {
     "q_dsir",               # bucket table x broadcast 1-row token totals
     "q_token_coverage",     # 3-row per-k union x broadcast 1-row token totals
     "q_ann_dim_recall",     # composes q_ann_topk's broadcast exact-L2 scan x4 legs
+    "q_ann_batch_lookup",   # corpus AND batch x broadcast 16-row centroid table
+                            # (candidates themselves ride the list equi-join)
 }
 
 
