@@ -577,6 +577,119 @@ def ivf_topk(
     )
 
 
+def ivf_index_build(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    list_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spread: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index of a corpus: the
+    ``(centroids, assign)`` table pair that IS the index (r9 verdict
+    item 1 — the vector twin of ``dedup.minhash_bands``' "these two
+    tables ARE the persistable dedup index" contract).
+
+    ``centroids`` is (cid, cv, cn) — n_centroids rows, the quantizer;
+    ``assign`` is (cid, vec_id) — one row per corpus vector, its
+    inverted-list membership. Build once per corpus (one corpus scan ×
+    broadcast-centroid product, one partial-agg argmax shuffle of
+    (id, cid) pairs — never vectors), write both to parquet, and run
+    :func:`ivf_index_lookup` per ingest batch: the corpus is never
+    re-assigned per call. Plain double/bigint columns, so the parquet
+    round-trip is bit-exact.
+
+    ``list_cap`` is the degenerate-list guard (the bucket_cap lesson,
+    r8 verdict item 1), applied at BUILD time: an inverted list holding
+    more than the cap is dropped WHOLESALE — a list that dense means
+    the quantizer collapsed, and at 100 TB one such list's join is the
+    whole runtime. Callers pass a data-relative cap (≈ 2× the mean
+    occupancy N/n_centroids) so the guard fires at every scale factor.
+
+    Deterministic: centroid seed convention (the n_centroids lowest
+    ids), argmax assignment tiebreak (cos desc, cid asc).
+    """
+    base = _normed_base(emb, id_col, vec_col, spread)
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim_c = F.col("__cos_c")
+    assign = (
+        base.join(F.broadcast(cents), F.lit(True))
+        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+        .select(F.col(id_col), "cid", sim_c)
+        .groupBy(id_col)
+        .agg(F.max_by("cid", F.struct(sim_c, (-F.col("cid")).cast("long"))).alias("cid"))
+    )
+    if list_cap is not None:
+        sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+        assign = assign.join(sizes.filter(F.col("__n") <= list_cap), "cid").drop("__n")
+    return cents, assign.select("cid", id_col)
+
+
+def ivf_index_lookup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spread: bool = True,
+) -> DataFrame:
+    """INCREMENTAL batch-ingest ANN against a persisted IVF index:
+    ONLY the batch is assigned per call — the corpus is touched
+    exclusively through its stored ``(centroids, assign)`` index
+    tables plus an equi-join back to its vectors for exact rescoring
+    (the 100 TB daily-ingest shape; ``dedup.minhash_lookup`` is the
+    MinHash sibling of this contract).
+
+    Per call: the batch scores against the broadcast centroid table
+    (O(|batch|·n_centroids) map-side dots), takes its n_probe nearest
+    lists through a batch-partitioned rank window, equi-joins the
+    PERSISTED assignment lists on the list id (the batch is NEVER
+    broadcast), and rescores candidates exactly by joining the corpus
+    vectors per side. No distinct is needed: each corpus vector lives
+    in exactly one list and a query probes n_probe DISTINCT lists, so
+    (query, neighbor) candidates are already unique.
+
+    Deterministic end-to-end: probe tiebreak (cos desc, cid asc),
+    rank ties on neighbor id — same conventions as the build, so
+    rebuild-per-call (:func:`ivf_batch_lookup`) and persisted-index
+    lookups return identical rows.
+    """
+    b = _normed_base(batch, id_col, vec_col, spread)
+    sim_c = F.col("__cos_c")
+    w_probe = Window.partitionBy("query_id").orderBy(sim_c.desc(), F.col("cid").asc())
+    probes = (
+        b.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+        .select(F.col(id_col).alias("query_id"), "cid", sim_c)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "cid")
+    )
+    cand = assign.join(probes, "cid").select(
+        "query_id", F.col(id_col).alias("neighbor_id")
+    )
+    qv = b.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    nb = _normed_base(corpus, id_col, vec_col, spread).select(
+        F.col(id_col).alias("neighbor_id"), "v", "nrm"
+    )
+    scored = (
+        cand.join(nb, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def ivf_batch_lookup(
     emb: DataFrame,
     batch: DataFrame,
@@ -596,66 +709,21 @@ def ivf_batch_lookup(
 
     :func:`ivf_topk` broadcasts its handful of probe queries; here the
     batch may be millions of rows, so candidates come from the
-    inverted-LIST EQUI-JOIN instead: the corpus assignment table
-    (id → list) joins the batch's probe table (query → its n_probe
-    nearest lists) on the list id, scoring vectors are equi-joined
-    back per side, and the per-query top-k rides a query-partitioned
-    rank window. Only the n_centroids-row centroid table is broadcast
-    (bounded domain). No distinct is needed: each corpus vector lives
-    in exactly one list and a query probes n_probe DISTINCT lists, so
-    (query, neighbor) candidates are already unique — one shuffle
-    cheaper than the multi-table LSH path.
-
-    ``list_cap`` is the degenerate-list guard (the bucket_cap lesson,
-    r8 verdict item 1): an inverted list holding more than the cap is
-    dropped WHOLESALE before the probe join — a list that dense means
-    the quantizer collapsed, and at 100 TB one such list's join is the
-    whole runtime. Callers pass a data-relative cap (≈ 2× the mean
-    occupancy N/n_centroids) so the guard fires at every scale factor.
-
-    Deterministic end-to-end: centroid seed convention, argmax
-    assignment tiebreak (cos desc, cid asc), rank ties on neighbor id.
+    inverted-LIST EQUI-JOIN instead. This is the REBUILD-PER-CALL
+    convenience composition of :func:`ivf_index_build` +
+    :func:`ivf_index_lookup` — right for a one-shot search; a
+    production ingest loop builds the index once, persists it, and
+    calls :func:`ivf_index_lookup` per batch (r9 verdict item 1), so
+    lookup cost stops carrying the O(corpus × n_centroids)
+    re-assignment.
     """
-    base = _normed_base(emb, id_col, vec_col, spread)
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    cents, assign = ivf_index_build(
+        emb, n_centroids=n_centroids, list_cap=list_cap,
+        id_col=id_col, vec_col=vec_col, spread=spread,
     )
-    sim_c = F.col("__cos_c")
-    assign = (
-        base.join(F.broadcast(cents), F.lit(True))
-        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
-        .select(F.col(id_col), "cid", sim_c)
-        .groupBy(id_col)
-        .agg(F.max_by("cid", F.struct(sim_c, (-F.col("cid")).cast("long"))).alias("cid"))
-    )
-    if list_cap is not None:
-        sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
-        assign = assign.join(sizes.filter(F.col("__n") <= list_cap), "cid").drop("__n")
-    b = _normed_base(batch, id_col, vec_col, spread)
-    w_probe = Window.partitionBy("query_id").orderBy(sim_c.desc(), F.col("cid").asc())
-    probes = (
-        b.join(F.broadcast(cents), F.lit(True))
-        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
-        .select(F.col(id_col).alias("query_id"), "cid", sim_c)
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "cid")
-    )
-    cand = assign.join(probes, "cid").select(
-        "query_id", F.col(id_col).alias("neighbor_id")
-    )
-    qv = b.select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-    nb = base.select(F.col(id_col).alias("neighbor_id"), "v", "nrm")
-    scored = (
-        cand.join(nb, "neighbor_id")
-        .join(qv, "query_id")
-        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
+    return ivf_index_lookup(
+        batch, emb, cents, assign, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, spread=spread,
     )
 
 
@@ -1118,6 +1186,85 @@ def pq_codebook(emb: DataFrame, n_cent: int = PQ_CENT,
     )
 
 
+def pq_codebook_trained(
+    emb: DataFrame,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED 1-row PQ codebook: per-subspace Lloyd k-means, one full
+    assign→update round (r9 verdict item 2 — the seeded
+    :func:`pq_codebook` measures a recall FLOOR; this is what PQ
+    actually delivers). Seeds are the seeded codebook itself (the
+    first ``n_cent`` corpus vectors), so the trained book is a strict
+    refinement and the recall lift is attributable to training alone.
+
+    Exactness is the :func:`kmeans_assign` contract, applied per
+    subspace: assignment by sequential-fold squared-L2 with
+    (distance, cid) tie-breaking; the centroid update sums
+    2^60-scaled values as DECIMAL(38,0) (exact for float32-originated
+    coordinates), then one double division chain — shuffle merge
+    order can never change a bit, so the SQL oracle unrolls the round
+    verbatim. An empty (subspace, cid) cell keeps its seed value.
+
+    Scale shape: assignment is a map-only pass against the broadcast
+    1-row seed book; the update is ONE partial-agg shuffle whose
+    post-shuffle size is n_sub·n_cent·(dim/n_sub) = dim·n_cent rows —
+    independent of corpus size; the n_cent·dim driver state is tiny
+    (the k-means-seed bounded-collect pattern). Output shape is
+    identical to :func:`pq_codebook` — per-cid FULL-dim vectors whose
+    subspace-s slice is the trained centroid of subspace s — so
+    :func:`pq_encode` / :func:`pq_topk` slot either book unchanged.
+    """
+    sd = dim // n_sub
+    spark = emb.sparkSession
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    seed_cb = pq_codebook(emb, n_cent, id_col, vec_col)
+    enc = base.crossJoin(F.broadcast(seed_cb))
+
+    def code_for(s: int) -> Column:
+        sub_v = F.slice(F.col("v"), s * sd + 1, sd)
+        scored = F.transform(
+            F.col("cb"),
+            lambda e: F.struct(
+                _d2(sub_v, F.slice(e["cv"], s * sd + 1, sd)).alias("d"),
+                e["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(scored)["cid"]
+
+    codes = enc.select(
+        "v", F.array(*[code_for(s) for s in range(n_sub)]).alias("codes")
+    )
+    flat = codes.select(
+        "v", F.posexplode("codes").alias("s", "cid")
+    ).select(
+        "s", "cid",
+        F.posexplode(F.slice(F.col("v"), F.col("s") * sd + 1, sd)).alias("i", "x"),
+    )
+    means = (
+        flat.groupBy("s", "cid", "i")
+        .agg(F.sum((F.col("x") * F.lit(_POW2_60)).cast("decimal(38,0)")).alias("sm"),
+             F.count(F.lit(1)).alias("n"))
+        .withColumn("m", F.col("sm").cast("double") / F.lit(_POW2_60) / F.col("n"))
+    )
+    got = {(r["s"], r["cid"], r["i"]): r["m"]
+           for r in means.select("s", "cid", "i", "m").collect()}
+    seeds = {r["cid"]: list(r["cv"])
+             for r in seed_cb.select(F.explode("cb").alias("e"))
+                             .select("e.cid", "e.cv").collect()}
+    rows = [
+        (cid, [got.get(((j // sd), cid, j % sd), sv[j]) for j in range(dim)])
+        for cid, sv in sorted(seeds.items())
+    ]
+    cb_df = spark.createDataFrame(rows, "cid bigint, cv array<double>")
+    return cb_df.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("cb")
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     n_sub: int = PQ_SUB,
@@ -1125,6 +1272,7 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encode: split each vector into ``n_sub``
     subspaces and record, per subspace, the id of the nearest codebook
@@ -1138,10 +1286,15 @@ def pq_encode(
     smaller. The subvector slice inside the per-centroid lambda is
     re-sliced per centroid (no CSE in higher-order lambdas) — that is
     ``n_cent`` cheap array copies per row, deliberately traded for
-    staying codegen-side."""
+    staying codegen-side.
+
+    ``codebook`` (1-row, the :func:`pq_codebook` shape) overrides the
+    default seeded book — pass :func:`pq_codebook_trained` for the
+    k-means-trained encoding."""
     sd = dim // n_sub
     base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    enc = base.crossJoin(F.broadcast(pq_codebook(emb, n_cent, id_col, vec_col)))
+    cb = codebook if codebook is not None else pq_codebook(emb, n_cent, id_col, vec_col)
+    enc = base.crossJoin(F.broadcast(cb))
 
     def code_for(s: int) -> Column:
         sub_v = F.slice(F.col("v"), s * sd + 1, sd)
@@ -1168,6 +1321,7 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via product quantization with asymmetric distance
     computation (ADC, Jégou et al. 2011): the corpus is searched in its
@@ -1182,13 +1336,18 @@ def pq_topk(
     constant-time fold per (corpus row, query) — the corpus never
     shuffles and never carries its raw vectors past the encode. Only
     the final per-query top-k window moves data, and it moves
-    (id, adc) pairs, not vectors."""
+    (id, adc) pairs, not vectors.
+
+    ``codebook`` (the :func:`pq_codebook` 1-row shape) overrides the
+    seeded book for BOTH the encode and the LUT — pass
+    :func:`pq_codebook_trained` for the trained searcher."""
     sd = dim // n_sub
     base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    cents = base.filter(F.col(id_col) < n_cent).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    cb = codebook if codebook is not None else pq_codebook(emb, n_cent, id_col, vec_col)
+    cents = cb.select(F.explode("cb").alias("e")).select(
+        F.col("e.cid").alias("cid"), F.col("e.cv").alias("cv")
     )
-    codes = pq_encode(emb, n_sub, n_cent, dim, id_col, vec_col)
+    codes = pq_encode(emb, n_sub, n_cent, dim, id_col, vec_col, codebook=cb)
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )

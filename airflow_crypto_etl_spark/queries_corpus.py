@@ -202,11 +202,11 @@ tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total_tokens,
 r AS (SELECT *, row_number() OVER (ORDER BY n_occ DESC, term ASC) AS rk FROM vt),
 ks AS (SELECT unnest([{", ".join(str(k) for k in COVERAGE_KS)}]) AS k)
 SELECT CAST(k AS INTEGER) AS k,
-       CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(n_occ) AS BIGINT) AS cum_tokens,
+       CAST(count(r.n_occ) AS BIGINT) AS n_terms,
+       CAST(sum(r.n_occ) AS BIGINT) AS cum_tokens,
        total_tokens, vocab_size,
-       CAST(sum(n_occ) AS DOUBLE) / total_tokens AS coverage
-FROM ks JOIN r ON r.rk <= ks.k CROSS JOIN tot
+       CAST(sum(r.n_occ) AS DOUBLE) / total_tokens AS coverage
+FROM ks LEFT JOIN r ON r.rk <= ks.k CROSS JOIN tot
 GROUP BY k, total_tokens, vocab_size
 """
 

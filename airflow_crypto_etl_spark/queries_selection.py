@@ -454,6 +454,11 @@ ORACLE_ANN_DIM_RECALL = (
 # ---------------------------------------------------------------------------
 
 IVF_BATCH_MOD = 40  # batch = every 40th corpus vector, id-shifted
+# single source of truth for the quantizer geometry: the data-relative
+# list_cap formula, the ivf_batch_lookup call, and the oracle f-string
+# all derive from this one constant (ADVICE r9: three hardcoded 16s
+# could silently diverge)
+IVF_BATCH_CENTROIDS = 16
 
 
 def q_ann_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,20 +472,29 @@ def q_ann_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the bounded 1-row scalar collect (the k-means-seed
     pattern)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cap = (2 * emb.count()) // 16
+    cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
     batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     return sim.ivf_batch_lookup(
-        emb, batch, k=10, n_centroids=16, n_probe=4, list_cap=cap, spread=False
+        emb, batch, k=10, n_centroids=IVF_BATCH_CENTROIDS, n_probe=4,
+        list_cap=cap, spread=False,
     )
 
 
-ORACLE_ANN_BATCH_LOOKUP = f"""
+def _ivf_lookup_oracle(residue: int, shift: int) -> str:
+    """Shared DuckDB twin of the IVF batch/index lookup semantics
+    (batch = corpus vectors with id % IVF_BATCH_MOD = ``residue``,
+    id-shifted by ``shift``). Whether the engine rebuilds the index
+    per call (q_ann_batch_lookup) or reads the persisted parquet pair
+    (q_ann_index_lookup), the published rows are identical — one
+    oracle body serves both, so the persisted-index registration
+    cannot drift from the rebuild path's semantics."""
+    return f"""
 WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
 v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
-c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v WHERE vec_id < 16),
+c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v WHERE vec_id < {IVF_BATCH_CENTROIDS}),
 ascored AS (
   SELECT v.vec_id, cid, {_dot_sql('ve', 'cv')} / (nrm * cn) AS cosc FROM v CROSS JOIN c),
 assign AS (
@@ -489,10 +503,10 @@ assign AS (
   WHERE rn = 1),
 keepl AS (
   SELECT cid FROM assign GROUP BY cid
-  HAVING count(*) <= (2 * (SELECT count(*) FROM embeddings)) // 16),
+  HAVING count(*) <= (2 * (SELECT count(*) FROM embeddings)) // {IVF_BATCH_CENTROIDS}),
 assign_k AS (SELECT assign.* FROM assign JOIN keepl USING (cid)),
-b AS (SELECT vec_id + 1000000 AS query_id, ve AS qv, nrm AS qn
-      FROM v WHERE vec_id % {IVF_BATCH_MOD} = 0),
+b AS (SELECT vec_id + {shift} AS query_id, ve AS qv, nrm AS qn
+      FROM v WHERE vec_id % {IVF_BATCH_MOD} = {residue}),
 bscored AS (
   SELECT query_id, cid, {_dot_sql('qv', 'cv')} / (qn * cn) AS cosc FROM b CROSS JOIN c),
 probes AS (
@@ -511,6 +525,64 @@ SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk
 """
 
 
+ORACLE_ANN_BATCH_LOOKUP = _ivf_lookup_oracle(residue=0, shift=1000000)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index + incremental lookup — the production ingest loop
+# ---------------------------------------------------------------------------
+
+IVF_INDEX_RESIDUE = 1  # a DIFFERENT batch slice than q_ann_batch_lookup's
+IVF_INDEX_SHIFT = 2000000
+
+
+def _ivf_index_root(sf_dir: str) -> "pathlib.Path":
+    """Repo-anchored scratch location for the persisted index pair,
+    keyed by a digest of the sf_dir so sf0.01 / sf1 runs never collide
+    (anchored to the repo, not the cwd — the driver's cwd is its own)."""
+    import hashlib
+    import pathlib
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    return pathlib.Path(__file__).resolve().parents[1] / ".scratch" / f"ivf_index_{tag}"
+
+
+def q_ann_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL ingest path end-to-end (r9 verdict item 1):
+    build the IVF index ONCE (operators/similarity.ivf_index_build,
+    list_cap live at build time), persist both tables to parquet,
+    read them back, and search a new batch with
+    operators/similarity.ivf_index_lookup — ONLY the batch is
+    assigned; the corpus is touched exclusively through its stored
+    (centroids, assign) tables plus the exact-rescore vector join.
+    The batch is a different id-slice than q_ann_batch_lookup's
+    (residue 1, shift 2M), so the two registrations hash
+    independently. Plain double/bigint index columns make the parquet
+    round-trip bit-exact, which is why one shared oracle body serves
+    both the rebuild and persisted paths."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
+    cents, assign = sim.ivf_index_build(
+        emb, n_centroids=IVF_BATCH_CENTROIDS, list_cap=cap, spread=False
+    )
+    root = _ivf_index_root(sf_dir)
+    cents.write.mode("overwrite").parquet(str(root / "centroids"))
+    assign.write.mode("overwrite").parquet(str(root / "assign"))
+    cents_p = spark.read.parquet(str(root / "centroids"))
+    assign_p = spark.read.parquet(str(root / "assign"))
+    batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == IVF_INDEX_RESIDUE).select(
+        (F.col("vec_id") + IVF_INDEX_SHIFT).alias("vec_id"), "embedding"
+    )
+    return sim.ivf_index_lookup(
+        batch, emb, cents_p, assign_p, k=10, n_probe=4, spread=False
+    )
+
+
+ORACLE_ANN_INDEX_LOOKUP = _ivf_lookup_oracle(
+    residue=IVF_INDEX_RESIDUE, shift=IVF_INDEX_SHIFT
+)
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -522,6 +594,7 @@ QUERIES_SELECTION = {
     "q_winnow_pairs": q_winnow_pairs,
     "q_ann_dim_recall": q_ann_dim_recall,
     "q_ann_batch_lookup": q_ann_batch_lookup,
+    "q_ann_index_lookup": q_ann_index_lookup,
 }
 
 ORACLE_SELECTION = {
@@ -535,4 +608,5 @@ ORACLE_SELECTION = {
     "q_winnow_pairs": ORACLE_WINNOW_PAIRS,
     "q_ann_dim_recall": ORACLE_ANN_DIM_RECALL,
     "q_ann_batch_lookup": ORACLE_ANN_BATCH_LOOKUP,
+    "q_ann_index_lookup": ORACLE_ANN_INDEX_LOOKUP,
 }

@@ -14,6 +14,7 @@ Prints one JSON line: {"inflate": N, "queries": {name: {"t1": s,
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -565,6 +566,56 @@ def main() -> None:
         results["ivf_batch_hotlist"] = {
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
+
+    # Persisted-index lookup (r10, the probe direction r9's verdict
+    # asked for): the CORPUS inflates N×, the ingest batch is FIXED,
+    # and the index is built + written to parquet UNTIMED (it
+    # amortizes across every batch of the ingest loop — the
+    # minhash_lookup contract). The timed lookup assigns ONLY the
+    # batch (corpus-independent), scans the stored assign lists, and
+    # rescores probed candidates — so growth tracks probed-list
+    # occupancy, never the O(corpus × n_centroids) re-assignment the
+    # rebuild path (ivf_batch case above) pays per call.
+    if want("ivf_index_corpus"):
+        import shutil
+        import tempfile
+
+        fixed_batch = emb.filter(F.col("vec_id") % 40 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        tmp_ix = tempfile.mkdtemp(prefix="ivf_ix_probe_")
+
+        def _lookup_against(corpus: DataFrame, tag: str):
+            # quantizer sized to the corpus (the FAISS nlist ≈ √N rule):
+            # per-list occupancy then grows as √N, so a probed lookup's
+            # candidate volume — and the batch's assignment cost — are
+            # both O(√N), the flat-ish curve a production index holds
+            n = corpus.count()
+            n_cent = max(16, math.isqrt(n))
+            cap = (2 * n) // n_cent
+            cents, assign = sim.ivf_index_build(
+                corpus, n_centroids=n_cent, list_cap=cap, spread=False
+            )
+            cents.write.mode("overwrite").parquet(f"{tmp_ix}/{tag}/centroids")
+            assign.write.mode("overwrite").parquet(f"{tmp_ix}/{tag}/assign")
+            sp = corpus.sparkSession
+            return sim.ivf_index_lookup(
+                fixed_batch, corpus,
+                sp.read.parquet(f"{tmp_ix}/{tag}/centroids"),
+                sp.read.parquet(f"{tmp_ix}/{tag}/assign"),
+                k=10, spread=False,
+            )
+
+        big_corpus = inflate(emb, ["vec_id"], INFLATE)
+        small_q = _lookup_against(emb, "s")        # build untimed
+        big_q = _lookup_against(big_corpus, "b")   # build untimed
+        small_q.count()  # warm
+        t0 = time.perf_counter(); small_q.count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); big_q.count(); tn = time.perf_counter() - t0
+        results["ivf_index_corpus"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+        shutil.rmtree(tmp_ix, ignore_errors=True)
 
     # Winnowing pair join under degenerate duplication (r9): GROUPS
     # groups of D=30 identical docs — every fingerprint's df is 30,

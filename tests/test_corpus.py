@@ -200,11 +200,14 @@ def test_dim_truncated_recall_matches_python_reference(spark, sf_dir):
         for r in sim.dim_truncated_recall(emb, ANN_QUERY_IDS, k=10).collect()
     }
     assert got == want
-    # more prefix dimensions can only help on average
+    # more prefix dimensions help on average — an empirical property of
+    # the fixture, not a theorem of prefix truncation, so tolerate a
+    # small dip rather than pinning exact monotonicity (ADVICE r9)
     import statistics as st
 
     means = [st.mean(v for (d, _q), v in got.items() if d == dd_) for dd_ in sim.MRL_DIMS]
-    assert means == sorted(means)
+    for lo, hi in zip(means, means[1:]):
+        assert hi >= lo - 0.05
 
 
 # ---------------------------------------------------------------------------
@@ -272,3 +275,67 @@ def test_ivf_batch_lookup_drops_degenerate_list_wholesale(spark):
     for r in out:
         if r["query_id"] in healthy_queries and r["rank"] == 1:
             assert r["neighbor_id"] == r["query_id"] - 1000000
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (r10): parquet round-trip exactness + the
+# incremental contract (build once, look up many batches)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_roundtrip_matches_rebuild(spark, sf_dir, tmp_path):
+    """ivf_index_build → parquet → ivf_index_lookup must return
+    byte-identical rows to the rebuild-per-call ivf_batch_lookup on
+    the same batch: the index columns are plain double/bigint, so
+    persistence cannot perturb a single rank or cosine."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = (2 * emb.count()) // 16
+    batch = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    cents, assign = sim.ivf_index_build(emb, list_cap=cap, spread=False)
+    cents.write.parquet(str(tmp_path / "centroids"))
+    assign.write.parquet(str(tmp_path / "assign"))
+    persisted = sim.ivf_index_lookup(
+        batch, emb,
+        spark.read.parquet(str(tmp_path / "centroids")),
+        spark.read.parquet(str(tmp_path / "assign")),
+        k=10, spread=False,
+    )
+    rebuilt = sim.ivf_batch_lookup(emb, batch, k=10, list_cap=cap, spread=False)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = sorted(persisted.collect(), key=key)
+    want = sorted(rebuilt.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got  # non-vacuous
+
+
+def test_ivf_index_serves_multiple_batches(spark, sf_dir, tmp_path):
+    """The incremental contract: ONE persisted index serves every
+    ingest batch — three disjoint id-slices each find their own
+    original at rank 1 through the same stored (centroids, assign)
+    pair, with no rebuild between lookups."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assign = sim.ivf_index_build(emb, spread=False)
+    cents.write.parquet(str(tmp_path / "centroids"))
+    assign.write.parquet(str(tmp_path / "assign"))
+    cents_p = spark.read.parquet(str(tmp_path / "centroids"))
+    assign_p = spark.read.parquet(str(tmp_path / "assign"))
+    for residue in (0, 1, 2):
+        batch = emb.filter(F.col("vec_id") % 40 == residue).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+        out = sim.ivf_index_lookup(batch, emb, cents_p, assign_p, k=5, spread=False)
+        top = {r["query_id"]: r for r in out.collect() if r["rank"] == 1}
+        assert len(top) == batch.count()
+        for qid, r in top.items():
+            assert r["neighbor_id"] == qid - 1000000
+            assert abs(r["cos"] - 1.0) < 1e-9

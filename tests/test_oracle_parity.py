@@ -109,6 +109,8 @@ _PRODUCT_OK = {
     "q_ann_dim_recall",     # composes q_ann_topk's broadcast exact-L2 scan x4 legs
     "q_ann_batch_lookup",   # corpus AND batch x broadcast 16-row centroid table
                             # (candidates themselves ride the list equi-join)
+    "q_ann_index_lookup",   # batch x broadcast 16-row persisted centroid table
+                            # (the corpus side reads the persisted assign lists)
 }
 
 
