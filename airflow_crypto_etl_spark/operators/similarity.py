@@ -1430,17 +1430,20 @@ def pq_recall(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the PQ/ADC searcher vs the exact L2 scan — the same
     measure-don't-guess gate as :func:`ann_recall` / :func:`ivf_recall`,
     in PQ's own metric. Publishing LSH, IVF and PQ recalls side by side
-    makes the index choice (and its memory/recall trade) data-driven."""
+    makes the index choice (and its memory/recall trade) data-driven.
+    ``codebook`` gates the trained variant: the seeded book measures
+    the recall FLOOR, :func:`pq_codebook_trained` what PQ delivers."""
     exact = l2_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col("neighbor_id").alias("t")
     )
     approx = pq_topk(
         emb, query_ids, k=k, n_sub=n_sub, n_cent=n_cent, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, codebook=codebook,
     ).select("query_id", F.col("neighbor_id").alias("a"))
     return _recall_vs_exact(exact, approx)
 
@@ -1509,6 +1512,100 @@ def _coarse_best(v: Column, cb: Column) -> Column:
     )
 
 
+def _ivfpq_resid(
+    emb: DataFrame, n_coarse: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(base, coarse, resid): coarse-assign every vector and carry its
+    residual — the shared front half of :func:`ivfpq_topk` and
+    :func:`ivfpq_residual_codebook_trained`. Both passes are map-only
+    against the broadcast 1-row coarse codebook."""
+    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    coarse = base.filter(F.col(id_col) < n_coarse).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    coarse_cb = coarse.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("ccb")
+    )
+    resid = (
+        base.crossJoin(F.broadcast(coarse_cb))
+        .select(F.col(id_col), "v", _coarse_best(F.col("v"), F.col("ccb")).alias("_best"))
+        .select(
+            F.col(id_col),
+            F.col("_best")["cid"].alias("list_id"),
+            F.zip_with(F.col("v"), F.col("_best")["cv"], lambda x, y: x - y).alias("r"),
+        )
+    )
+    return base, coarse, resid
+
+
+def ivfpq_residual_codebook_trained(
+    emb: DataFrame,
+    n_coarse: int = IVFPQ_COARSE,
+    n_sub: int = PQ_SUB,
+    n_rcent: int = IVFPQ_RCENT,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TRAINED residual codebook for IVFADC (r9 verdict item 2): one
+    per-subspace Lloyd round over the corpus RESIDUALS, seeded from
+    the seed-slice residuals :func:`ivfpq_topk` defaults to, returned
+    in the same (rid, rv) row shape so the searcher slots either book.
+
+    Exactness: residuals are differences of float32-originated
+    coordinates — exact multiples of 2^-43 in double for any
+    normalized-embedding corpus (|x| ≥ 2^-20, the fixture floor), so
+    r·2^60 is an exact integer and the DECIMAL(38,0) update sum is
+    shuffle-order-free, same as :func:`kmeans_assign` /
+    :func:`pq_codebook_trained`. Empty (subspace, rid) cells keep
+    their seed values. One partial-agg shuffle (dim·n_rcent
+    post-shuffle rows), n_rcent·dim driver state."""
+    sd = dim // n_sub
+    spark = emb.sparkSession
+    _base, _coarse, resid = _ivfpq_resid(emb, n_coarse, id_col, vec_col)
+    seed_rows = resid.filter(
+        (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
+    ).select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
+    rcb = seed_rows.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("rid"), F.col("rv")))).alias("rcb")
+    )
+    enc = resid.crossJoin(F.broadcast(rcb))
+
+    def code_for(s: int) -> Column:
+        sub_r = F.slice(F.col("r"), s * sd + 1, sd)
+        return F.array_min(
+            F.transform(
+                F.col("rcb"),
+                lambda e: F.struct(
+                    _d2(sub_r, F.slice(e["rv"], s * sd + 1, sd)).alias("d"),
+                    e["rid"].alias("rid"),
+                ),
+            )
+        )["rid"]
+
+    codes = enc.select("r", F.array(*[code_for(s) for s in range(n_sub)]).alias("codes"))
+    flat = codes.select(
+        "r", F.posexplode("codes").alias("s", "rid")
+    ).select(
+        "s", "rid",
+        F.posexplode(F.slice(F.col("r"), F.col("s") * sd + 1, sd)).alias("i", "x"),
+    )
+    means = (
+        flat.groupBy("s", "rid", "i")
+        .agg(F.sum((F.col("x") * F.lit(_POW2_60)).cast("decimal(38,0)")).alias("sm"),
+             F.count(F.lit(1)).alias("n"))
+        .withColumn("m", F.col("sm").cast("double") / F.lit(_POW2_60) / F.col("n"))
+    )
+    got = {(r["s"], r["rid"], r["i"]): r["m"]
+           for r in means.select("s", "rid", "i", "m").collect()}
+    seeds = {r["rid"]: list(r["rv"]) for r in seed_rows.collect()}
+    rows = [
+        (rid, [got.get(((j // sd), rid, j % sd), sv[j]) for j in range(dim)])
+        for rid, sv in sorted(seeds.items())
+    ]
+    return spark.createDataFrame(rows, "rid bigint, rv array<double>")
+
+
 def ivfpq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -1520,6 +1617,7 @@ def ivfpq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rcb_rows: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search (Jégou et al. 2011, the FAISS IVF-PQ composition):
     a coarse L2 quantizer assigns every vector to one of ``n_coarse``
@@ -1539,30 +1637,18 @@ def ivfpq_topk(
     (query, probed-list, LUT) table, so each query pays only its
     n_probe/n_coarse fraction of the corpus, with ADC a constant-time
     fold per candidate. All-metric-coherent: coarse assignment,
-    probes, ADC, and the recall gate's truth are all squared L2."""
+    probes, ADC, and the recall gate's truth are all squared L2.
+
+    ``rcb_rows`` ((rid, rv) rows) overrides the seeded residual
+    codebook — pass :func:`ivfpq_residual_codebook_trained` for the
+    trained searcher."""
     sd = dim // n_sub
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    coarse = base.filter(F.col(id_col) < n_coarse).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
-    coarse_cb = coarse.agg(
-        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("ccb")
-    )
-    # corpus: coarse-assign + residual, both map-side (_best is its own
-    # projection so its two consumers don't recompute the array_min)
-    resid = (
-        base.crossJoin(F.broadcast(coarse_cb))
-        .select(F.col(id_col), "v", _coarse_best(F.col("v"), F.col("ccb")).alias("_best"))
-        .select(
-            F.col(id_col),
-            F.col("_best")["cid"].alias("list_id"),
-            F.zip_with(F.col("v"), F.col("_best")["cv"], lambda x, y: x - y).alias("r"),
-        )
-    )
-    # residual codebook: residuals of the seed slice, rid = id - n_coarse
-    rcb_rows = resid.filter(
-        (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
-    ).select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
+    base, coarse, resid = _ivfpq_resid(emb, n_coarse, id_col, vec_col)
+    if rcb_rows is None:
+        # residual codebook: residuals of the seed slice, rid = id - n_coarse
+        rcb_rows = resid.filter(
+            (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
+        ).select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
     rcb = rcb_rows.agg(
         F.array_sort(F.collect_list(F.struct(F.col("rid"), F.col("rv")))).alias("rcb")
     )
@@ -1661,14 +1747,17 @@ def ivfpq_recall(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rcb_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVFADC searcher vs the exact L2 scan — the
     composed index gets the same measured gate as its LSH / IVF / PQ
-    siblings, at its n_probe/n_coarse search fraction."""
+    siblings, at its n_probe/n_coarse search fraction. ``rcb_rows``
+    gates the trained-residual-codebook variant (the seeded book is
+    the recall floor)."""
     exact = l2_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col("neighbor_id").alias("t")
     )
-    approx = ivfpq_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
-        "query_id", F.col("neighbor_id").alias("a")
-    )
+    approx = ivfpq_topk(
+        emb, query_ids, k=k, id_col=id_col, vec_col=vec_col, rcb_rows=rcb_rows
+    ).select("query_id", F.col("neighbor_id").alias("a"))
     return _recall_vs_exact(exact, approx)

@@ -167,9 +167,48 @@ def _pq_d2_sql(a: str, b: str, s: str, sd: int) -> str:
     )
 
 
-ORACLE_ANN_PQ = f"""
+_PQ_SEED_CB = f"c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_PQ_CENT})"
+
+_KM_SCALE = "1152921504606846976.0"  # 2^60, exact in double (the q_kmeans idiom)
+
+# trained codebook CTE chain (ends in the same `c(cid, cv)` shape the
+# seeded one-liner publishes): seed from the first n_cent vectors, one
+# per-subspace Lloyd assign→update round with exact DECIMAL(38,0)
+# 2^60-scaled sums — the operators/similarity.pq_codebook_trained
+# round, unrolled. Empty (s, cid) cells COALESCE back to seed values.
+_PQ_TRAINED_CB = f"""c0 AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_PQ_CENT}),
+sub0 AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+d0 AS (
+  SELECT v.vec_id, s, cid, {_pq_d2_sql('ve', 'cv', 's', _PQ_SD)} AS d2
+  FROM v CROSS JOIN c0 CROSS JOIN sub0),
+a0 AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d0) WHERE rn = 1),
+upd AS (
+  SELECT a0.s, a0.cid, t.i,
+         SUM(CAST(ve[a0.s * {_PQ_SD} + t.i] * {_KM_SCALE} AS DECIMAL(38,0))) AS sm,
+         COUNT(*) AS n
+  FROM a0 JOIN v USING (vec_id), range(1, {_PQ_SD + 1}) t(i)
+  GROUP BY 1, 2, 3),
+cm AS (SELECT s, cid, i, CAST(sm AS DOUBLE) / {_KM_SCALE} / n AS m FROM upd),
+cellz AS (
+  SELECT c0.cid, j, COALESCE(cm.m, c0.cv[j]) AS val
+  FROM c0 CROSS JOIN range(1, 65) t(j)
+  LEFT JOIN cm ON cm.cid = c0.cid AND cm.s = (j - 1) // {_PQ_SD}
+              AND cm.i = ((j - 1) % {_PQ_SD}) + 1),
+c AS (SELECT cid, list(val ORDER BY j) AS cv FROM cellz GROUP BY cid)"""
+
+
+def _pq_adc_oracle(cb_chain: str) -> str:
+    """ADC search body over a codebook CTE chain ending in
+    ``c(cid, cv)`` — seeded and trained variants share every
+    downstream CTE, so the trained registration cannot drift from the
+    parity-proven ADC semantics."""
+    return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
-c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_PQ_CENT}),
+{cb_chain},
 sub AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
 d AS (
   SELECT v.vec_id, s, cid, {_pq_d2_sql('ve', 'cv', 's', _PQ_SD)} AS d2
@@ -193,6 +232,37 @@ SELECT query_id, neighbor_id, adc, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk
 """
 
 
+ORACLE_ANN_PQ = _pq_adc_oracle(_PQ_SEED_CB)
+ORACLE_ANN_PQ_TRAINED = _pq_adc_oracle(_PQ_TRAINED_CB)
+
+
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-10 with the K-MEANS-TRAINED codebook (r9 verdict
+    item 2 — operators/similarity.pq_codebook_trained: one exact
+    per-subspace Lloyd round seeded from the seeded book), same ADC
+    search as q_ann_pq. Registered beside the seeded variant so the
+    codebook-quality effect on the ACTUAL neighbor sets is
+    oracle-pinned, not just the recall summary."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_topk(
+        emb, ANN_QUERY_IDS, k=10, codebook=sim.pq_codebook_trained(emb)
+    )
+
+
+def q_ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the TRAINED PQ/ADC searcher vs the exact L2 scan —
+    what PQ actually delivers (the seeded q_ann_pq_recall is the
+    floor; BASELINE.md records the measured lift)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_recall(
+        emb, ANN_QUERY_IDS, k=10, codebook=sim.pq_codebook_trained(emb)
+    )
+
+
+# (its oracle, ORACLE_ANN_PQ_TRAINED_RECALL, is defined below
+# _ORACLE_ANN_L2 which it composes)
+
+
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the PQ/ADC searcher vs the exact L2 scan — PQ's
     measure-don't-guess gate, in PQ's own metric (squared L2, which is
@@ -213,9 +283,12 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, neighb
 SELECT query_id, neighbor_id, d2, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
 """
 
-ORACLE_ANN_PQ_RECALL = f"""
+def _recall_oracle(approx_sql: str) -> str:
+    """Recall@k oracle body: hits of an approximate searcher's
+    (query_id, neighbor_id) set against the exact-L2 truth."""
+    return f"""
 WITH ex AS ({_ORACLE_ANN_L2.strip()}),
-ap AS ({ORACLE_ANN_PQ.strip()}),
+ap AS ({approx_sql.strip()}),
 hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
          FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
          GROUP BY ex.query_id),
@@ -223,6 +296,10 @@ tot AS (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id)
 SELECT tot.query_id, CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
 FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
 """
+
+
+ORACLE_ANN_PQ_RECALL = _recall_oracle(ORACLE_ANN_PQ)
+ORACLE_ANN_PQ_TRAINED_RECALL = _recall_oracle(ORACLE_ANN_PQ_TRAINED)
 
 
 # ---------------------------------------------------------------------------
@@ -244,7 +321,46 @@ _D2FULL = (
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
 )
 
-ORACLE_ANN_IVFPQ = f"""
+_IVFPQ_SEED_RCB = f"""rcb AS (SELECT vec_id - {_IVFPQ_NC} AS rid, r AS rv FROM resid
+        WHERE vec_id >= {_IVFPQ_NC} AND vec_id < {_IVFPQ_NC + sim.IVFPQ_RCENT})"""
+
+# trained residual codebook chain (ends in the same `rcb(rid, rv)`
+# shape): one per-subspace Lloyd round over the corpus residuals,
+# seeded from the seed slice — the
+# operators/similarity.ivfpq_residual_codebook_trained round unrolled.
+# Residuals are exact multiples of 2^-43, so the 2^60-scaled
+# DECIMAL(38,0) update sums are exact integers in both engines.
+_IVFPQ_TRAINED_RCB = f"""rcb0 AS (SELECT vec_id - {_IVFPQ_NC} AS rid, r AS rv FROM resid
+        WHERE vec_id >= {_IVFPQ_NC} AND vec_id < {_IVFPQ_NC + sim.IVFPQ_RCENT}),
+rsub0 AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+rd0 AS (
+  SELECT resid.vec_id, s, rid, {_pq_d2_sql('r', 'rv', 's', _PQ_SD)} AS d2
+  FROM resid CROSS JOIN rcb0 CROSS JOIN rsub0),
+ra0 AS (
+  SELECT vec_id, s, rid FROM (
+    SELECT vec_id, s, rid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, rid ASC) AS rn
+    FROM rd0) WHERE rn = 1),
+rupd AS (
+  SELECT ra0.s, ra0.rid, t.i,
+         SUM(CAST(r[ra0.s * {_PQ_SD} + t.i] * {_KM_SCALE} AS DECIMAL(38,0))) AS sm,
+         COUNT(*) AS n
+  FROM ra0 JOIN resid USING (vec_id), range(1, {_PQ_SD + 1}) t(i)
+  GROUP BY 1, 2, 3),
+rcm AS (SELECT s, rid, i, CAST(sm AS DOUBLE) / {_KM_SCALE} / n AS m FROM rupd),
+rcellz AS (
+  SELECT rcb0.rid, j, COALESCE(rcm.m, rcb0.rv[j]) AS val
+  FROM rcb0 CROSS JOIN range(1, 65) t(j)
+  LEFT JOIN rcm ON rcm.rid = rcb0.rid AND rcm.s = (j - 1) // {_PQ_SD}
+               AND rcm.i = ((j - 1) % {_PQ_SD}) + 1),
+rcb AS (SELECT rid, list(val ORDER BY j) AS rv FROM rcellz GROUP BY rid)"""
+
+
+def _ivfpq_oracle(rcb_chain: str) -> str:
+    """IVFADC oracle body over a residual-codebook CTE chain ending in
+    ``rcb(rid, rv)`` — seeded and trained variants share the coarse
+    assignment, residual encode, probe, and ADC CTEs verbatim."""
+    return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_IVFPQ_NC}),
 ad AS (
@@ -258,8 +374,7 @@ resid AS (
   SELECT vec_id, cid AS list_id,
          list_transform(range(1, 65), i -> ve[i] - cv[i]) AS r
   FROM assign),
-rcb AS (SELECT vec_id - {_IVFPQ_NC} AS rid, r AS rv FROM resid
-        WHERE vec_id >= {_IVFPQ_NC} AND vec_id < {_IVFPQ_NC + sim.IVFPQ_RCENT}),
+{rcb_chain},
 sub AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
 encd AS (
   SELECT resid.vec_id, list_id, s, rid, {_pq_d2_sql('r', 'rv', 's', _PQ_SD)} AS d2
@@ -292,6 +407,33 @@ SELECT query_id, neighbor_id, adc, CAST(rnk AS INTEGER) AS rank FROM rk WHERE rn
 """
 
 
+ORACLE_ANN_IVFPQ = _ivfpq_oracle(_IVFPQ_SEED_RCB)
+ORACLE_ANN_IVFPQ_TRAINED = _ivfpq_oracle(_IVFPQ_TRAINED_RCB)
+
+
+def q_ann_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-10 with the K-MEANS-TRAINED residual codebook (r9
+    verdict item 2 — operators/similarity.ivfpq_residual_codebook_trained:
+    one exact per-subspace Lloyd round over the corpus residuals),
+    same coarse lists / probes / ADC as q_ann_ivfpq."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(
+        emb, ANN_QUERY_IDS, k=10,
+        rcb_rows=sim.ivfpq_residual_codebook_trained(emb),
+    )
+
+
+def q_ann_ivfpq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the TRAINED IVFADC searcher vs the exact L2 scan —
+    what IVF-PQ delivers at its 4/16 search fraction (q_ann_ivfpq_recall
+    is the seeded floor; BASELINE.md records the measured lift)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivfpq_recall(
+        emb, ANN_QUERY_IDS, k=10,
+        rcb_rows=sim.ivfpq_residual_codebook_trained(emb),
+    )
+
+
 def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of IVFADC vs the exact L2 scan at its 4/16 search
     fraction — completing the measured-recall table across all four
@@ -299,16 +441,8 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_recall(_t(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10)
 
 
-ORACLE_ANN_IVFPQ_RECALL = f"""
-WITH ex AS ({_ORACLE_ANN_L2.strip()}),
-ap AS ({ORACLE_ANN_IVFPQ.strip()}),
-hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
-         FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
-         GROUP BY ex.query_id),
-tot AS (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id)
-SELECT tot.query_id, CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
-FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
-"""
+ORACLE_ANN_IVFPQ_RECALL = _recall_oracle(ORACLE_ANN_IVFPQ)
+ORACLE_ANN_IVFPQ_TRAINED_RECALL = _recall_oracle(ORACLE_ANN_IVFPQ_TRAINED)
 
 
 # ---------------------------------------------------------------------------
@@ -588,8 +722,12 @@ QUERIES_SELECTION = {
     "q_ccnet_buckets": q_ccnet_buckets,
     "q_ann_pq": q_ann_pq,
     "q_ann_pq_recall": q_ann_pq_recall,
+    "q_ann_pq_trained": q_ann_pq_trained,
+    "q_ann_pq_trained_recall": q_ann_pq_trained_recall,
     "q_ann_ivfpq": q_ann_ivfpq,
     "q_ann_ivfpq_recall": q_ann_ivfpq_recall,
+    "q_ann_ivfpq_trained": q_ann_ivfpq_trained,
+    "q_ann_ivfpq_trained_recall": q_ann_ivfpq_trained_recall,
     "q_winnowing": q_winnowing,
     "q_winnow_pairs": q_winnow_pairs,
     "q_ann_dim_recall": q_ann_dim_recall,
@@ -602,8 +740,12 @@ ORACLE_SELECTION = {
     "q_ccnet_buckets": ORACLE_CCNET_BUCKETS,
     "q_ann_pq": ORACLE_ANN_PQ,
     "q_ann_pq_recall": ORACLE_ANN_PQ_RECALL,
+    "q_ann_pq_trained": ORACLE_ANN_PQ_TRAINED,
+    "q_ann_pq_trained_recall": ORACLE_ANN_PQ_TRAINED_RECALL,
     "q_ann_ivfpq": ORACLE_ANN_IVFPQ,
     "q_ann_ivfpq_recall": ORACLE_ANN_IVFPQ_RECALL,
+    "q_ann_ivfpq_trained": ORACLE_ANN_IVFPQ_TRAINED,
+    "q_ann_ivfpq_trained_recall": ORACLE_ANN_IVFPQ_TRAINED_RECALL,
     "q_winnowing": ORACLE_WINNOWING,
     "q_winnow_pairs": ORACLE_WINNOW_PAIRS,
     "q_ann_dim_recall": ORACLE_ANN_DIM_RECALL,

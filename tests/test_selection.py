@@ -202,10 +202,11 @@ def test_ccnet_head_scores_dominate(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _py_pq(emb_rows, n_sub=4, n_cent=16, dim=64, k=10, query_ids=range(8)):
+def _py_pq(emb_rows, n_sub=4, n_cent=16, dim=64, k=10, query_ids=range(8), cents=None):
     sd = dim // n_sub
     vecs = {vid: [float(x) for x in v] for vid, v in emb_rows}
-    cents = {cid: vecs[cid] for cid in range(n_cent)}
+    if cents is None:
+        cents = {cid: vecs[cid] for cid in range(n_cent)}
 
     def d2(a, b):
         acc = 0.0
@@ -288,7 +289,8 @@ def test_pq_recall_bounds(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _py_ivfpq(emb_rows, n_coarse=16, n_probe=4, n_sub=4, dim=64, k=10, query_ids=range(8)):
+def _py_ivfpq(emb_rows, n_coarse=16, n_probe=4, n_sub=4, dim=64, k=10, query_ids=range(8),
+              rcb=None):
     sd = dim // n_sub
     vecs = {vid: [float(x) for x in v] for vid, v in emb_rows}
     coarse = {cid: vecs[cid] for cid in range(n_coarse)}
@@ -306,7 +308,8 @@ def _py_ivfpq(emb_rows, n_coarse=16, n_probe=4, n_sub=4, dim=64, k=10, query_ids
     resid = {
         vid: [x - y for x, y in zip(v, coarse[assign[vid]])] for vid, v in vecs.items()
     }
-    rcb = {rid: resid[rid + n_coarse] for rid in range(16)}
+    if rcb is None:
+        rcb = {rid: resid[rid + n_coarse] for rid in range(16)}
 
     def sub(v, s):
         return v[s * sd : (s + 1) * sd]
@@ -398,3 +401,159 @@ def test_winnow_pairs_df_cap_drops_boilerplate(spark):
     uncapped = winnow_pairs(df, min_shared=3, df_cap=None).count()
     assert capped == 0
     assert uncapped == 25 * 24 // 2
+
+
+# ---------------------------------------------------------------------------
+# Trained codebooks (r10): one exact per-subspace Lloyd round — python
+# reference parity of the codebook itself, the searches it feeds, and
+# the measured recall behavior vs the seeded floor
+# ---------------------------------------------------------------------------
+
+_POW2_60_INT = 1 << 60
+_POW2_60_F = 1152921504606846976.0
+
+
+def _q60(x: float) -> int:
+    """2^60-scale + DECIMAL(38,0) cast, python twin: the product is
+    exact (power-of-two multiply), but a coordinate below 2^-37 makes
+    it non-integral — both engines' decimal casts round HALF-UP there,
+    so the reference must too (plain int() truncates).
+
+    Parity caveat pinned by these tests: Spark's double→decimal cast
+    is STRING-mediated (shortest round-trip repr, 17 significant
+    digits), so a quantum ≥ ~2^57 can land a few ulps off the exact
+    integer. The sums stay order-free/deterministic (each value's cast
+    is itself deterministic), and the final means agree with this
+    exact-integer reference to ~1e-15 relative — hence isclose below,
+    not ==, mirroring the kmeans numpy-parity tests."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x * _POW2_60_F).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _close(a: float, b: float) -> bool:
+    return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-15)
+
+
+def _py_train_subspace_round(vecs_by_key, seed_cents, n_sub=4, dim=64):
+    """One Lloyd round per subspace over ``vecs_by_key`` (exact
+    integer sums of 2^60-scaled coordinates, one float division chain
+    — the operators/similarity decimal idiom in pure Python). Returns
+    the new full-dim centroid dict; empty cells keep seed values."""
+    sd = dim // n_sub
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def sub(v, s):
+        return v[s * sd : (s + 1) * sd]
+
+    new = {cid: list(cv) for cid, cv in seed_cents.items()}
+    for s in range(n_sub):
+        groups: dict[int, list] = {}
+        for _vid, v in sorted(vecs_by_key.items()):
+            best = min((d2(sub(v, s), sub(cv, s)), cid) for cid, cv in sorted(seed_cents.items()))[1]
+            groups.setdefault(best, []).append(v)
+        for cid, members in groups.items():
+            for i in range(sd):
+                total = sum(_q60(m[s * sd + i]) for m in members)
+                new[cid][s * sd + i] = float(total) / _POW2_60_F / len(members)
+    return new
+
+
+def test_pq_trained_codebook_matches_python_reference(spark, sf_dir):
+    rows = _emb_rows()
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    seed = {cid: vecs[cid] for cid in range(16)}
+    want = _py_train_subspace_round(vecs, seed)
+    cb = sim.pq_codebook_trained(load_table(spark, sf_dir, "embeddings")).collect()
+    got = {e["cid"]: list(e["cv"]) for e in cb[0]["cb"]}
+    assert set(got) == set(want)
+    for cid in want:
+        assert all(_close(a, b) for a, b in zip(got[cid], want[cid])), cid
+
+
+def test_pq_trained_search_matches_python_reference(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_selection import q_ann_pq_trained
+
+    rows = _emb_rows()
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    seed = {cid: vecs[cid] for cid in range(16)}
+    trained = _py_train_subspace_round(vecs, seed)
+    ref = _py_pq(rows, cents=trained)
+    got: dict[int, list] = {}
+    for r in q_ann_pq_trained(spark, sf_dir).orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc"]))
+    assert set(got) == set(ref)
+    for q in ref:
+        assert [v for v, _ in got[q]] == [v for v, _ in ref[q]], f"query {q}"
+        for (_, a), (_, b) in zip(got[q], ref[q]):
+            assert _close(a, b)  # trained centroids: see _q60 parity caveat
+
+
+def _py_residuals(rows, n_coarse=16):
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    coarse = {cid: vecs[cid] for cid in range(n_coarse)}
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    assign = {
+        vid: min((d2(v, cv), cid) for cid, cv in sorted(coarse.items()))[1]
+        for vid, v in vecs.items()
+    }
+    return {
+        vid: [x - y for x, y in zip(v, coarse[assign[vid]])] for vid, v in vecs.items()
+    }
+
+
+def test_ivfpq_trained_rcb_matches_python_reference(spark, sf_dir):
+    rows = _emb_rows()
+    resid = _py_residuals(rows)
+    seed = {rid: resid[rid + 16] for rid in range(16)}
+    want = _py_train_subspace_round(resid, seed)
+    got = {
+        r["rid"]: list(r["rv"])
+        for r in sim.ivfpq_residual_codebook_trained(
+            load_table(spark, sf_dir, "embeddings")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for rid in want:
+        assert all(_close(a, b) for a, b in zip(got[rid], want[rid])), rid
+
+
+def test_ivfpq_trained_search_matches_python_reference(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_selection import q_ann_ivfpq_trained
+
+    rows = _emb_rows()
+    resid = _py_residuals(rows)
+    seed = {rid: resid[rid + 16] for rid in range(16)}
+    ref = _py_ivfpq(rows, rcb=_py_train_subspace_round(resid, seed))
+    got: dict[int, list] = {}
+    for r in q_ann_ivfpq_trained(spark, sf_dir).orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["adc"]))
+    assert set(got) == set(ref)
+    for q in ref:
+        assert [v for v, _ in got[q]] == [v for v, _ in ref[q]], f"query {q}"
+        for (_, a), (_, b) in zip(got[q], ref[q]):
+            assert _close(a, b)  # trained centroids: see _q60 parity caveat
+
+
+def test_trained_recall_bounds(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_selection import (
+        q_ann_ivfpq_trained_recall,
+        q_ann_pq_trained_recall,
+    )
+
+    for fn in (q_ann_pq_trained_recall, q_ann_ivfpq_trained_recall):
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
