@@ -360,7 +360,133 @@ FROM documents GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus drift by ingest day (r10, verdict item 4): the "did yesterday's
+# crawl change the corpus?" view — the corpus-analytics twin of the
+# scalar drift battery (q_jsd / q_psi / q_ks_drift)
+# ---------------------------------------------------------------------------
+
+DRIFT_DAYS = 8       # synthetic ingest day = doc_id % 8 (the id-derived
+                     # batch convention of q_dedup_incremental)
+DRIFT_QBUCKETS = 5   # quality_score in [0,1] -> 5 fixed-width tiers
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-day corpus drift: each day's (source × quality-tier)
+    profile against the TRAILING corpus (all prior days), scored with
+    Jensen-Shannon divergence — one row per day ≥ 1 with doc counts
+    and JSD in nats/bits. In the reference's daily-partitioned
+    pipeline this is the per-`dt` report that says whether the newest
+    partition shifted the corpus mix; documents carry no date, so the
+    ingest day derives from doc_id (the q_dedup_incremental id-slice
+    convention).
+
+    Scale shape: ONE corpus-scale pass (the quality scorer, map-only)
+    into a partial-agg groupBy keyed on (day × source × tier) — a
+    bounded domain (8·20·5 ≤ 800 cells); everything after (the
+    day×cell grid, the trailing cumulative window partitioned by cell,
+    the per-day JSD collapse) runs on that ≤800-row aggregate. The
+    grid product is days × broadcast cell-domain — both bounded.
+    JSD uses the q_jsd idiom: only count-ratio proportions reach ln,
+    zero-mass cells contribute exact 0.0."""
+    from pyspark.sql.window import Window
+
+    from .operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    scored = quality_score(docs).select(
+        (F.col("doc_id") % DRIFT_DAYS).alias("dt"),
+        "source",
+        F.least(
+            F.floor(F.col("quality_score") * DRIFT_QBUCKETS),
+            F.lit(DRIFT_QBUCKETS - 1),
+        ).cast("int").alias("qb"),
+    )
+    day_cells = scored.groupBy("dt", "source", "qb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    days = day_cells.select("dt").distinct()
+    dom = day_cells.select("source", "qb").distinct()
+    grid = days.join(F.broadcast(dom), F.lit(True))
+    g = grid.join(day_cells, ["dt", "source", "qb"], "left").na.fill({"cnt": 0})
+    w_trail = (
+        Window.partitionBy("source", "qb")
+        .orderBy("dt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("trail", F.coalesce(F.sum("cnt").over(w_trail), F.lit(0)))
+    w_day = Window.partitionBy("dt")
+    n_day = F.sum("cnt").over(w_day).cast("double")
+    n_tr = F.sum("trail").over(w_day).cast("double")
+    p = F.col("cnt").cast("double") / n_day
+    q = F.col("trail").cast("double") / n_tr
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q)).otherwise(F.lit(0.0))
+    ) / F.lit(2.0) - F.when(m > 0, m * F.log(m)).otherwise(F.lit(0.0))
+    per = g.select(
+        "dt", "cnt", "trail",
+        n_day.alias("n_day"), n_tr.alias("n_tr"), term.alias("contrib"),
+    ).filter(F.col("n_tr") > 0)
+    return per.groupBy("dt").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum("trail").cast("bigint").alias("n_trailing"),
+        F.sum("contrib").alias("jsd_nats"),
+        (F.sum("contrib") / F.log(F.lit(2.0))).alias("jsd_bits"),
+    )
+
+
+def _corpus_drift_oracle() -> str:
+    from .queries_analytics import _quality_sql
+
+    p = "CAST(cnt AS DOUBLE) / n_day"
+    q = "CAST(trail AS DOUBLE) / n_tr"
+    m = f"(({p}) + ({q})) / CAST(2.0 AS DOUBLE)"
+    term = (
+        f"(CASE WHEN {p} > 0 THEN ({p}) * ln({p}) ELSE CAST(0.0 AS DOUBLE) END"
+        f" + CASE WHEN {q} > 0 THEN ({q}) * ln({q}) ELSE CAST(0.0 AS DOUBLE) END)"
+        f" / CAST(2.0 AS DOUBLE)"
+        f" - CASE WHEN {m} > 0 THEN ({m}) * ln({m}) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH scored AS ({_quality_sql('documents')}),
+base AS (
+  SELECT s.doc_id % {DRIFT_DAYS} AS dt, d.source,
+         CAST(least(floor(s.quality_score * {DRIFT_QBUCKETS}), {DRIFT_QBUCKETS - 1})
+              AS INTEGER) AS qb
+  FROM scored s JOIN documents d USING (doc_id)),
+day_cells AS (
+  SELECT dt, source, qb, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2, 3),
+days AS (SELECT DISTINCT dt FROM day_cells),
+dom AS (SELECT DISTINCT source, qb FROM day_cells),
+grid AS (SELECT days.dt, dom.source, dom.qb FROM days CROSS JOIN dom),
+g AS (
+  SELECT grid.dt, grid.source, grid.qb, COALESCE(cnt, 0) AS cnt
+  FROM grid LEFT JOIN day_cells USING (dt, source, qb)),
+t AS (
+  SELECT *, COALESCE(sum(cnt) OVER (PARTITION BY source, qb ORDER BY dt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS trail
+  FROM g),
+per AS (
+  SELECT dt, cnt, trail,
+         CAST(sum(cnt) OVER (PARTITION BY dt) AS DOUBLE) AS n_day,
+         CAST(sum(trail) OVER (PARTITION BY dt) AS DOUBLE) AS n_tr
+  FROM t),
+c AS (SELECT dt, cnt, trail, {term} AS contrib FROM per WHERE n_tr > 0)
+SELECT dt, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(trail) AS BIGINT) AS n_trailing,
+       sum(contrib) AS jsd_nats,
+       sum(contrib) / ln(CAST(2.0 AS DOUBLE)) AS jsd_bits
+FROM c GROUP BY dt
+"""
+
+
+ORACLE_CORPUS_DRIFT = _corpus_drift_oracle()
+
+
 QUERIES_CORPUS = {
+    "q_corpus_drift": q_corpus_drift,
     "q_source_overlap": q_source_overlap,
     "q_minhash_curve": q_minhash_curve,
     "q_token_coverage": q_token_coverage,
@@ -369,6 +495,7 @@ QUERIES_CORPUS = {
 }
 
 ORACLE_CORPUS = {
+    "q_corpus_drift": ORACLE_CORPUS_DRIFT,
     "q_source_overlap": ORACLE_SOURCE_OVERLAP,
     "q_minhash_curve": ORACLE_MINHASH_CURVE,
     "q_token_coverage": ORACLE_TOKEN_COVERAGE,

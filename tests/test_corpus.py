@@ -339,3 +339,67 @@ def test_ivf_index_serves_multiple_batches(spark, sf_dir, tmp_path):
         for qid, r in top.items():
             assert r["neighbor_id"] == qid - 1000000
             assert abs(r["cos"] - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift by ingest day (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_drift_matches_python_reference(spark, sf_dir):
+    """JSD of each day's (source × quality-tier) profile vs the
+    trailing corpus, recomputed first-principles in python (counts
+    exact; ln to float tolerance — JVM vs libm ulp)."""
+    import math
+
+    from airflow_crypto_etl_spark.queries_corpus import (
+        DRIFT_DAYS,
+        DRIFT_QBUCKETS,
+        q_corpus_drift,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, source FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    from airflow_crypto_etl_spark.operators.text import STOPWORDS
+
+    stop = set(STOPWORDS["en"])
+
+    def qscore(text):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            return 0.0
+        n = len(toks)
+        return (
+            min(n / 100.0, 1.0) * 0.4
+            + (len(set(toks)) / n) * 0.4
+            + min(sum(1 for t in toks if t in stop) * 5.0 / n, 1.0) * 0.2
+        )
+
+    cells: dict[int, Counter] = {d: Counter() for d in range(DRIFT_DAYS)}
+    for doc_id, text, src in rows:
+        qb = min(int(math.floor(qscore(text) * DRIFT_QBUCKETS)), DRIFT_QBUCKETS - 1)
+        cells[doc_id % DRIFT_DAYS][(src, qb)] += 1
+
+    got = {r["dt"]: r for r in q_corpus_drift(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, DRIFT_DAYS))  # day 0 has no trailing corpus
+    support = set().union(*(set(c) for c in cells.values()))
+    for d in range(1, DRIFT_DAYS):
+        trail = Counter()
+        for dd_ in range(d):
+            trail.update(cells[dd_])
+        n_p, n_q = sum(cells[d].values()), sum(trail.values())
+        jsd = 0.0
+        for cell in support:
+            p = cells[d].get(cell, 0) / n_p
+            q = trail.get(cell, 0) / n_q
+            m = (p + q) / 2.0
+            jsd += (
+                (p * math.log(p) if p > 0 else 0.0)
+                + (q * math.log(q) if q > 0 else 0.0)
+            ) / 2.0 - (m * math.log(m) if m > 0 else 0.0)
+        r = got[d]
+        assert r["n_docs"] == n_p and r["n_trailing"] == n_q
+        assert abs(r["jsd_nats"] - jsd) < 1e-9
+        assert -1e-12 <= r["jsd_nats"] <= math.log(2.0) + 1e-12
+        assert abs(r["jsd_bits"] - r["jsd_nats"] / math.log(2.0)) < 1e-12

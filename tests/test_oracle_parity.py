@@ -111,6 +111,8 @@ _PRODUCT_OK = {
                             # (candidates themselves ride the list equi-join)
     "q_ann_index_lookup",   # batch x broadcast 16-row persisted centroid table
                             # (the corpus side reads the persisted assign lists)
+    "q_corpus_drift",       # day table (<=8 rows) x broadcast bounded
+                            # (source x quality-tier) cell domain
 }
 
 
