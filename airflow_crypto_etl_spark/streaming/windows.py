@@ -633,6 +633,57 @@ def cms_read(spark: SparkSession, state_dir: str) -> DataFrame:
     return parts.groupBy("j", "cell").agg(F.sum("c").alias("c"))
 
 
+def streaming_ann_ingest(
+    batch_stream: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming ANN ingest (r10, the vector twin of the
+    q_stream_contamination ingest-time screen): every micro-batch of
+    NEW vectors is searched against the PERSISTED IVF index —
+    ``operators/similarity.ivf_index_lookup`` under ``foreachBatch`` —
+    so ingest pays only the batch's assignment plus the probed-list
+    equi-joins, never a corpus re-assignment, batch after batch.
+
+    Per-query top-k is independent across queries, so micro-batch
+    slicing cannot change any result row: the union of the per-batch
+    outputs equals the one-shot batch lookup on the same vectors
+    (pinned by test_streaming's 3-micro-batch hash-equality test).
+    Results land in ``batch_id=`` partitions with dynamic overwrite —
+    a replayed batch overwrites exactly its own partition (the
+    :func:`streaming_cms` idempotence pattern)."""
+    from ..operators import similarity as sim
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hits = sim.ivf_index_lookup(
+            batch_df, corpus, centroids, assign,
+            k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col, spread=False,
+        )
+        (
+            hits.withColumn("batch_id", F.lit(int(batch_id)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    q = (
+        batch_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC join: the standard dimension-enrichment shape — the
     event stream joined to a static dimension (market segment per user,

@@ -529,3 +529,63 @@ def test_contamination_pair_dedup_state_evicts(spark, tmp_path):
     assert pairs.count((2, 27)) == 1 and pairs.count((3, 27)) == 1
     assert len(pairs) == 4
     assert all(r["est_jaccard"] == 1.0 for r in out.collect())
+
+
+def test_streaming_ann_ingest_matches_batch_lookup(spark, sf_dir, tmp_path):
+    """Streaming ANN ingest over a PERSISTED index: the new-vector
+    stream arrives as 3 micro-batches (maxFilesPerTrigger=1), each
+    searched via foreachBatch + ivf_index_lookup against the same
+    stored (centroids, assign) pair; the union of the per-batch
+    results is row-identical to the one-shot batch lookup on the same
+    vectors — the index is built ONCE, before the stream starts."""
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.windows import streaming_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = (2 * emb.count()) // 16
+    cents, assign = sim.ivf_index_build(emb, list_cap=cap, spread=False)
+    cents.write.parquet(str(tmp_path / "centroids"))
+    assign.write.parquet(str(tmp_path / "assign"))
+    cents_p = spark.read.parquet(str(tmp_path / "centroids"))
+    assign_p = spark.read.parquet(str(tmp_path / "assign"))
+
+    new_vecs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    src = str(tmp_path / "vec_stream")
+    for i in range(3):
+        new_vecs.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "ann_out")
+    stream = (
+        spark.readStream.schema(new_vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_ann_ingest(
+        stream, emb, cents_p, assign_p, out, str(tmp_path / "ckpt"), k=5
+    )
+
+    got_parts = spark.read.parquet(out)
+    assert got_parts.select("batch_id").distinct().count() >= 3
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in got_parts.select("query_id", "neighbor_id", "cos", "rank").collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in sim.ivf_index_lookup(
+            new_vecs, emb, cents_p, assign_p, k=5, spread=False
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # every streamed vector found its own original at rank 1, cos ~1
+    top = {q: n for q, n, c, rk in got if rk == 1}
+    assert len(top) == new_vecs.count()
+    for q, n in top.items():
+        assert n == q - 1000000
