@@ -43,6 +43,19 @@ _SHINGLE_HASHES = (
     f"i -> ((((({_TOK_HASHES})[i] * 31 + ({_TOK_HASHES})[i+1]) % {dd.CHAR_MOD}) * 31 "
     f"+ ({_TOK_HASHES})[i+2]) % {dd.CHAR_MOD})))"
 )
+# Hoisted form of the same derivation for ORACLES: DuckDB lambdas have
+# no common-subexpression elimination, so inlining _TOK_HASHES three
+# times inside the shingle lambda recomputes the whole per-doc token-
+# hash list 3x PER SHINGLE (O(tokens^2 * chars) per doc — ~38x slower
+# measured at sf0.01). Materializing it as a column first makes the
+# lambda pure indexing. Identical output (equality-tested in r10).
+_TOKH_CTES = (
+    f"th0 AS (SELECT doc_id, {_TOK_HASHES} AS thl FROM documents),\n"
+    f"tokh AS (\n"
+    f"  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(thl) - 1),\n"
+    f"    i -> (((thl[i] * 31 + thl[i+1]) % {dd.CHAR_MOD}) * 31 + thl[i+2]) % {dd.CHAR_MOD}))) AS th\n"
+    f"  FROM th0)"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,8 +232,7 @@ def _minhash_oracle(threshold: float = 0.5) -> str:
     S-curve calibration view, queries_corpus.q_minhash_curve)."""
     weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
     return f"""
-WITH tokh AS (
-  SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
+WITH {_TOKH_CTES},
 sig AS (
   SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
   FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
@@ -313,8 +325,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_incremental_oracle() -> str:
     weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
     return f"""
-WITH tokh AS (
-  SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
+WITH {_TOKH_CTES},
 sig AS (
   SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
   FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
@@ -349,7 +360,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_SIMHASH = f"""
-WITH tokh AS (SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
+WITH {_TOKH_CTES},
 contrib AS (
   SELECT doc_id, bit, CAST(sum(((th >> bit) & 1) * 2 - 1) AS BIGINT) AS s
   FROM tokh CROSS JOIN range(0, {SIMHASH_BITS}) r(bit) GROUP BY doc_id, bit),
@@ -779,8 +790,7 @@ def q_contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_contamination_oracle() -> str:
     weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
     return f"""
-WITH tokh AS (
-  SELECT doc_id, unnest({_SHINGLE_HASHES}) AS th FROM documents),
+WITH {_TOKH_CTES},
 sig AS MATERIALIZED (
   SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
   FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
