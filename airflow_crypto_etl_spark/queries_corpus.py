@@ -292,7 +292,9 @@ ua AS (
   FROM (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY 1, 2)
   GROUP BY source),
 bi AS (
-  SELECT source, unnest({_BIGRAMS_DUCK}) AS g FROM documents),
+  SELECT source, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+    i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM (SELECT source, {_TOKS} AS toks FROM documents)),
 ba AS (
   SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(count(*) AS BIGINT) AS n_bigram_types
   FROM (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2)

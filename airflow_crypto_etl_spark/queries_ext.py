@@ -203,10 +203,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_NGRAM = f"""
-WITH sh0 AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_TOKS}) - 1),
-    i -> ({_TOKS})[i] || ' ' || ({_TOKS})[i+1] || ' ' || ({_TOKS})[i+2]))) AS shingle
-  FROM documents),
+WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t0),
 keep AS (
   SELECT shingle FROM sh0 GROUP BY shingle
   HAVING count(*) <= 0.5 * (SELECT count(*) FROM documents)
@@ -622,8 +623,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CONTAMINATION = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t0),
 c AS (SELECT * FROM sh WHERE doc_id >= 10),
 b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 10)
 SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_common
@@ -2499,10 +2503,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_CONTAINMENT = f"""
-WITH sh0 AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len({_TOKS}) - 1),
-    i -> ({_TOKS})[i] || ' ' || ({_TOKS})[i+1] || ' ' || ({_TOKS})[i+2]))) AS shingle
-  FROM documents),
+WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+  FROM t0),
 keep AS (
   SELECT shingle FROM sh0 GROUP BY shingle
   HAVING count(*) <= 0.5 * (SELECT count(*) FROM documents)
