@@ -12,7 +12,11 @@ heuristic and dedup filters:
   (Jégou et al. 2011) plus its measured recall@k gate — the
   memory-bound ANN path alongside the LSH and IVF searchers,
 - winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003) —
-  the guaranteed-detection overlap fingerprint scheme (MOSS).
+  the guaranteed-detection overlap fingerprint scheme (MOSS),
+- (r10) the PERSISTED IVF index pair + incremental batch lookup
+  (build once, assign only the batch per call — the minhash_lookup
+  contract for vectors), and k-means-TRAINED PQ / IVFADC codebooks
+  with their measured recall gates beside the seeded floors.
 
 Exactness rules are the repo's: integer/rational sums across shuffles,
 ln() only on bounded domains with the documented floor-quantization
