@@ -102,8 +102,12 @@ _PRODUCT_OK = {
     "q_sequential_ab",      # day rollup x broadcast 1-row arm-totals scalar
     "q_ann_pq",             # corpus x broadcast 1-row codebook + 8-row ADC LUT
     "q_ann_pq_recall",      # composes q_ann_pq + the broadcast exact-L2 scan
+    "q_ann_pq_trained",     # same shapes + the trainer's corpus x 1-row seed book
+    "q_ann_pq_trained_recall",   # composes the trained search + exact-L2 scan
     "q_ann_ivfpq",          # corpus x broadcast 1-row coarse + residual codebooks
     "q_ann_ivfpq_recall",   # composes q_ann_ivfpq + the broadcast exact-L2 scan
+    "q_ann_ivfpq_trained",  # same shapes + the residual trainer's broadcast books
+    "q_ann_ivfpq_trained_recall",  # composes the trained search + exact-L2 scan
     "q_dsir",               # bucket table x broadcast 1-row token totals
     "q_token_coverage",     # 3-row per-k union x broadcast 1-row token totals
     "q_ann_dim_recall",     # composes q_ann_topk's broadcast exact-L2 scan x4 legs
