@@ -104,6 +104,11 @@ HEADLINE = [
     # curve (two vocab shuffles + per-k TakeOrdered heaps)
     "q_source_overlap",
     "q_token_coverage",
+    # round-10 additions: the persisted-index ingest path (build +
+    # parquet round-trip + batch-only assignment + list equi-join) and
+    # the per-day corpus-drift JSD rollup (bounded-cell aggregate)
+    "q_ann_index_lookup",
+    "q_corpus_drift",
 ]
 
 
