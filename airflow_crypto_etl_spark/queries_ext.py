@@ -354,6 +354,72 @@ SELECT new_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
 ORACLE_DEDUP_INCREMENTAL = _minhash_incremental_oracle()
 
 
+DEDUP_APPEND_SHIFT = 2000000
+
+
+def q_dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROWING MinHash index (r10 verdict item 2 — minhash_lookup
+    read a frozen signature table): the index starts as the corpus
+    MINUS the doc_id % 10 == 3 slice, then that slice is appended in
+    two batches via operators/dedup.minhash_index_append (shingle and
+    sign ONLY the batch), and a new id-shifted batch is looked up
+    against base + appended index rows. Signatures are per-document,
+    so the oracle indexes the full union corpus directly — a green row
+    proves append ≡ rebuild for the MinHash side, the exact twin of
+    q_ann_index_append's contract (the parquet batch_id-partition
+    persistence round-trip is live-tested in test_dedup)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 3)
+    index_sig = dd.register_cache(dd.minhash_signatures(base))
+    index_bands = dd.minhash_bands(index_sig)
+    for r in (3, 13):
+        s, b = dd.minhash_index_append(docs.filter(F.col("doc_id") % 20 == r))
+        index_sig = index_sig.unionByName(dd.register_cache(s))
+        index_bands = index_bands.unionByName(b)
+    batch = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + DEDUP_APPEND_SHIFT).alias("doc_id"), "text"
+    )
+    return dd.minhash_lookup(batch, index_sig, index_bands, threshold=0.5)
+
+
+def _minhash_append_oracle() -> str:
+    """Same body as _minhash_incremental_oracle with the batch slice /
+    shift swapped: the index side is the FULL corpus (base ∪ appended
+    = every document — signatures are per-doc, so the grown index and
+    the rebuilt one are the same table), the batch is the
+    doc_id % 5 == 2 slice shifted by DEDUP_APPEND_SHIFT."""
+    weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
+    return f"""
+WITH {_TOKH_CTES},
+sig AS (
+  SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
+  FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {MINHASH_R} AS band,
+         CAST(sum(mh * ({weights})[(i % {MINHASH_R}) + 1]) AS BIGINT) AS band_sig
+  FROM sig GROUP BY doc_id, i // {MINHASH_R}),
+new_bands AS (SELECT doc_id + {DEDUP_APPEND_SHIFT} AS doc_id, band, band_sig
+              FROM bands WHERE doc_id % 5 = 2),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, ix.doc_id AS corpus_id
+  FROM new_bands n JOIN bands ix
+    ON n.band = ix.band AND n.band_sig = ix.band_sig),
+new_sig AS (SELECT doc_id + {DEDUP_APPEND_SHIFT} AS doc_id, i, mh
+            FROM sig WHERE doc_id % 5 = 2),
+est AS (
+  SELECT new_id, corpus_id,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / {MINHASH_K} AS est_jaccard
+  FROM cand
+  JOIN new_sig sa ON sa.doc_id = new_id
+  JOIN sig sb ON sb.doc_id = corpus_id AND sb.i = sa.i
+  GROUP BY new_id, corpus_id)
+SELECT new_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_DEDUP_INDEX_APPEND = _minhash_append_oracle()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Manku chunk join (bucketed equi-join) — the all-pairs XOR kernel
     # dd.simhash_pairs remains as the verification twin in tests.
@@ -1487,6 +1553,7 @@ QUERIES_EXT = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_pr": q_dedup_pr,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_index_append": q_dedup_index_append,
     "q_dedup_simhash": q_dedup_simhash,
     "q_embed_neardup": q_embed_neardup,
     "q_ann_topk": q_ann_topk,
@@ -1533,6 +1600,7 @@ ORACLE_EXT = {
     "q_dedup_minhash": ORACLE_DEDUP_MINHASH,
     "q_dedup_pr": _dedup_pr_oracle(),
     "q_dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "q_dedup_index_append": ORACLE_DEDUP_INDEX_APPEND,
     "q_dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "q_embed_neardup": ORACLE_EMBED_NEARDUP,
     "q_ann_topk": ORACLE_ANN_TOPK,

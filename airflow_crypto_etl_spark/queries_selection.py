@@ -205,11 +205,15 @@ cellz AS (
 c AS (SELECT cid, list(val ORDER BY j) AS cv FROM cellz GROUP BY cid)"""
 
 
-def _pq_adc_oracle(cb_chain: str) -> str:
+def _pq_adc_oracle(cb_chain: str, lut_body: str | None = None) -> str:
     """ADC search body over a codebook CTE chain ending in
     ``c(cid, cv)`` — seeded and trained variants share every
     downstream CTE, so the trained registration cannot drift from the
-    parity-proven ADC semantics."""
+    parity-proven ADC semantics. ``lut_body`` swaps the query set
+    (default: the standard in-corpus ANN_QUERY_IDS; the persisted-
+    index registration selects an id-shifted batch slice instead)."""
+    if lut_body is None:
+        lut_body = f"SELECT vec_id AS query_id, s, cid, d2 FROM d WHERE vec_id IN ({_IDS})"
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
 {cb_chain},
@@ -222,7 +226,7 @@ assign AS (
     SELECT vec_id, s, cid AS code,
            row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
     FROM d) WHERE rn = 1),
-lut AS (SELECT vec_id AS query_id, s, cid, d2 FROM d WHERE vec_id IN ({_IDS})),
+lut AS ({lut_body}),
 scored AS (
   SELECT l.query_id, a.vec_id AS neighbor_id,
          list_reduce(list_prepend(0.0::DOUBLE, list(l.d2 ORDER BY l.s)),
@@ -360,13 +364,17 @@ rcellz AS (
 rcb AS (SELECT rid, list(val ORDER BY j) AS rv FROM rcellz GROUP BY rid)"""
 
 
-def _ivfpq_oracle(rcb_chain: str) -> str:
+def _ivfpq_oracle(rcb_chain: str, coarse_chain: str | None = None) -> str:
     """IVFADC oracle body over a residual-codebook CTE chain ending in
     ``rcb(rid, rv)`` — seeded and trained variants share the coarse
-    assignment, residual encode, probe, and ADC CTEs verbatim."""
+    assignment, residual encode, probe, and ADC CTEs verbatim.
+    ``coarse_chain`` swaps the id-seeded coarse quantizer CTE for the
+    trained one (must end in ``c(cid, cv)``)."""
+    if coarse_chain is None:
+        coarse_chain = f"c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_IVFPQ_NC})"
     return f"""
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
-c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_IVFPQ_NC}),
+{coarse_chain},
 ad AS (
   SELECT v.vec_id, cid, cv, ve, {_D2FULL.format(a='ve', b='cv')} AS d2
   FROM v CROSS JOIN c),
@@ -620,19 +628,63 @@ def q_ann_batch_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_lookup_oracle(residue: int, shift: int) -> str:
+# seeded coarse-quantizer chain: the first n_centroids corpus vectors
+_IVF_SEED_CENTS = (
+    f"c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v "
+    f"WHERE vec_id < {IVF_BATCH_CENTROIDS})"
+)
+
+# TRAINED coarse-quantizer chain (r10 verdict item 1), ending in the
+# same c(cid, cv, cn) shape: one FULL-dim Lloyd round under the index's
+# own metric (cosine), seeded from the seed slice — the
+# operators/similarity.ivf_centroids_trained round unrolled. Update
+# sums are 2^60-scaled DECIMAL(38,0) (the q_kmeans idiom); empty
+# clusters COALESCE back to their seed coordinates.
+_IVF_TRAINED_CENTS = f"""c0 AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn0 FROM v
+      WHERE vec_id < {IVF_BATCH_CENTROIDS}),
+td AS (SELECT v.vec_id, cid, {{dot}} / (nrm * cn0) AS cosc FROM v CROSS JOIN c0),
+ta AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn
+    FROM td) WHERE rn = 1),
+tu AS (
+  SELECT ta.cid, t.i,
+         SUM(CAST(ve[t.i] * {{scale}} AS DECIMAL(38,0))) AS sm, COUNT(*) AS n
+  FROM ta JOIN v USING (vec_id), range(1, 65) t(i)
+  GROUP BY 1, 2),
+tm AS (SELECT cid, i, CAST(sm AS DOUBLE) / {{scale}} / n AS m FROM tu),
+tcell AS (
+  SELECT c0.cid, j, COALESCE(tm.m, c0.cv[j]) AS val
+  FROM c0 CROSS JOIN range(1, 65) t(j)
+  LEFT JOIN tm ON tm.cid = c0.cid AND tm.i = j),
+tcv AS (SELECT cid, list(val ORDER BY j) AS cv FROM tcell GROUP BY cid),
+c AS (SELECT cid, cv, {{nrm}} AS cn FROM tcv)"""
+
+
+def _ivf_trained_cents_chain() -> str:
+    return _IVF_TRAINED_CENTS.format(
+        dot=_dot_sql("ve", "cv"), scale=_KM_SCALE, nrm=_norm_sql("cv")
+    )
+
+
+def _ivf_lookup_oracle(residue: int, shift: int, cent_chain: str | None = None) -> str:
     """Shared DuckDB twin of the IVF batch/index lookup semantics
     (batch = corpus vectors with id % IVF_BATCH_MOD = ``residue``,
     id-shifted by ``shift``). Whether the engine rebuilds the index
-    per call (q_ann_batch_lookup) or reads the persisted parquet pair
-    (q_ann_index_lookup), the published rows are identical — one
-    oracle body serves both, so the persisted-index registration
-    cannot drift from the rebuild path's semantics."""
+    per call (q_ann_batch_lookup), reads the persisted parquet pair
+    (q_ann_index_lookup), or GROWS a base index by appending batch
+    partitions (q_ann_index_append — the oracle always assigns the
+    full union corpus directly, so a green append registration PROVES
+    append ≡ rebuild), the published rows are identical — one oracle
+    body serves all, so no registration can drift from the rebuild
+    path's semantics. ``cent_chain`` swaps the seeded quantizer CTE
+    for the trained one (must end in ``c(cid, cv, cn)``)."""
     return f"""
 WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
 v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
-c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v WHERE vec_id < {IVF_BATCH_CENTROIDS}),
+{cent_chain if cent_chain is not None else _IVF_SEED_CENTS},
 ascored AS (
   SELECT v.vec_id, cid, {_dot_sql('ve', 'cv')} / (nrm * cn) AS cosc FROM v CROSS JOIN c),
 assign AS (
@@ -674,15 +726,36 @@ IVF_INDEX_RESIDUE = 1  # a DIFFERENT batch slice than q_ann_batch_lookup's
 IVF_INDEX_SHIFT = 2000000
 
 
-def _ivf_index_root(sf_dir: str) -> "pathlib.Path":
-    """Repo-anchored scratch location for the persisted index pair,
-    keyed by a digest of the sf_dir so sf0.01 / sf1 runs never collide
-    (anchored to the repo, not the cwd — the driver's cwd is its own)."""
+_SCRATCH_ROOTS: set = set()
+
+
+def _ivf_index_root(sf_dir: str, kind: str = "ivf_index") -> "pathlib.Path":
+    """Repo-anchored scratch location for a persisted index pair,
+    keyed by a digest of the sf_dir AND this process's pid (r10 ADVICE:
+    the shared sf_dir-only path raced under concurrent bench /
+    determinism drivers — one process's overwrite delete could break
+    the other's mid-query parquet read). Anchored to the repo, not the
+    cwd (the driver's cwd is its own); cleaned up at process exit —
+    not earlier, because the returned lookup DataFrame reads these
+    files lazily when the driver collects it."""
+    import atexit
     import hashlib
+    import os
     import pathlib
+    import shutil
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    return pathlib.Path(__file__).resolve().parents[1] / ".scratch" / f"ivf_index_{tag}"
+    root = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / ".scratch"
+        / f"{kind}_{tag}_pid{os.getpid()}"
+    )
+    if not _SCRATCH_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_ROOTS]
+        )
+    _SCRATCH_ROOTS.add(str(root))
+    return root
 
 
 def q_ann_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +794,344 @@ ORACLE_ANN_INDEX_LOOKUP = _ivf_lookup_oracle(
 )
 
 
+# ---------------------------------------------------------------------------
+# Growing the persisted IVF index — ivf_index_append (r10 verdict item 2)
+# ---------------------------------------------------------------------------
+
+IVF_APPEND_RES = (21, 22)  # the two id-slices appended after the base build
+IVF_APPEND_LOOKUP_RESIDUE = 2  # residues 0/1 are taken by the sibling queries
+IVF_APPEND_LOOKUP_SHIFT = 3000000
+
+
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROWING-index ingest loop end-to-end (r10 verdict item 2 —
+    the persisted index was search-only): build the IVF index over the
+    corpus MINUS two id-slices, persist it, then append each held-out
+    slice with operators/similarity.ivf_index_append into its own
+    ``batch_id=`` parquet partition (dynamic overwrite — a replayed
+    batch is a no-op), re-apply the data-relative list_cap over the
+    grown assign table at read time, and search a new batch against
+    base + appended partitions. The oracle assigns the FULL union
+    corpus directly (the shared _ivf_lookup_oracle body), so this
+    registration green PROVES append ≡ rebuild — the done-when of the
+    r10 verdict, oracle-checked at both scale factors rather than only
+    live-tested."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % IVF_BATCH_MOD).isin(list(IVF_APPEND_RES)))
+    cents, assign0 = sim.ivf_index_build(
+        base, n_centroids=IVF_BATCH_CENTROIDS, spread=False
+    )
+    root = _ivf_index_root(sf_dir, "ivf_append")
+    cents.write.mode("overwrite").parquet(str(root / "centroids"))
+    cents_p = spark.read.parquet(str(root / "centroids"))
+    for b, rows in enumerate(
+        [assign0]
+        + [
+            sim.ivf_index_append(
+                emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cents_p, spread=False
+            )
+            for r in IVF_APPEND_RES
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(root / "assign"))
+        )
+    grown = spark.read.parquet(str(root / "assign")).select("cid", "vec_id")
+    cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
+    capped = sim.ivf_index_cap(grown, cap)
+    batch = emb.filter(
+        F.col("vec_id") % IVF_BATCH_MOD == IVF_APPEND_LOOKUP_RESIDUE
+    ).select((F.col("vec_id") + IVF_APPEND_LOOKUP_SHIFT).alias("vec_id"), "embedding")
+    return sim.ivf_index_lookup(
+        batch, emb, cents_p, capped, k=10, n_probe=4, spread=False
+    )
+
+
+ORACLE_ANN_INDEX_APPEND = _ivf_lookup_oracle(
+    residue=IVF_APPEND_LOOKUP_RESIDUE, shift=IVF_APPEND_LOOKUP_SHIFT
+)
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer (r10 verdict item 1)
+# ---------------------------------------------------------------------------
+
+IVF_TRAINED_LOOKUP_RESIDUE = 4
+IVF_TRAINED_LOOKUP_SHIFT = 5000000
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ingest ANN through the K-MEANS-TRAINED coarse quantizer
+    (operators/similarity.ivf_centroids_trained: one exact full-dim
+    Lloyd round under the index's own cosine metric, seeded from the
+    seed slice) — r10 verdict item 1: the trained RESIDUAL books
+    barely moved IVFADC recall because every coarse assignment was
+    still id-seeded. Same lookup semantics as q_ann_batch_lookup
+    (data-relative list_cap live), different id-slice/shift so the
+    registrations hash independently; the occupancy-spread effect of
+    training is published by q_ann_ivf_occupancy."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
+    trained = sim.ivf_centroids_trained(
+        emb, n_centroids=IVF_BATCH_CENTROIDS, metric="cos", spread=False
+    )
+    batch = emb.filter(
+        F.col("vec_id") % IVF_BATCH_MOD == IVF_TRAINED_LOOKUP_RESIDUE
+    ).select((F.col("vec_id") + IVF_TRAINED_LOOKUP_SHIFT).alias("vec_id"), "embedding")
+    return sim.ivf_batch_lookup(
+        emb, batch, k=10, n_centroids=IVF_BATCH_CENTROIDS, n_probe=4,
+        list_cap=cap, spread=False, centroids=trained,
+    )
+
+
+ORACLE_ANN_IVF_TRAINED = _ivf_lookup_oracle(
+    residue=IVF_TRAINED_LOOKUP_RESIDUE,
+    shift=IVF_TRAINED_LOOKUP_SHIFT,
+    cent_chain=_ivf_trained_cents_chain(),
+)
+
+
+def _ivf_topk_oracle(cent_chain: str) -> str:
+    """ivf_topk twin over a coarse-quantizer CTE chain ending in
+    ``c(cid, cv, cn)`` — seeded (queries_ext.ORACLE_ANN_IVF) and
+    trained variants share every downstream CTE."""
+    return f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+{cent_chain},
+ascored AS (
+  SELECT v.vec_id, cid, {_dot_sql('ve', 'cv')} / (nrm * cn) AS cosc FROM v CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM ascored)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn
+    FROM ascored WHERE vec_id IN ({_IDS}))
+  WHERE rn <= 4),
+cand AS (
+  SELECT DISTINCT query_id, assign.vec_id AS neighbor_id
+  FROM assign JOIN probes USING (cid) WHERE assign.vec_id <> query_id),
+q AS (SELECT vec_id AS query_id, ve AS qv, nrm AS qn FROM v WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT cand.query_id, neighbor_id, {_dot_sql('qv', 'nv.ve')} / (qn * nv.nrm) AS cos
+  FROM cand JOIN v nv ON nv.vec_id = neighbor_id JOIN q ON q.query_id = cand.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, neighbor_id, cos, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 10
+"""
+
+
+def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF searcher under the TRAINED coarse
+    quantizer vs the exact cosine scan — the companion gate to
+    q_ann_ivf_recall's seeded floor; BASELINE.md records the measured
+    lift (the r10 done-when)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_recall(
+        emb, ANN_QUERY_IDS, k=10,
+        centroids=sim.ivf_centroids_trained(emb, spread=False),
+    )
+
+
+def _cos_recall_oracle(approx_sql: str) -> str:
+    """Recall@k oracle with the exact COSINE scan as truth (ivf_recall
+    measures against brute_force_topk, not the L2 scan)."""
+    from .queries_ext import ORACLE_ANN_TOPK
+
+    return f"""
+WITH ex AS ({ORACLE_ANN_TOPK.strip()}),
+ap AS ({approx_sql.strip()}),
+hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
+         FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+         GROUP BY ex.query_id),
+tot AS (SELECT query_id, COUNT(*) AS n_true FROM ex GROUP BY query_id)
+SELECT tot.query_id, CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / n_true AS recall
+FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
+"""
+
+
+ORACLE_ANN_IVF_TRAINED_RECALL = _cos_recall_oracle(
+    _ivf_topk_oracle(_ivf_trained_cents_chain())
+)
+
+
+def q_ann_ivf_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list occupancy spread, seeded vs trained quantizer —
+    the r10 done-when asked for the max/mean balance effect of
+    training to be RECORDED, so it is published as an oracle-checked
+    registration rather than a one-off note: per variant, the number
+    of non-empty lists, max/min occupancy, total assigned vectors,
+    and spread = max/mean. A balanced quantizer (spread → 1) is what
+    keeps the data-relative list_cap from wholesale-dropping lists.
+    Scale shape: two map-side assignment passes (broadcast quantizer)
+    into (cid, id)-pair partial-agg counts — the vectors never
+    shuffle; the final per-variant agg is over ≤ n_centroids rows."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trained = sim.ivf_centroids_trained(
+        emb, n_centroids=IVF_BATCH_CENTROIDS, metric="cos", spread=False
+    )
+
+    def occ(centroids: DataFrame | None, variant: str) -> DataFrame:
+        _, assign = sim.ivf_index_build(
+            emb, n_centroids=IVF_BATCH_CENTROIDS, spread=False, centroids=centroids
+        )
+        sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        return sizes.agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.max("n").alias("max_occ"),
+            F.min("n").alias("min_occ"),
+            F.sum("n").alias("n_vecs"),
+        ).select(
+            F.lit(variant).alias("variant"),
+            "n_lists",
+            "max_occ",
+            "min_occ",
+            "n_vecs",
+            (
+                F.col("max_occ").cast("double") * F.col("n_lists") / F.col("n_vecs")
+            ).alias("spread"),
+        )
+
+    return occ(None, "seeded").unionByName(occ(trained, "trained"))
+
+
+def _occupancy_leg(assign_cte: str, variant: str) -> str:
+    return f"""
+SELECT '{variant}' AS variant, CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(max(n) AS BIGINT) AS max_occ, CAST(min(n) AS BIGINT) AS min_occ,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       CAST(max(n) AS DOUBLE) * count(*) / sum(n) AS spread
+FROM (SELECT cid, count(*) AS n FROM {assign_cte} GROUP BY cid)"""
+
+
+ORACLE_ANN_IVF_OCCUPANCY = f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+cs AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v WHERE vec_id < {IVF_BATCH_CENTROIDS}),
+ssc AS (SELECT v.vec_id, cid, {_dot_sql('ve', 'cv')} / (nrm * cn) AS cosc FROM v CROSS JOIN cs),
+assign_s AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM ssc)
+  WHERE rn = 1),
+{_ivf_trained_cents_chain()},
+tsc AS (SELECT v.vec_id, c.cid, {_dot_sql('ve', 'c.cv')} / (nrm * c.cn) AS cosc FROM v CROSS JOIN c),
+assign_t AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM tsc)
+  WHERE rn = 1)
+{_occupancy_leg('assign_s', 'seeded')}
+UNION ALL
+{_occupancy_leg('assign_t', 'trained')}
+"""
+
+
+def q_ann_ivfpq_coarse_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULLY-trained IVFADC: the coarse quantizer trained at full dim
+    under L2 (ivf_centroids_trained(metric="l2") — the metric this
+    stage assigns with) AND the residual codebook trained against
+    those trained-coarse residuals. r10's measured finding was that
+    trained residuals alone moved recall@10 only 0.150 → 0.1625
+    because the seeded coarse partition was the binding constraint;
+    this registration pins the full-trained neighbor sets and
+    q_ann_ivfpq_coarse_trained_recall records the lift."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tc = sim.ivf_centroids_trained(
+        emb, n_centroids=sim.IVFPQ_COARSE, metric="l2", spread=False
+    )
+    rcb = sim.ivfpq_residual_codebook_trained(emb, coarse_rows=tc)
+    return sim.ivfpq_topk(emb, ANN_QUERY_IDS, k=10, rcb_rows=rcb, coarse_rows=tc)
+
+
+def q_ann_ivfpq_coarse_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the fully-trained IVFADC vs the exact L2 scan —
+    completing the trained-vs-seeded recall table (seeded floor,
+    trained-residual-only, fully-trained) at the same 4/16 search
+    fraction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tc = sim.ivf_centroids_trained(
+        emb, n_centroids=sim.IVFPQ_COARSE, metric="l2", spread=False
+    )
+    rcb = sim.ivfpq_residual_codebook_trained(emb, coarse_rows=tc)
+    return sim.ivfpq_recall(emb, ANN_QUERY_IDS, k=10, rcb_rows=rcb, coarse_rows=tc)
+
+
+# trained-coarse chain for the IVFADC oracle (L2 metric, ends in the
+# same c(cid, cv) shape the seeded one-liner publishes)
+_IVFPQ_TRAINED_CENTS = f"""c0 AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {_IVFPQ_NC}),
+td AS (SELECT v.vec_id, cid, {_D2FULL.format(a='ve', b='cv')} AS d2 FROM v CROSS JOIN c0),
+ta AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+    FROM td) WHERE rn = 1),
+tu AS (
+  SELECT ta.cid, t.i,
+         SUM(CAST(ve[t.i] * {_KM_SCALE} AS DECIMAL(38,0))) AS sm, COUNT(*) AS n
+  FROM ta JOIN v USING (vec_id), range(1, 65) t(i)
+  GROUP BY 1, 2),
+tm AS (SELECT cid, i, CAST(sm AS DOUBLE) / {_KM_SCALE} / n AS m FROM tu),
+tcell AS (
+  SELECT c0.cid, j, COALESCE(tm.m, c0.cv[j]) AS val
+  FROM c0 CROSS JOIN range(1, 65) t(j)
+  LEFT JOIN tm ON tm.cid = c0.cid AND tm.i = j),
+c AS (SELECT cid, list(val ORDER BY j) AS cv FROM tcell GROUP BY cid)"""
+
+ORACLE_ANN_IVFPQ_COARSE_TRAINED = _ivfpq_oracle(
+    _IVFPQ_TRAINED_RCB, coarse_chain=_IVFPQ_TRAINED_CENTS
+)
+ORACLE_ANN_IVFPQ_COARSE_TRAINED_RECALL = _recall_oracle(ORACLE_ANN_IVFPQ_COARSE_TRAINED)
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index + incremental lookup (r10 verdict item 4)
+# ---------------------------------------------------------------------------
+
+PQ_INDEX_RESIDUE = 3
+PQ_INDEX_SHIFT = 4000000
+
+
+def q_ann_pq_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-PQ ingest path end-to-end (r10 verdict item 4 —
+    q_ann_pq re-encoded the corpus per call): train the codebook and
+    encode the corpus ONCE (operators/similarity.pq_index_build),
+    persist the (codebook, codes) pair to parquet, read it back, and
+    ADC-search a new batch with pq_index_lookup — only the batch's
+    lookup tables are computed per call; the corpus contributes
+    exclusively through its stored codes. Plain double/bigint index
+    columns make the round-trip bit-exact; the oracle recomputes the
+    trained book + codes from scratch (the shared trained-CB chain),
+    so a green row pins persisted ≡ rebuild for the PQ side exactly
+    as _ivf_lookup_oracle does for the IVF side."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook, codes = sim.pq_index_build(emb, trained=True)
+    root = _ivf_index_root(sf_dir, "pq_index")
+    codebook.write.mode("overwrite").parquet(str(root / "codebook"))
+    codes.write.mode("overwrite").parquet(str(root / "codes"))
+    cb_p = spark.read.parquet(str(root / "codebook"))
+    codes_p = spark.read.parquet(str(root / "codes"))
+    batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == PQ_INDEX_RESIDUE).select(
+        (F.col("vec_id") + PQ_INDEX_SHIFT).alias("vec_id"), "embedding"
+    )
+    return sim.pq_index_lookup(batch, cb_p, codes_p, k=10)
+
+
+ORACLE_ANN_PQ_INDEX_LOOKUP = _pq_adc_oracle(
+    _PQ_TRAINED_CB,
+    lut_body=(
+        f"SELECT vec_id + {PQ_INDEX_SHIFT} AS query_id, s, cid, d2 "
+        f"FROM d WHERE vec_id % {IVF_BATCH_MOD} = {PQ_INDEX_RESIDUE}"
+    ),
+)
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -737,6 +1148,13 @@ QUERIES_SELECTION = {
     "q_ann_dim_recall": q_ann_dim_recall,
     "q_ann_batch_lookup": q_ann_batch_lookup,
     "q_ann_index_lookup": q_ann_index_lookup,
+    "q_ann_index_append": q_ann_index_append,
+    "q_ann_ivf_trained": q_ann_ivf_trained,
+    "q_ann_ivf_trained_recall": q_ann_ivf_trained_recall,
+    "q_ann_ivf_occupancy": q_ann_ivf_occupancy,
+    "q_ann_ivfpq_coarse_trained": q_ann_ivfpq_coarse_trained,
+    "q_ann_ivfpq_coarse_trained_recall": q_ann_ivfpq_coarse_trained_recall,
+    "q_ann_pq_index_lookup": q_ann_pq_index_lookup,
 }
 
 ORACLE_SELECTION = {
@@ -755,4 +1173,11 @@ ORACLE_SELECTION = {
     "q_ann_dim_recall": ORACLE_ANN_DIM_RECALL,
     "q_ann_batch_lookup": ORACLE_ANN_BATCH_LOOKUP,
     "q_ann_index_lookup": ORACLE_ANN_INDEX_LOOKUP,
+    "q_ann_index_append": ORACLE_ANN_INDEX_APPEND,
+    "q_ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
+    "q_ann_ivf_trained_recall": ORACLE_ANN_IVF_TRAINED_RECALL,
+    "q_ann_ivf_occupancy": ORACLE_ANN_IVF_OCCUPANCY,
+    "q_ann_ivfpq_coarse_trained": ORACLE_ANN_IVFPQ_COARSE_TRAINED,
+    "q_ann_ivfpq_coarse_trained_recall": ORACLE_ANN_IVFPQ_COARSE_TRAINED_RECALL,
+    "q_ann_pq_index_lookup": ORACLE_ANN_PQ_INDEX_LOOKUP,
 }

@@ -117,6 +117,18 @@ _PRODUCT_OK = {
                             # (the corpus side reads the persisted assign lists)
     "q_corpus_drift",       # day table (<=8 rows) x broadcast bounded
                             # (source x quality-tier) cell domain
+    "q_ann_index_append",   # base/batch x broadcast 16-row centroid table
+                            # (appends and lookup ride list equi-joins)
+    "q_ann_ivf_trained",    # corpus x broadcast 1-row seed book (trainer)
+                            # + batch x broadcast 16-row trained table
+    "q_ann_ivf_trained_recall",   # composes the trained searcher + the
+                                  # broadcast exact-cosine scan
+    "q_ann_ivf_occupancy",  # two corpus x broadcast 16-row quantizer passes
+    "q_ann_ivfpq_coarse_trained",  # trainer seed books + coarse/residual
+                                   # broadcast codebook products
+    "q_ann_ivfpq_coarse_trained_recall",  # + the broadcast exact-L2 scan
+    "q_ann_pq_index_lookup",  # corpus codes x broadcast batch ADC LUTs
+                              # + the trainer's corpus x 1-row seed book
 }
 
 
