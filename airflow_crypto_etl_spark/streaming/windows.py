@@ -644,6 +644,9 @@ def streaming_ann_ingest(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spread: bool = False,
+    single_file: bool = False,
+    index_append_dir: str | None = None,
 ) -> None:
     """Streaming ANN ingest (r10, the vector twin of the
     q_stream_contamination ingest-time screen): every micro-batch of
@@ -658,22 +661,52 @@ def streaming_ann_ingest(
     (pinned by test_streaming's 3-micro-batch hash-equality test).
     Results land in ``batch_id=`` partitions with dynamic overwrite —
     a replayed batch overwrites exactly its own partition (the
-    :func:`streaming_cms` idempotence pattern)."""
+    :func:`streaming_cms` idempotence pattern).
+
+    ``index_append_dir`` closes the ingest loop (r10 verdict item 2 —
+    search-only ingest left the index frozen at the original corpus):
+    when set, each micro-batch is ALSO assigned against the quantizer
+    (``operators/similarity.ivf_index_append`` — batch-only cost) and
+    its (cid, vec_id) rows land in that directory's own ``batch_id=``
+    partition, so the persisted assign table grows with ingest and a
+    replayed batch remains a no-op on the index too. Readers union the
+    base assign parquet with this directory (re-applying
+    ``ivf_index_cap`` if a degenerate-list guard is wanted).
+
+    ``spread``/``single_file`` mirror ivf_index_lookup's signature
+    (r10 ADVICE: the unconditional coalesce(1) serialized |batch|·k
+    result rows through one task — fine for a CMS sketch sink, wrong
+    for results that scale with batch size). ``single_file=True``
+    restores the one-file-per-partition layout for tiny batches."""
     from ..operators import similarity as sim
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         hits = sim.ivf_index_lookup(
             batch_df, corpus, centroids, assign,
-            k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col, spread=False,
+            k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col, spread=spread,
         )
+        if single_file:
+            hits = hits.coalesce(1)
         (
             hits.withColumn("batch_id", F.lit(int(batch_id)))
-            .coalesce(1)
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_dir)
         )
+        if index_append_dir is not None:
+            new_rows = sim.ivf_index_append(
+                batch_df, centroids, id_col=id_col, vec_col=vec_col, spread=spread
+            )
+            if single_file:
+                new_rows = new_rows.coalesce(1)
+            (
+                new_rows.withColumn("batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(index_append_dir)
+            )
 
     q = (
         batch_stream.writeStream.foreachBatch(sink)

@@ -403,3 +403,75 @@ def test_corpus_drift_matches_python_reference(spark, sf_dir):
         assert abs(r["jsd_nats"] - jsd) < 1e-9
         assert -1e-12 <= r["jsd_nats"] <= math.log(2.0) + 1e-12
         assert abs(r["jsd_bits"] - r["jsd_nats"] / math.log(2.0)) < 1e-12
+
+
+def test_ivf_index_append_equals_rebuild_and_replay_noop(spark, sf_dir, tmp_path):
+    """The growing-index contract (r11): build over the corpus MINUS
+    two id-slices, append each slice batch_id-partitioned (a REPLAYED
+    batch overwrites its own partition — a no-op), and the grown
+    assign table is row-identical to a rebuild over the union corpus
+    with the same quantizer; a capped lookup through the grown index
+    equals the one-shot rebuild lookup."""
+    from pyspark.sql import functions as F
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % 40).isin([21, 22]))
+    cents, assign0 = sim.ivf_index_build(base, n_centroids=16, spread=False)
+    cents.write.parquet(str(tmp_path / "centroids"))
+    cents_p = spark.read.parquet(str(tmp_path / "centroids"))
+
+    def put(rows, b):
+        (rows.withColumn("batch_id", F.lit(b))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(str(tmp_path / "assign")))
+
+    put(assign0, 0)
+    b21 = emb.filter(F.col("vec_id") % 40 == 21)
+    b22 = emb.filter(F.col("vec_id") % 40 == 22)
+    put(sim.ivf_index_append(b21, cents_p, spread=False), 1)
+    put(sim.ivf_index_append(b22, cents_p, spread=False), 2)
+    put(sim.ivf_index_append(b21, cents_p, spread=False), 1)  # replay: no-op
+
+    grown = spark.read.parquet(str(tmp_path / "assign")).select("cid", "vec_id")
+    _, rebuilt = sim.ivf_index_build(
+        emb, spread=False, centroids=cents_p.select("cid", "cv")
+    )
+    got = sorted((r["cid"], r["vec_id"]) for r in grown.collect())
+    want = sorted((r["cid"], r["vec_id"]) for r in rebuilt.collect())
+    assert got == want and len(got) == emb.count()  # replay added nothing
+
+    cap = (2 * emb.count()) // 16
+    batch = emb.filter(F.col("vec_id") % 40 == 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    through_grown = sim.ivf_index_lookup(
+        batch, emb, cents_p, sim.ivf_index_cap(grown, cap), k=10, spread=False
+    )
+    one_shot = sim.ivf_batch_lookup(
+        emb, batch, k=10, list_cap=cap, spread=False,
+        centroids=cents_p.select("cid", "cv"),
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    a = sorted(through_grown.collect(), key=key)
+    b = sorted(one_shot.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b] and a
+
+
+def test_ivf_index_build_sqrt_default(spark, sf_dir):
+    """n_centroids=None applies the FAISS nlist ≈ √N rule: the
+    quantizer is seeded with ⌈√N⌉ centroids and still assigns every
+    corpus vector exactly once."""
+    import math
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cents, assign = sim.ivf_index_build(emb, n_centroids=None, spread=False)
+    want = math.isqrt(n - 1) + 1
+    assert cents.count() == want
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n

@@ -155,3 +155,59 @@ def test_registered_path_pins_absolute_cap(spark):
     # and the operator itself under the cap still yields zero pairs here
     # (every doc's tail shingles are unique, the hot shingles are pruned)
     assert dd.ngram_jaccard_pairs(docs, threshold=0.0, df_cap=cap).count() == 0
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """The growing MinHash index (r11): base index persisted, two
+    batches appended batch_id-partitioned (one replayed — a no-op),
+    and a lookup through base + appended rows equals a lookup through
+    an index rebuilt over the union corpus."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, f"totally unique document number {i} about topic {i} with many words "
+             f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    base = corpus.filter(F.col("doc_id") < 20)
+
+    def put(kind, rows, b):
+        (rows.withColumn("batch_id", F.lit(b))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(str(tmp_path / kind)))
+
+    sig0 = dd.minhash_signatures(base)
+    put("sig", sig0, 0)
+    put("bands", dd.minhash_bands(sig0), 0)
+    b1 = corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 25))
+    b2 = corpus.filter(F.col("doc_id") >= 25)
+    for b, batch in ((1, b1), (2, b2), (1, b1)):  # third write replays b1
+        s, bd = dd.minhash_index_append(batch)
+        put("sig", s, b)
+        put("bands", bd, b)
+    sig_p = spark.read.parquet(str(tmp_path / "sig")).select("doc_id", "i", "mh")
+    bands_p = spark.read.parquet(str(tmp_path / "bands")).select(
+        "doc_id", "band", "band_sig"
+    )
+    # copies of docs 18 and 27: one matches a base-indexed doc, one an
+    # APPENDED doc — the lookup must see both through the grown index
+    batch = corpus.filter(F.col("doc_id").isin([18, 27])).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in dd.minhash_lookup(batch, sig_p, bands_p, threshold=0.5).collect()
+    }
+    full_sig = dd.minhash_signatures(corpus)
+    want = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in dd.minhash_lookup(
+            batch, full_sig, dd.minhash_bands(full_sig), threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert {(118, 18), (127, 27)} <= set(got)
+    assert got[(118, 18)] == 1.0 and got[(127, 27)] == 1.0
+    # replay added no duplicate signature rows
+    assert sig_p.count() == full_sig.count()

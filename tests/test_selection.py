@@ -557,3 +557,124 @@ def test_trained_recall_bounds(spark, sf_dir):
         assert len(rows) == 8
         for r in rows:
             assert 0.0 <= r["recall"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Trained coarse quantizer (r11): full-dim Lloyd round — python
+# reference parity under both metrics, plus the persisted-PQ and
+# occupancy contracts
+# ---------------------------------------------------------------------------
+
+
+def _py_train_fulldim_round(vecs, seed_cents, metric, dim=64):
+    """One full-dimension Lloyd round (the operators/similarity
+    ivf_centroids_trained semantics in pure Python): assignment under
+    the index's metric (cos: max cosine, ties to smaller cid; l2: min
+    squared distance, ties to smaller cid) with sequential-fold
+    arithmetic matching the engine's codegen order, then exact
+    2^60-scaled integer mean updates; empty clusters keep seeds."""
+
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norms = {vid: math.sqrt(dot(v, v)) for vid, v in vecs.items()}
+    cnorm = {cid: math.sqrt(dot(c, c)) for cid, c in seed_cents.items()}
+    groups: dict[int, list] = {}
+    for vid, v in sorted(vecs.items()):
+        if metric == "cos":
+            best = max(
+                (dot(v, c) / (norms[vid] * cnorm[cid]), -cid)
+                for cid, c in seed_cents.items()
+            )
+            cid = -best[1]
+        else:
+            cid = min((d2(v, c), cid) for cid, c in seed_cents.items())[1]
+        groups.setdefault(cid, []).append(v)
+    new = {cid: list(cv) for cid, cv in seed_cents.items()}
+    for cid, members in groups.items():
+        for j in range(dim):
+            total = sum(_q60(m[j]) for m in members)
+            new[cid][j] = float(total) / _POW2_60_F / len(members)
+    return new
+
+
+@pytest.mark.parametrize("metric", ["cos", "l2"])
+def test_ivf_centroids_trained_matches_python_reference(spark, sf_dir, metric):
+    rows = _emb_rows()
+    vecs = {vid: [float(x) for x in v] for vid, v in rows}
+    seed = {cid: vecs[cid] for cid in range(16)}
+    want = _py_train_fulldim_round(vecs, seed, metric)
+    got = {
+        r["cid"]: list(r["cv"])
+        for r in sim.ivf_centroids_trained(
+            load_table(spark, sf_dir, "embeddings"), metric=metric, spread=False
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for cid in want:
+        assert all(_close(a, b) for a, b in zip(got[cid], want[cid])), cid
+
+
+def test_ivf_occupancy_contract(spark, sf_dir):
+    """q_ann_ivf_occupancy publishes one row per quantizer variant;
+    both variants assign the WHOLE corpus (n_vecs equal), and spread
+    is exactly max/mean. The trained-vs-seeded spread DELTA is
+    recorded in BASELINE.md as a measurement, not asserted — on a
+    tiny fixture one Lloyd round need not strictly dominate."""
+    from airflow_crypto_etl_spark.queries_selection import q_ann_ivf_occupancy
+
+    rows = {r["variant"]: r for r in q_ann_ivf_occupancy(spark, sf_dir).collect()}
+    assert set(rows) == {"seeded", "trained"}
+    n = load_table(spark, sf_dir, "embeddings").count()
+    for r in rows.values():
+        assert r["n_vecs"] == n
+        assert 1 <= r["n_lists"] <= 16
+        assert r["max_occ"] >= r["min_occ"] >= 1
+        assert _close(r["spread"], r["max_occ"] * r["n_lists"] / r["n_vecs"])
+
+
+def test_trained_coarse_recall_bounds(spark, sf_dir):
+    from airflow_crypto_etl_spark.queries_selection import (
+        q_ann_ivf_trained_recall,
+        q_ann_ivfpq_coarse_trained_recall,
+    )
+
+    for fn in (q_ann_ivf_trained_recall, q_ann_ivfpq_coarse_trained_recall):
+        rows = fn(spark, sf_dir).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_pq_index_roundtrip_matches_pq_topk(spark, sf_dir, tmp_path):
+    """pq_index_build → parquet → pq_index_lookup on in-corpus queries
+    must return byte-identical rows to the rebuild-per-call pq_topk
+    with the same trained codebook: the index columns are plain
+    double/bigint, so persistence cannot perturb a single rank or ADC
+    score."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codebook, codes = sim.pq_index_build(emb, trained=True)
+    codebook.write.parquet(str(tmp_path / "codebook"))
+    codes.write.parquet(str(tmp_path / "codes"))
+    cb_p = spark.read.parquet(str(tmp_path / "codebook"))
+    codes_p = spark.read.parquet(str(tmp_path / "codes"))
+    ids = [0, 1, 2, 3, 4, 5, 6, 7]
+    batch = emb.filter(F.col("vec_id").isin(ids))
+    persisted = sim.pq_index_lookup(batch, cb_p, codes_p, k=10)
+    rebuilt = sim.pq_topk(
+        emb, ids, k=10, codebook=sim.pq_codebook_trained(emb)
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = sorted(persisted.collect(), key=key)
+    want = sorted(rebuilt.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 80

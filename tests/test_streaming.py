@@ -589,3 +589,52 @@ def test_streaming_ann_ingest_matches_batch_lookup(spark, sf_dir, tmp_path):
     assert len(top) == new_vecs.count()
     for q, n in top.items():
         assert n == q - 1000000
+
+
+def test_streaming_ann_ingest_grows_index(spark, sf_dir, tmp_path):
+    """r11: with index_append_dir set, every micro-batch's vectors are
+    ALSO assigned into the index — the union of the base assign table
+    and the appended batch_id= partitions is row-identical to a
+    rebuild over the union corpus with the same quantizer, so the
+    index the NEXT day's ingest searches includes today's batches."""
+    import pyspark.sql.functions as F
+
+    from airflow_crypto_etl_spark.operators import similarity as sim
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.windows import streaming_ann_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents, assign = sim.ivf_index_build(emb, spread=False)
+    cents.write.parquet(str(tmp_path / "centroids"))
+    assign.write.parquet(str(tmp_path / "assign"))
+    cents_p = spark.read.parquet(str(tmp_path / "centroids"))
+    assign_p = spark.read.parquet(str(tmp_path / "assign"))
+
+    new_vecs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    src = str(tmp_path / "vec_stream")
+    for i in range(3):
+        new_vecs.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(new_vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    appended_dir = str(tmp_path / "assign_appended")
+    streaming_ann_ingest(
+        stream, emb, cents_p, assign_p, str(tmp_path / "ann_out"),
+        str(tmp_path / "ckpt"), k=5, index_append_dir=appended_dir,
+    )
+    appended = spark.read.parquet(appended_dir)
+    assert appended.select("batch_id").distinct().count() >= 3
+    grown = assign_p.unionByName(appended.select("cid", "vec_id"))
+    union_corpus = emb.unionByName(new_vecs)
+    _, rebuilt = sim.ivf_index_build(
+        union_corpus, spread=False, centroids=cents_p.select("cid", "cv")
+    )
+    got = sorted((r["cid"], r["vec_id"]) for r in grown.collect())
+    want = sorted((r["cid"], r["vec_id"]) for r in rebuilt.collect())
+    assert got == want and len(got) == union_corpus.count()
