@@ -1159,7 +1159,11 @@ def q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     staged = rk.ranked_ntile(
-        scored, [("quality_score", True), ("doc_id", True)], _CURR_STAGES, out="stage"
+        scored, [("quality_score", True), ("doc_id", True)], _CURR_STAGES,
+        out="stage", buckets=16,  # small explicit bucket count: the
+        # default (min(shuffle.partitions, 128)) builds a ~127-term
+        # bucket indicator expression — planning cost, not exactness
+        # (the ntile is exact at any bucket count)
     )
     fan = lp.epoch_upsample(staged, _EPOCH_REPS)
     return (

@@ -109,6 +109,12 @@ HEADLINE = [
     # the per-day corpus-drift JSD rollup (bounded-cell aggregate)
     "q_ann_index_lookup",
     "q_corpus_drift",
+    # round-11 additions: the GROWING index (base build + 2 appends +
+    # capped lookup through the grown table) and the persisted PQ
+    # index (trained codebook + corpus encode + parquet round-trip +
+    # batch-only ADC lookup)
+    "q_ann_index_append",
+    "q_ann_pq_index_lookup",
 ]
 
 
@@ -131,6 +137,28 @@ def _calibrate() -> float:
         return time.perf_counter() - t0
 
     return round(_st.median(spin() for _ in range(3)), 4)
+
+
+def _io_calibrate(spark, sf_dir: str) -> float:
+    """Fixed-work parquet-scan probe (r10 verdict item: the cpu spin
+    cannot see I/O noise — one sf1 window had scan slots 3-10× slower
+    at BETTER cpu calibration, costing nine full re-runs): median of 3
+    single-column sums over the run's own lineitem file. A slow value
+    with a clean cpu calibration_s marks a noisy-I/O window — re-run
+    and compose per-slot MIN instead of reading slot ratios as
+    regressions (adjudication rule recorded in BASELINE.md)."""
+    import statistics as _st
+
+    from pyspark.sql import functions as F
+
+    def scan() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).agg(
+            F.sum("l_extendedprice")
+        ).collect()
+        return time.perf_counter() - t0
+
+    return round(_st.median(scan() for _ in range(3)), 4)
 
 
 def main() -> None:
@@ -235,6 +263,10 @@ def main() -> None:
         # (see _calibrate); divide composites by (calibration_s /
         # CALIBRATION_REF_S from BASELINE.md) to deflate VM noise
         "calibration_s": _calibrate(),
+        # I/O-side witness: fixed parquet scan of this run's sf_dir
+        # (see _io_calibrate — separates disk/page-cache weather from
+        # cpu weather when adjudicating slot ratios)
+        "io_calibration_s": _io_calibrate(spark, sf_dir),
         "loadavg": loadavg,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

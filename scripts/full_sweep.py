@@ -136,11 +136,20 @@ def recover(sf: str, missing: list[str], tmp: str) -> dict:
     print(f"{len(missing)} names missing (dead shard?) — recovering: {missing}")
     fix = f"{tmp}/recover.json"
     with open(f"{tmp}/recover.log", "w") as log:
-        p = subprocess.run(
-            [sys.executable, "-u", str(ROOT / "scripts/driver_sim.py"),
-             sf, "--json", fix, *missing],
-            stdout=log, stderr=log, cwd=str(ROOT),
-        )
+        try:
+            # generous per-name budget: the failure mode recovery exists
+            # for is a heartbeat STALL, so an un-timeboxed retry that
+            # itself stalls would hang the sweep forever instead of
+            # exiting 1 (r10 ADVICE)
+            p = subprocess.run(
+                [sys.executable, "-u", str(ROOT / "scripts/driver_sim.py"),
+                 sf, "--json", fix, *missing],
+                stdout=log, stderr=log, cwd=str(ROOT),
+                timeout=600 + 300 * len(missing),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"recovery pass timed out — see {tmp}/recover.log")
+            return {}
     try:
         got = json.loads(pathlib.Path(fix).read_text())
     except Exception as ex:  # noqa: BLE001
