@@ -705,6 +705,40 @@ def ivf_index_cap(assign: DataFrame, list_cap: int) -> DataFrame:
     return assign.join(sizes.filter(F.col("__n") <= list_cap), "cid").drop("__n")
 
 
+def ivf_index_compact(
+    assign: DataFrame,
+    id_col: str = "vec_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """COMPACT a grown assign table back into a list-clustered base
+    layout — the maintenance half of the :func:`ivf_index_append`
+    contract. A year of daily ingest leaves the persisted index as
+    365 × shards of small ``batch_id=`` parquet partitions; every
+    lookup's inverted-list equi-join then opens all of them (the
+    classic small-file read amplification, and at 100 TB the file
+    listing alone dominates). Compaction is ONE shuffle of the
+    (cid, id) index rows — never the vectors — hash-clustered on the
+    list id and sorted within partitions, so a probed list maps to a
+    bounded, contiguous file set and parquet cid min/max row-group
+    stats make the probe join's scan selective.
+
+    Returns the compacted rows ready to publish as the NEW base
+    ``assign`` table (the caller writes to a fresh location and
+    atomically swaps — the dynamic-overwrite publish convention of
+    ``sinks/writers``). ``batch_id`` (and any other bookkeeping
+    column) is dropped: compaction CONSUMES the appended partitions,
+    so a batch replayed after the swap starts a fresh append epoch
+    rather than duplicating rows. Pure row-preserving re-layout —
+    lookup against the compacted table is row-identical to lookup
+    against the grown one (live-tested, and q_ann_index_compact pins
+    compact ≡ append ≡ rebuild through the shared lookup oracle)."""
+    out = assign.select("cid", id_col)
+    parts = num_partitions if num_partitions is not None else out.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    return out.repartition(int(parts), "cid").sortWithinPartitions("cid", id_col)
+
+
 def ivf_centroids_trained(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -1555,14 +1589,32 @@ def _pq_adc_search(
         )
         .select("query_id", "s", "cid", "d")
     )
+    # drow is a cid-KEYED map, not a position-indexed array: codes
+    # store the centroid's cid, and a codebook built on a base corpus
+    # (pq_index_append's frozen-book contract) need not have dense
+    # 0..n_cent-1 cids — positional indexing would silently read the
+    # wrong cell (or throw) the moment a seed id is absent.
     drows = (
         lut.groupBy("query_id", "s")
         .agg(F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("d")))).alias("_cd"))
-        .select("query_id", "s", F.transform(F.col("_cd"), lambda e: e["d"]).alias("drow"))
+        .select(
+            "query_id",
+            "s",
+            F.map_from_entries(
+                F.transform(F.col("_cd"), lambda e: F.struct(e["cid"], e["d"]))
+            ).alias("drow"),
+        )
     )
     tbl = (
         drows.groupBy("query_id")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("drow")))).alias("_sd"))
+        .agg(
+            # comparator form: structs holding a MAP are not orderable,
+            # so sort on the subspace index alone
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("drow"))),
+                lambda a, b: (a["s"] - b["s"]).cast("int"),
+            ).alias("_sd")
+        )
         .select("query_id", F.transform(F.col("_sd"), lambda e: e["drow"]).alias("tbl"))
     )
     adc = F.aggregate(
@@ -1571,7 +1623,7 @@ def _pq_adc_search(
         lambda acc, s: acc
         + F.element_at(
             F.element_at(F.col("tbl"), s + 1),
-            F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+            F.element_at(F.col("codes"), s + 1),
         ),
     )
     scored = (
@@ -1618,8 +1670,46 @@ def pq_index_build(
     codebook = cb.select(F.explode("cb").alias("e")).select(
         F.col("e.cid").alias("cid"), F.col("e.cv").alias("cv")
     )
-    codes = pq_encode(emb, n_sub, n_cent, dim, id_col, vec_col, codebook=cb)
+    codes = pq_index_append(emb, codebook, n_sub, dim, id_col, vec_col)
     return codebook, codes
+
+
+def pq_index_append(
+    batch: DataFrame,
+    codebook: DataFrame,
+    n_sub: int = PQ_SUB,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GROW the persisted PQ index: encode ONLY an ingest batch
+    against the stored plain-column ``(cid, cv)`` codebook and return
+    its (id, codes) rows, ready to append to the persisted ``codes``
+    table — the PQ twin of :func:`ivf_index_append` /
+    ``dedup.minhash_index_append``, completing the growing-index
+    contract for all three persisted index families. The codebook is
+    FROZEN at build time (a per-batch retrain would silently re-key
+    every previously stored code — the reason real PQ deployments
+    version the codebook); per-batch cost is the batch's map-only
+    :func:`pq_encode` pass against the broadcast book, zero shuffle,
+    the corpus never touched.
+
+    Persistence contract (the streaming_cms idempotence pattern): the
+    caller writes these rows ``batch_id=``-partitioned with dynamic
+    partition overwrite, so a replayed batch overwrites exactly its
+    own partition — a no-op. :func:`pq_index_build`'s corpus encode
+    pass IS this function applied to the whole corpus, so build and
+    append cannot drift; lookup against base + appended partitions is
+    row-identical to a rebuild over the union corpus with the same
+    codebook (q_ann_pq_index_append pins this through the
+    union-corpus oracle)."""
+    packed = codebook.select(
+        F.col("cid"), _to_double(F.col("cv")).alias("cv")
+    ).agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("cb"))
+    n_cent_live = 0  # pq_encode sizes nothing off n_cent when a codebook is given
+    return pq_encode(
+        batch, n_sub, n_cent_live, dim, id_col, vec_col, codebook=packed
+    )
 
 
 def pq_index_lookup(

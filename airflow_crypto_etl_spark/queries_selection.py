@@ -1132,6 +1132,138 @@ ORACLE_ANN_PQ_INDEX_LOOKUP = _pq_adc_oracle(
 )
 
 
+# ---------------------------------------------------------------------------
+# Growing the persisted PQ index — pq_index_append (r11: the PQ side of
+# the r10-item-2 growing-index contract; IVF and MinHash landed first)
+# ---------------------------------------------------------------------------
+
+PQ_APPEND_RES = (31, 32)  # the two id-slices appended after the base build
+PQ_APPEND_LOOKUP_RESIDUE = 5
+PQ_APPEND_LOOKUP_SHIFT = 6000000
+
+
+def q_ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROWING-PQ-index ingest loop end-to-end: build the
+    (codebook, codes) pair over the corpus MINUS two id-slices,
+    persist it, append each held-out slice with
+    operators/similarity.pq_index_append into its own ``batch_id=``
+    parquet partition (dynamic overwrite — a replayed batch is a
+    no-op), and ADC-search a new batch against base + appended codes.
+    The codebook is FROZEN at build (the seeded book, so base and
+    union corpora agree on it by construction — codebook QUALITY is
+    pinned separately by q_ann_pq_index_lookup's trained chain); the
+    oracle encodes the FULL union corpus directly, so this
+    registration green PROVES append ≡ rebuild for the PQ side,
+    completing the growing-index contract across all three persisted
+    index families (IVF, MinHash, PQ)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % IVF_BATCH_MOD).isin(list(PQ_APPEND_RES)))
+    codebook, codes0 = sim.pq_index_build(base, trained=False)
+    root = _ivf_index_root(sf_dir, "pq_append")
+    codebook.write.mode("overwrite").parquet(str(root / "codebook"))
+    cb_p = spark.read.parquet(str(root / "codebook"))
+    for b, rows in enumerate(
+        [codes0]
+        + [
+            sim.pq_index_append(
+                emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cb_p
+            )
+            for r in PQ_APPEND_RES
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(root / "codes"))
+        )
+    grown = spark.read.parquet(str(root / "codes")).select("vec_id", "codes")
+    batch = emb.filter(
+        F.col("vec_id") % IVF_BATCH_MOD == PQ_APPEND_LOOKUP_RESIDUE
+    ).select((F.col("vec_id") + PQ_APPEND_LOOKUP_SHIFT).alias("vec_id"), "embedding")
+    return sim.pq_index_lookup(batch, cb_p, grown, k=10)
+
+
+ORACLE_ANN_PQ_INDEX_APPEND = _pq_adc_oracle(
+    _PQ_SEED_CB,
+    lut_body=(
+        f"SELECT vec_id + {PQ_APPEND_LOOKUP_SHIFT} AS query_id, s, cid, d2 "
+        f"FROM d WHERE vec_id % {IVF_BATCH_MOD} = {PQ_APPEND_LOOKUP_RESIDUE}"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# Compacting the grown IVF index — ivf_index_compact (r11: the
+# maintenance half of the append contract; a year of daily appends is
+# the small-file problem at 100 TB)
+# ---------------------------------------------------------------------------
+
+IVF_COMPACT_RES = (25, 26)  # id-slices appended, then compacted away
+IVF_COMPACT_LOOKUP_RESIDUE = 6
+IVF_COMPACT_LOOKUP_SHIFT = 7000000
+
+
+def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index MAINTENANCE cycle end-to-end: build the IVF
+    index over the corpus MINUS two id-slices, grow it by appending
+    each slice batch_id-partitioned (the q_ann_index_append loop),
+    then COMPACT the grown table with
+    operators/similarity.ivf_index_compact — one shuffle of the
+    (cid, id) index rows into a list-clustered, within-partition-
+    sorted layout published to a fresh location (batch_id consumed,
+    so the append epoch resets) — and search a new batch against the
+    COMPACTED index. The oracle assigns the full union corpus
+    directly (the shared _ivf_lookup_oracle body), so this
+    registration green PROVES compact ≡ append ≡ rebuild: compaction
+    is pure re-layout, and the lookup plan gets back the bounded
+    file-set-per-list read pattern that daily small-file appends
+    erode at scale."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % IVF_BATCH_MOD).isin(list(IVF_COMPACT_RES)))
+    cents, assign0 = sim.ivf_index_build(
+        base, n_centroids=IVF_BATCH_CENTROIDS, spread=False
+    )
+    root = _ivf_index_root(sf_dir, "ivf_compact")
+    cents.write.mode("overwrite").parquet(str(root / "centroids"))
+    cents_p = spark.read.parquet(str(root / "centroids"))
+    for b, rows in enumerate(
+        [assign0]
+        + [
+            sim.ivf_index_append(
+                emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cents_p, spread=False
+            )
+            for r in IVF_COMPACT_RES
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(root / "assign"))
+        )
+    grown = spark.read.parquet(str(root / "assign"))
+    sim.ivf_index_compact(grown).write.mode("overwrite").parquet(
+        str(root / "assign_compacted")
+    )
+    compacted = spark.read.parquet(str(root / "assign_compacted"))
+    cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
+    capped = sim.ivf_index_cap(compacted, cap)
+    batch = emb.filter(
+        F.col("vec_id") % IVF_BATCH_MOD == IVF_COMPACT_LOOKUP_RESIDUE
+    ).select((F.col("vec_id") + IVF_COMPACT_LOOKUP_SHIFT).alias("vec_id"), "embedding")
+    return sim.ivf_index_lookup(
+        batch, emb, cents_p, capped, k=10, n_probe=4, spread=False
+    )
+
+
+ORACLE_ANN_INDEX_COMPACT = _ivf_lookup_oracle(
+    residue=IVF_COMPACT_LOOKUP_RESIDUE, shift=IVF_COMPACT_LOOKUP_SHIFT
+)
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -1155,6 +1287,8 @@ QUERIES_SELECTION = {
     "q_ann_ivfpq_coarse_trained": q_ann_ivfpq_coarse_trained,
     "q_ann_ivfpq_coarse_trained_recall": q_ann_ivfpq_coarse_trained_recall,
     "q_ann_pq_index_lookup": q_ann_pq_index_lookup,
+    "q_ann_pq_index_append": q_ann_pq_index_append,
+    "q_ann_index_compact": q_ann_index_compact,
 }
 
 ORACLE_SELECTION = {
@@ -1180,4 +1314,6 @@ ORACLE_SELECTION = {
     "q_ann_ivfpq_coarse_trained": ORACLE_ANN_IVFPQ_COARSE_TRAINED,
     "q_ann_ivfpq_coarse_trained_recall": ORACLE_ANN_IVFPQ_COARSE_TRAINED_RECALL,
     "q_ann_pq_index_lookup": ORACLE_ANN_PQ_INDEX_LOOKUP,
+    "q_ann_pq_index_append": ORACLE_ANN_PQ_INDEX_APPEND,
+    "q_ann_index_compact": ORACLE_ANN_INDEX_COMPACT,
 }

@@ -129,6 +129,10 @@ _PRODUCT_OK = {
     "q_ann_ivfpq_coarse_trained_recall",  # + the broadcast exact-L2 scan
     "q_ann_pq_index_lookup",  # corpus codes x broadcast batch ADC LUTs
                               # + the trainer's corpus x 1-row seed book
+    "q_ann_pq_index_append",  # base/batch encode x broadcast 1-row frozen
+                              # book + grown codes x broadcast batch LUTs
+    "q_ann_index_compact",    # base/batch x broadcast 16-row centroid
+                              # table (compacted lists ride the equi-join)
 }
 
 

@@ -678,3 +678,108 @@ def test_pq_index_roundtrip_matches_pq_topk(spark, sf_dir, tmp_path):
     want = sorted(rebuilt.collect(), key=key)
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(got) == 80
+
+
+def test_pq_index_append_equals_rebuild_and_replay_noop(spark, sf_dir, tmp_path):
+    """The growing-PQ-index contract (q_ann_pq_index_append's live
+    twin): lookup against base + two appended batch_id partitions is
+    row-identical to a rebuild over the union corpus with the same
+    frozen codebook, and REPLAYING an appended batch (dynamic
+    partition overwrite of its own batch_id) leaves the codes table's
+    row set unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % 10).isin([7, 8]))
+    codebook, codes0 = sim.pq_index_build(base, trained=False)
+    codebook.write.parquet(str(tmp_path / "codebook"))
+    cb_p = spark.read.parquet(str(tmp_path / "codebook"))
+    codes_dir = str(tmp_path / "codes")
+
+    def write_batch(rows, b):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(codes_dir)
+        )
+
+    write_batch(codes0, 0)
+    slices = [emb.filter(F.col("vec_id") % 10 == r) for r in (7, 8)]
+    for b, sl in enumerate(slices, start=1):
+        write_batch(sim.pq_index_append(sl, cb_p), b)
+    grown = spark.read.parquet(codes_dir).select("vec_id", "codes")
+    ids = [0, 1, 2, 3]
+    batch = emb.filter(F.col("vec_id").isin(ids))
+    appended = sim.pq_index_lookup(batch, cb_p, grown, k=10)
+    # rebuild over the UNION corpus with the SAME frozen book (the
+    # append contract: the codebook is versioned with the index, so a
+    # rebuild re-encodes everything against it rather than re-seeding)
+    codes_union = sim.pq_index_append(emb, cb_p)
+    rebuilt = sim.pq_index_lookup(batch, cb_p, codes_union, k=10)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = sorted(appended.collect(), key=key)
+    want = sorted(rebuilt.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 40
+    # replayed batch is a no-op on the stored row set
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(codes_dir).select("vec_id", "codes").collect()
+    )
+    write_batch(sim.pq_index_append(slices[0], cb_p), 1)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(codes_dir).select("vec_id", "codes").collect()
+    )
+    assert before == after
+
+
+def test_ivf_index_compact_is_pure_relayout(spark, sf_dir, tmp_path):
+    """ivf_index_compact consumes batch_id and preserves the exact
+    (cid, vec_id) row multiset of the grown table, and lookup against
+    the compacted index is row-identical to lookup against the grown
+    one — compaction is pure re-layout (the small-file maintenance
+    half of the append contract)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % 10).isin([3, 4]))
+    cents, assign0 = sim.ivf_index_build(base, n_centroids=16, spread=False)
+    cents.write.parquet(str(tmp_path / "centroids"))
+    cents_p = spark.read.parquet(str(tmp_path / "centroids"))
+    assign_dir = str(tmp_path / "assign")
+    for b, rows in enumerate(
+        [assign0]
+        + [
+            sim.ivf_index_append(
+                emb.filter(F.col("vec_id") % 10 == r), cents_p, spread=False
+            )
+            for r in (3, 4)
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(assign_dir)
+        )
+    grown = spark.read.parquet(assign_dir)
+    sim.ivf_index_compact(grown).write.parquet(str(tmp_path / "compacted"))
+    compacted = spark.read.parquet(str(tmp_path / "compacted"))
+    assert set(compacted.columns) == {"cid", "vec_id"}
+    grown_rows = sorted((r["cid"], r["vec_id"]) for r in grown.collect())
+    comp_rows = sorted((r["cid"], r["vec_id"]) for r in compacted.collect())
+    assert grown_rows == comp_rows
+    batch = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    via_grown = sorted(
+        sim.ivf_index_lookup(
+            batch, emb, cents_p, grown.select("cid", "vec_id"), k=10, spread=False
+        ).collect(),
+        key=key,
+    )
+    via_comp = sorted(
+        sim.ivf_index_lookup(batch, emb, cents_p, compacted, k=10, spread=False).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in via_grown] == [tuple(r) for r in via_comp]
+    assert len(via_comp) > 0
