@@ -696,6 +696,35 @@ def main() -> None:
         }
         shutil.rmtree(tmp_ap, ignore_errors=True)
 
+    # Index COMPACT (r11): grown assign table ×N — compaction is one
+    # hash shuffle + within-partition sort of the (cid, id) index rows
+    # (never the vectors), so the design bound is LINEAR in the index
+    # row count. Super-linear growth here would mean the re-layout
+    # started sorting globally or touching vectors.
+    if want("ivf_compact_corpus"):
+        import shutil
+        import tempfile
+
+        tmp_cp = tempfile.mkdtemp(prefix="ivf_cp_probe_")
+        big_corpus_cp = inflate(emb, ["vec_id"], INFLATE)
+        sp_cp = emb.sparkSession
+        for tag, corp in (("s", emb), ("b", big_corpus_cp)):
+            cents, assign = sim.ivf_index_build(corp, n_centroids=16, spread=False)
+            # persist the grown table UNTIMED (compaction's input is the
+            # stored index, not a derivation from the corpus)
+            assign.withColumn("batch_id", F.lit(0)).write.mode("overwrite").partitionBy(
+                "batch_id"
+            ).parquet(f"{tmp_cp}/{tag}")
+        cp_small = sim.ivf_index_compact(sp_cp.read.parquet(f"{tmp_cp}/s"))
+        cp_big = sim.ivf_index_compact(sp_cp.read.parquet(f"{tmp_cp}/b"))
+        cp_small.count()  # warm
+        t0 = time.perf_counter(); cp_small.count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); cp_big.count(); tn = time.perf_counter() - t0
+        results["ivf_compact_corpus"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+        shutil.rmtree(tmp_cp, ignore_errors=True)
+
     # Winnowing pair join under degenerate duplication (r9): GROUPS
     # groups of D=30 identical docs — every fingerprint's df is 30,
     # above the df_cap of 20, so the cap drops ALL of them WHOLESALE
