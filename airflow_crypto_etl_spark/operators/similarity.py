@@ -739,6 +739,66 @@ def ivf_index_compact(
     return out.repartition(int(parts), "cid").sortWithinPartitions("cid", id_col)
 
 
+def ivf_index_stats(
+    assign: DataFrame,
+    list_cap: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-row HEALTH summary of a (possibly grown) persisted IVF
+    index — the maintenance signal that tells an operator WHEN to run
+    :func:`ivf_index_compact` (append-batch buildup) or retrain the
+    quantizer (occupancy skew): list count, vector count, max/min
+    occupancy, spread = max/mean (the q_ann_ivf_occupancy statistic),
+    how many lists a ``list_cap`` guard would wholesale-drop, and —
+    when the table carries the append bookkeeping ``batch_id`` column
+    — the number of append batches beyond base and the fraction of
+    vectors that arrived by append.
+
+    Scale shape: ONE partial-agg count over the (cid, id) index rows
+    (never the vectors) into a ≤ n_lists relation, then constant-size
+    aggregates; the batch-side agg is ≤ n_batches rows. Pure
+    introspection — reading the index's own tables is exactly why the
+    (centroids, assign) pair persists as plain parquet."""
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    over_cap = (
+        F.sum(F.when(F.col("n") > list_cap, 1).otherwise(0)).alias("n_lists_over_cap")
+        if list_cap is not None
+        else F.lit(0).cast("bigint").alias("n_lists_over_cap")
+    )
+    lists = sizes.agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.sum("n").alias("n_vecs"),
+        F.max("n").alias("max_occ"),
+        F.min("n").alias("min_occ"),
+        over_cap,
+    )
+    if "batch_id" in assign.columns:
+        batches = assign.groupBy("batch_id").agg(F.count(F.lit(1)).alias("bn")).agg(
+            (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_append_batches"),
+            F.sum(F.when(F.col("batch_id") != 0, F.col("bn")).otherwise(0)).alias(
+                "appended_vecs"
+            ),
+        )
+    else:
+        batches = assign.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n_append_batches"),
+            F.lit(0).cast("bigint").alias("appended_vecs"),
+        )
+    return lists.join(batches, F.lit(True)).select(
+        "n_lists",
+        "n_vecs",
+        "max_occ",
+        "min_occ",
+        (F.col("max_occ").cast("double") * F.col("n_lists") / F.col("n_vecs")).alias(
+            "spread"
+        ),
+        "n_lists_over_cap",
+        "n_append_batches",
+        "appended_vecs",
+        (F.col("appended_vecs").cast("double") / F.col("n_vecs")).alias("appended_frac"),
+    )
+
+
 def ivf_centroids_trained(
     emb: DataFrame,
     n_centroids: int = 16,

@@ -1264,6 +1264,88 @@ ORACLE_ANN_INDEX_COMPACT = _ivf_lookup_oracle(
 )
 
 
+# ---------------------------------------------------------------------------
+# Index health monitor — ivf_index_stats (r11: the maintenance signal
+# that closes the build → append → compact lifecycle)
+# ---------------------------------------------------------------------------
+
+IVF_HEALTH_RES = (27, 28)  # the two id-slices appended before the health read
+
+
+def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index MAINTENANCE signal (operators/similarity.
+    ivf_index_stats): build the IVF index over the corpus MINUS two
+    id-slices, grow it by appending each slice batch_id-partitioned,
+    then publish the one-row health summary an operator reads to
+    decide WHEN to compact (append-batch buildup: n_append_batches,
+    appended_frac) or retrain the quantizer (occupancy skew: spread,
+    n_lists_over_cap against the data-relative cap). Pure index-table
+    introspection — one partial-agg count over the (cid, id) rows plus
+    a ≤ n_batches agg; the vectors are never touched."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % IVF_BATCH_MOD).isin(list(IVF_HEALTH_RES)))
+    cents, assign0 = sim.ivf_index_build(
+        base, n_centroids=IVF_BATCH_CENTROIDS, spread=False
+    )
+    root = _ivf_index_root(sf_dir, "ivf_health")
+    cents.write.mode("overwrite").parquet(str(root / "centroids"))
+    cents_p = spark.read.parquet(str(root / "centroids"))
+    for b, rows in enumerate(
+        [assign0]
+        + [
+            sim.ivf_index_append(
+                emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cents_p, spread=False
+            )
+            for r in IVF_HEALTH_RES
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(root / "assign"))
+        )
+    grown = spark.read.parquet(str(root / "assign"))
+    cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
+    return sim.ivf_index_stats(grown, list_cap=cap)
+
+
+# the health oracle assigns the union corpus directly (seed quantizer
+# lives in the base by construction: seed ids < 16 are residues 0..15,
+# disjoint from the appended slices), then recomputes every statistic
+# from the assignment and the slice arithmetic.
+ORACLE_ANN_INDEX_HEALTH = f"""
+WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+v AS (SELECT vec_id, ve, {_norm_sql('ve')} AS nrm FROM v0),
+c AS (SELECT vec_id AS cid, ve AS cv, nrm AS cn FROM v WHERE vec_id < {IVF_BATCH_CENTROIDS}),
+ascored AS (
+  SELECT v.vec_id, cid, {_dot_sql('ve', 'cv')} / (nrm * cn) AS cosc FROM v CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cid ASC) AS rn FROM ascored)
+  WHERE rn = 1),
+cap AS (SELECT (2 * count(*)) // {IVF_BATCH_CENTROIDS} AS cap FROM embeddings),
+sizes AS (SELECT cid, count(*) AS n FROM assign GROUP BY cid),
+lists AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_lists, CAST(sum(n) AS BIGINT) AS n_vecs,
+         CAST(max(n) AS BIGINT) AS max_occ, CAST(min(n) AS BIGINT) AS min_occ,
+         CAST(sum(CASE WHEN n > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_lists_over_cap
+  FROM sizes CROSS JOIN cap),
+b AS (
+  SELECT CAST(count(DISTINCT CASE WHEN vec_id % {IVF_BATCH_MOD} IN {IVF_HEALTH_RES}
+                                  THEN vec_id % {IVF_BATCH_MOD} END) AS BIGINT) AS n_append_batches,
+         CAST(sum(CASE WHEN vec_id % {IVF_BATCH_MOD} IN {IVF_HEALTH_RES} THEN 1 ELSE 0 END) AS BIGINT) AS appended_vecs
+  FROM embeddings)
+SELECT n_lists, n_vecs, max_occ, min_occ,
+       CAST(max_occ AS DOUBLE) * n_lists / n_vecs AS spread,
+       n_lists_over_cap, n_append_batches, appended_vecs,
+       CAST(appended_vecs AS DOUBLE) / n_vecs AS appended_frac
+FROM lists CROSS JOIN b
+"""
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -1289,6 +1371,7 @@ QUERIES_SELECTION = {
     "q_ann_pq_index_lookup": q_ann_pq_index_lookup,
     "q_ann_pq_index_append": q_ann_pq_index_append,
     "q_ann_index_compact": q_ann_index_compact,
+    "q_ann_index_health": q_ann_index_health,
 }
 
 ORACLE_SELECTION = {
@@ -1316,4 +1399,5 @@ ORACLE_SELECTION = {
     "q_ann_pq_index_lookup": ORACLE_ANN_PQ_INDEX_LOOKUP,
     "q_ann_pq_index_append": ORACLE_ANN_PQ_INDEX_APPEND,
     "q_ann_index_compact": ORACLE_ANN_INDEX_COMPACT,
+    "q_ann_index_health": ORACLE_ANN_INDEX_HEALTH,
 }

@@ -133,6 +133,8 @@ _PRODUCT_OK = {
                               # book + grown codes x broadcast batch LUTs
     "q_ann_index_compact",    # base/batch x broadcast 16-row centroid
                               # table (compacted lists ride the equi-join)
+    "q_ann_index_health",     # base/batch x broadcast 16-row centroid
+                              # table + 1-row list-stats x 1-row batch-stats
 }
 
 

@@ -783,3 +783,51 @@ def test_ivf_index_compact_is_pure_relayout(spark, sf_dir, tmp_path):
     )
     assert [tuple(r) for r in via_grown] == [tuple(r) for r in via_comp]
     assert len(via_comp) > 0
+
+
+def test_ivf_index_stats_arithmetic(spark, sf_dir, tmp_path):
+    """ivf_index_stats recomputes exactly: n_vecs = corpus size,
+    appended_vecs = the appended slices' row count, n_append_batches =
+    batches beyond base, spread = max*lists/vecs; and a table WITHOUT
+    batch_id (a compacted base) reports zero append bookkeeping."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % 10).isin([6, 9]))
+    cents, assign0 = sim.ivf_index_build(base, n_centroids=16, spread=False)
+    cents.write.parquet(str(tmp_path / "centroids"))
+    cents_p = spark.read.parquet(str(tmp_path / "centroids"))
+    assign_dir = str(tmp_path / "assign")
+    for b, rows in enumerate(
+        [assign0]
+        + [
+            sim.ivf_index_append(
+                emb.filter(F.col("vec_id") % 10 == r), cents_p, spread=False
+            )
+            for r in (6, 9)
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(assign_dir)
+        )
+    grown = spark.read.parquet(assign_dir)
+    n = emb.count()
+    napp = emb.filter((F.col("vec_id") % 10).isin([6, 9])).count()
+    cap = (2 * n) // 16
+    row = sim.ivf_index_stats(grown, list_cap=cap).collect()[0]
+    assert row["n_vecs"] == n
+    assert row["appended_vecs"] == napp
+    assert row["n_append_batches"] == 2
+    assert math.isclose(row["appended_frac"], napp / n, rel_tol=1e-12)
+    assert math.isclose(
+        row["spread"], row["max_occ"] * row["n_lists"] / row["n_vecs"], rel_tol=1e-12
+    )
+    assert row["n_lists_over_cap"] == 0 and 1 <= row["n_lists"] <= 16
+    # compacted (no batch_id) → zero append bookkeeping, same list stats
+    comp = sim.ivf_index_stats(sim.ivf_index_compact(grown), list_cap=cap).collect()[0]
+    assert comp["n_append_batches"] == 0 and comp["appended_vecs"] == 0
+    assert (comp["n_lists"], comp["n_vecs"], comp["max_occ"], comp["min_occ"]) == (
+        row["n_lists"], row["n_vecs"], row["max_occ"], row["min_occ"]
+    )
