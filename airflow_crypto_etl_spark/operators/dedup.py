@@ -434,6 +434,123 @@ def minhash_lookup(
     return est.select("new_id", "corpus_id", "est_jaccard")
 
 
+def minhash_index_stats(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row HEALTH summary of a (possibly grown) persisted MinHash
+    ``bands`` table — the dedup twin of
+    ``operators.similarity.ivf_index_stats``, the maintenance signal
+    that tells an operator WHEN to compact the index (append-batch
+    buildup from the ``batch_id`` bookkeeping) or re-tune the banding
+    (bucket skew: a hot (band, band_sig) bucket means the shingle
+    space collapsed there — near-constant documents, boilerplate — and
+    every lookup that touches it pays the bucket's full candidate
+    fan-out, the exact pathology ``bucket_cap`` guards in the
+    hard-negative miner): bucket count, band-row count, doc count
+    (rows / B — each signed doc contributes exactly one row per
+    band), max bucket occupancy, spread = max·buckets/rows, the count
+    of HOT buckets (occupancy > 2× mean, the data-relative threshold
+    so the signal fires at every scale factor), and append-batch
+    count / appended row fraction when ``batch_id`` is present.
+
+    Scale shape: ONE partial-agg count over the (band, band_sig, doc)
+    index rows — never the documents — into a ≤ buckets relation
+    (cached: it feeds both the totals and the hot-bucket count), then
+    constant-size aggregates; the batch-side agg is ≤ n_batches rows.
+    Pure introspection of the index's own tables."""
+    sizes = register_cache(
+        bands.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_occ"),
+    )
+    hot = (
+        sizes.join(F.broadcast(tot), F.lit(True))
+        .filter(
+            F.col("n").cast("double") > 2.0 * F.col("n_rows") / F.col("n_buckets")
+        )
+        .agg(F.count(F.lit(1)).alias("n_hot_buckets"))
+    )
+    if "batch_id" in bands.columns:
+        batches = bands.groupBy("batch_id").agg(F.count(F.lit(1)).alias("bn")).agg(
+            F.sum(F.when(F.col("batch_id") != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_append_batches"),
+            F.sum(F.when(F.col("batch_id") != 0, F.col("bn")).otherwise(0))
+            .cast("bigint")
+            .alias("appended_rows"),
+        )
+    else:
+        batches = bands.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n_append_batches"),
+            F.lit(0).cast("bigint").alias("appended_rows"),
+        )
+    return (
+        tot.join(hot, F.lit(True))
+        .join(batches, F.lit(True))
+        .select(
+            "n_buckets",
+            "n_rows",
+            (F.col("n_rows") / F.lit(MINHASH_B)).cast("bigint").alias("n_docs"),
+            "max_occ",
+            (
+                F.col("max_occ").cast("double") * F.col("n_buckets") / F.col("n_rows")
+            ).alias("spread"),
+            "n_hot_buckets",
+            "n_append_batches",
+            "appended_rows",
+            (F.col("appended_rows").cast("double") / F.col("n_rows")).alias(
+                "appended_frac"
+            ),
+        )
+    )
+
+
+def minhash_index_compact(
+    sig: DataFrame,
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """COMPACT a grown (sig, bands) MinHash index back into
+    join-clustered base layouts — the maintenance half of the
+    :func:`minhash_index_append` contract and the dedup twin of
+    ``operators.similarity.ivf_index_compact``. A year of daily
+    appends leaves both index tables as hundreds of small
+    ``batch_id=`` parquet partitions; every :func:`minhash_lookup`
+    then opens all of them for BOTH of its joins (the candidate
+    (band, band_sig) equi-join and the per-minhash estimation join) —
+    the small-file read amplification problem, and at 100 TB the file
+    listing alone dominates. Compaction is ONE shuffle per table of
+    the INDEX rows — never the documents: bands hash-clustered on its
+    (band, band_sig) join key and sig on its (doc) join key, each
+    sorted within partitions so parquet min/max row-group stats make
+    the lookup's probe joins selective.
+
+    Returns both compacted row sets ready to publish as the NEW base
+    tables (fresh location + atomic swap, the ivf_index_compact
+    publish convention). ``batch_id`` and any other bookkeeping
+    columns are dropped: compaction CONSUMES the appended partitions,
+    so the append epoch resets. Pure row-preserving re-layout —
+    lookup against the compacted pair is row-identical to lookup
+    against the grown one (q_dedup_index_compact pins compact ≡
+    append ≡ rebuild through the union-corpus oracle)."""
+    parts = num_partitions if num_partitions is not None else int(
+        sig.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sig_c = (
+        sig.select(id_col, "i", "mh")
+        .repartition(parts, id_col)
+        .sortWithinPartitions(id_col, "i")
+    )
+    bands_c = (
+        bands.select(id_col, "band", "band_sig")
+        .repartition(parts, "band", "band_sig")
+        .sortWithinPartitions("band", "band_sig", id_col)
+    )
+    return sig_c, bands_c
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:

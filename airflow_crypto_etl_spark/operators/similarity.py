@@ -799,6 +799,56 @@ def ivf_index_stats(
     )
 
 
+def ivf_index_retrain(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    list_cap: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spread: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """RETRAIN the persisted IVF index — the maintenance ACTION that
+    :func:`ivf_index_stats`' occupancy-skew signal calls for (high
+    ``spread`` / ``n_lists_over_cap`` means the quantizer no longer
+    fits the corpus the appends grew it into; r10's measured finding
+    was that the seeded quantizer, not the residual book, binds
+    recall): train the coarse quantizer over the CURRENT corpus with
+    :func:`ivf_centroids_trained` (one exact full-dim Lloyd round
+    under the index's own cosine metric) and rebuild the
+    (centroids, assign) pair under it via :func:`ivf_index_build`.
+    The caller publishes the new pair to a FRESH versioned location
+    and atomically swaps (the :func:`ivf_index_compact` publish
+    convention) — retraining re-keys every stored list, so the old
+    pair stays live for readers until the swap, and the append epoch
+    resets (``batch_id`` consumed).
+
+    Cost shape: retraining is inherently a corpus-scale pass — every
+    vector re-assigns under the new quantizer (the FAISS retrain
+    contract) — but each pass is the build's map-side
+    broadcast-centroid product plus ONE partial-agg shuffle of
+    (id, cid) pairs, run twice (Lloyd round, final assign); the
+    vectors never shuffle and driver state stays the bounded
+    dim·n_centroids cell collect. Run it when the health monitor says
+    so, not per batch."""
+    trained = ivf_centroids_trained(
+        emb,
+        n_centroids=n_centroids,
+        metric="cos",
+        id_col=id_col,
+        vec_col=vec_col,
+        spread=spread,
+    )
+    return ivf_index_build(
+        emb,
+        n_centroids=n_centroids,
+        list_cap=list_cap,
+        id_col=id_col,
+        vec_col=vec_col,
+        spread=spread,
+        centroids=trained,
+    )
+
+
 def ivf_centroids_trained(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -1799,6 +1849,70 @@ def pq_index_lookup(
     )
     cents = codebook.select(F.col("cid"), _to_double(F.col("cv")).alias("cv"))
     return _pq_adc_search(codes, queries, cents, n_sub, dim // n_sub, k, id_col)
+
+
+def pq_index_stats(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """One-row HEALTH summary of a (possibly grown) persisted PQ
+    ``codes`` table — the PQ twin of :func:`ivf_index_stats`, the
+    maintenance signal that tells an operator WHEN to retrain the
+    codebook (code-space collapse: few distinct codes in use per
+    subspace, or one code absorbing most of a subspace — the PQ
+    analogue of IVF occupancy skew; a collapsed subspace quantizes
+    every vector to the same cell, so ADC distances lose that
+    subspace's discrimination entirely) or compact (append-batch
+    buildup from the ``batch_id`` bookkeeping, exactly as on the IVF
+    side): vector count, subspace count, the min/max over subspaces
+    of distinct codes in use, the worst single-code concentration
+    max_code_frac = max over (subspace, code) of count/n_vecs, and —
+    when the table carries ``batch_id`` — append-batch count and
+    appended fraction.
+
+    Scale shape: ONE posexplode projection of the (id, codes) rows
+    (n_sub · 8-byte codes, never the vectors) into a partial-agg
+    count with ≤ n_sub·n_cent post-shuffle rows, then constant-size
+    aggregates; the batch-side agg is ≤ n_batches rows. Pure
+    introspection of the index's own parquet tables."""
+    per = (
+        codes.select(F.posexplode("codes").alias("s", "code"))
+        .groupBy("s", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pers = per.groupBy("s").agg(
+        F.count(F.lit(1)).alias("used"), F.max("n").alias("mx")
+    )
+    summary = codes.agg(F.count(F.lit(1)).alias("n_vecs")).join(
+        pers.agg(
+            F.count(F.lit(1)).alias("n_sub"),
+            F.min("used").alias("codes_used_min"),
+            F.max("used").alias("codes_used_max"),
+            F.max("mx").alias("_mxn"),
+        ),
+        F.lit(True),
+    )
+    if "batch_id" in codes.columns:
+        batches = codes.groupBy("batch_id").agg(F.count(F.lit(1)).alias("bn")).agg(
+            F.sum(F.when(F.col("batch_id") != 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_append_batches"),
+            F.sum(F.when(F.col("batch_id") != 0, F.col("bn")).otherwise(0))
+            .cast("bigint")
+            .alias("appended_vecs"),
+        )
+    else:
+        batches = codes.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n_append_batches"),
+            F.lit(0).cast("bigint").alias("appended_vecs"),
+        )
+    return summary.join(batches, F.lit(True)).select(
+        "n_vecs",
+        "n_sub",
+        "codes_used_min",
+        "codes_used_max",
+        (F.col("_mxn").cast("double") / F.col("n_vecs")).alias("max_code_frac"),
+        "n_append_batches",
+        "appended_vecs",
+        (F.col("appended_vecs").cast("double") / F.col("n_vecs")).alias("appended_frac"),
+    )
 
 
 def l2_topk(

@@ -420,6 +420,172 @@ SELECT new_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
 ORACLE_DEDUP_INDEX_APPEND = _minhash_append_oracle()
 
 
+# ---------------------------------------------------------------------------
+# MinHash index health monitor — minhash_index_stats (r11: the dedup
+# twin of ivf_index_stats, completing the health signal across the
+# persisted index families)
+# ---------------------------------------------------------------------------
+
+DEDUP_HEALTH_RES = (9, 19)  # %20 slices appended before the health read
+
+
+def q_dedup_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-index MAINTENANCE signal (operators/dedup.
+    minhash_index_stats): build the bands index over the corpus MINUS
+    the doc_id % 10 == 9 slice, grow it by appending that slice in two
+    batches (operators/dedup.minhash_index_append) with batch_id
+    bookkeeping, then publish the one-row health summary an operator
+    reads to decide WHEN to compact (append-batch buildup:
+    n_append_batches, appended_frac) or re-tune the banding (bucket
+    skew: spread, n_hot_buckets — occupancy > 2× mean, the
+    data-relative threshold). Pure index-table introspection — one
+    partial-agg count over the (band, band_sig, doc) rows plus a
+    ≤ n_batches agg; the documents are never re-shingled for the
+    read."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 9)
+    grown = dd.minhash_bands(dd.minhash_signatures(base)).withColumn(
+        "batch_id", F.lit(0)
+    )
+    for b, r in enumerate(DEDUP_HEALTH_RES, start=1):
+        _, bands_b = dd.minhash_index_append(docs.filter(F.col("doc_id") % 20 == r))
+        grown = grown.unionByName(bands_b.withColumn("batch_id", F.lit(b)))
+    return dd.minhash_index_stats(grown)
+
+
+def _minhash_health_oracle() -> str:
+    """Bands over the FULL corpus (base ∪ appended = every document —
+    signatures are per-doc), then the stats recomputed directly:
+    bucket sizes, totals, the >2×-mean hot-bucket count, and the
+    append bookkeeping from the slice arithmetic (appended docs are
+    exactly doc_id % 10 == 9; batch count = distinct %20 residues
+    present among the appended slices — computed over bands so a
+    slice of shingle-less docs counts as absent, matching the engine's
+    batch_id accounting)."""
+    weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
+    return f"""
+WITH {_TOKH_CTES},
+sig AS (
+  SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
+  FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {MINHASH_R} AS band,
+         CAST(sum(mh * ({weights})[(i % {MINHASH_R}) + 1]) AS BIGINT) AS band_sig
+  FROM sig GROUP BY doc_id, i // {MINHASH_R}),
+sizes AS (SELECT band, band_sig, count(*) AS n FROM bands GROUP BY band, band_sig),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS max_occ FROM sizes),
+hot AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets
+        FROM sizes, tot WHERE CAST(n AS DOUBLE) > 2.0 * n_rows / n_buckets),
+b AS (SELECT CAST(count(DISTINCT CASE WHEN doc_id % 20 IN {DEDUP_HEALTH_RES}
+                                      THEN doc_id % 20 END) AS BIGINT) AS n_append_batches,
+             CAST(sum(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS BIGINT) AS appended_rows
+      FROM bands)
+SELECT n_buckets, n_rows, CAST(n_rows // {dd.MINHASH_B} AS BIGINT) AS n_docs, max_occ,
+       CAST(max_occ AS DOUBLE) * n_buckets / n_rows AS spread,
+       n_hot_buckets, n_append_batches, appended_rows,
+       CAST(appended_rows AS DOUBLE) / n_rows AS appended_frac
+FROM tot CROSS JOIN hot CROSS JOIN b
+"""
+
+
+ORACLE_DEDUP_INDEX_HEALTH = _minhash_health_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Compacting the grown MinHash index — minhash_index_compact (r11: the
+# maintenance half of the dedup append contract, the twin of
+# ivf_index_compact)
+# ---------------------------------------------------------------------------
+
+DEDUP_COMPACT_RES = (7, 17)  # %20 slices appended, then compacted away
+DEDUP_COMPACT_SHIFT = 3000000
+
+
+def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash-index MAINTENANCE cycle end-to-end: build the
+    (sig, bands) index over the corpus MINUS the doc_id % 10 == 7
+    slice, grow it by appending that slice in two batch_id-partitioned
+    parquet batches (dynamic overwrite — a replayed batch is a no-op),
+    then COMPACT both tables with operators/dedup.minhash_index_compact
+    — one shuffle per table of the INDEX rows into join-clustered,
+    within-partition-sorted layouts published to a fresh location
+    (batch_id consumed, the append epoch resets) — and look a new
+    batch up against the COMPACTED pair. The oracle signs the full
+    union corpus directly, so a green row PROVES compact ≡ append ≡
+    rebuild for the dedup side: compaction is pure re-layout, and the
+    lookup's two probe joins get back the bounded file-set-per-bucket
+    read pattern that daily small-file appends erode at 100 TB."""
+    from .queries_selection import _ivf_index_root
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 7)
+    sig0 = dd.minhash_signatures(base)
+    pairs = [(sig0, dd.minhash_bands(sig0))] + [
+        dd.minhash_index_append(docs.filter(F.col("doc_id") % 20 == r))
+        for r in DEDUP_COMPACT_RES
+    ]
+    root = _ivf_index_root(sf_dir, "minhash_compact")
+    for b, (s, bb) in enumerate(pairs):
+        for name, rows in (("sig", s), ("bands", bb)):
+            (
+                rows.withColumn("batch_id", F.lit(b))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(str(root / name))
+            )
+    sig_c, bands_c = dd.minhash_index_compact(
+        spark.read.parquet(str(root / "sig")), spark.read.parquet(str(root / "bands"))
+    )
+    sig_c.write.mode("overwrite").parquet(str(root / "sig_compacted"))
+    bands_c.write.mode("overwrite").parquet(str(root / "bands_compacted"))
+    sig_p = spark.read.parquet(str(root / "sig_compacted"))
+    bands_p = spark.read.parquet(str(root / "bands_compacted"))
+    batch = docs.filter(F.col("doc_id") % 5 == 4).select(
+        (F.col("doc_id") + DEDUP_COMPACT_SHIFT).alias("doc_id"), "text"
+    )
+    return dd.minhash_lookup(batch, sig_p, bands_p, threshold=0.5)
+
+
+def _minhash_compact_oracle() -> str:
+    """Same body as _minhash_append_oracle with the batch slice /
+    shift swapped (doc_id % 5 == 4, DEDUP_COMPACT_SHIFT): the index
+    side is the FULL corpus — base ∪ appended = every document, and
+    compaction is row-preserving, so the compacted index and the
+    rebuilt one are the same relation."""
+    weights = "[" + ", ".join(str(w) for w in BAND_WEIGHTS) + "]"
+    return f"""
+WITH {_TOKH_CTES},
+sig AS (
+  SELECT doc_id, i, min({affine_hash_sql('th', 'i')}) AS mh
+  FROM tokh CROSS JOIN range(0, {MINHASH_K}) r(i) GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, i // {MINHASH_R} AS band,
+         CAST(sum(mh * ({weights})[(i % {MINHASH_R}) + 1]) AS BIGINT) AS band_sig
+  FROM sig GROUP BY doc_id, i // {MINHASH_R}),
+new_bands AS (SELECT doc_id + {DEDUP_COMPACT_SHIFT} AS doc_id, band, band_sig
+              FROM bands WHERE doc_id % 5 = 4),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, ix.doc_id AS corpus_id
+  FROM new_bands n JOIN bands ix
+    ON n.band = ix.band AND n.band_sig = ix.band_sig),
+new_sig AS (SELECT doc_id + {DEDUP_COMPACT_SHIFT} AS doc_id, i, mh
+            FROM sig WHERE doc_id % 5 = 4),
+est AS (
+  SELECT new_id, corpus_id,
+         CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / {MINHASH_K} AS est_jaccard
+  FROM cand
+  JOIN new_sig sa ON sa.doc_id = new_id
+  JOIN sig sb ON sb.doc_id = corpus_id AND sb.i = sa.i
+  GROUP BY new_id, corpus_id)
+SELECT new_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+ORACLE_DEDUP_INDEX_COMPACT = _minhash_compact_oracle()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Manku chunk join (bucketed equi-join) — the all-pairs XOR kernel
     # dd.simhash_pairs remains as the verification twin in tests.
@@ -1554,6 +1720,8 @@ QUERIES_EXT = {
     "q_dedup_pr": q_dedup_pr,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_index_append": q_dedup_index_append,
+    "q_dedup_index_health": q_dedup_index_health,
+    "q_dedup_index_compact": q_dedup_index_compact,
     "q_dedup_simhash": q_dedup_simhash,
     "q_embed_neardup": q_embed_neardup,
     "q_ann_topk": q_ann_topk,
@@ -1601,6 +1769,8 @@ ORACLE_EXT = {
     "q_dedup_pr": _dedup_pr_oracle(),
     "q_dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "q_dedup_index_append": ORACLE_DEDUP_INDEX_APPEND,
+    "q_dedup_index_health": ORACLE_DEDUP_INDEX_HEALTH,
+    "q_dedup_index_compact": ORACLE_DEDUP_INDEX_COMPACT,
     "q_dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "q_embed_neardup": ORACLE_EMBED_NEARDUP,
     "q_ann_topk": ORACLE_ANN_TOPK,

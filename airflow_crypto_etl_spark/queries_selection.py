@@ -1346,6 +1346,128 @@ FROM lists CROSS JOIN b
 """
 
 
+# ---------------------------------------------------------------------------
+# Retraining the persisted IVF index — ivf_index_retrain (r11: the
+# maintenance ACTION the health monitor's occupancy-skew signal calls
+# for, closing the build → append → compact → health → retrain loop)
+# ---------------------------------------------------------------------------
+
+IVF_RETRAIN_LOOKUP_RESIDUE = 7
+IVF_RETRAIN_LOOKUP_SHIFT = 8000000
+
+
+def q_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN maintenance action end-to-end
+    (operators/similarity.ivf_index_retrain): when q_ann_index_health's
+    spread / n_lists_over_cap signal says the quantizer no longer fits
+    the corpus the appends grew it into, the operator trains the
+    coarse quantizer over the current corpus (one exact full-dim
+    Lloyd round under the index's own cosine metric) and rebuilds the
+    (centroids, assign) pair under it, data-relative list_cap applied
+    at retrain exactly as at build. Here the new pair is published to
+    a fresh VERSIONED location (retraining re-keys every stored list,
+    so the old pair must stay live until the atomic swap — the
+    compact publish convention), read back, and a new batch is
+    searched against the READ-BACK pair: a green row pins
+    persisted-TRAINED ≡ rebuilt-trained through the parquet
+    round-trip. q_ann_ivf_trained pins the in-memory trained path;
+    this is its persisted twin, the trained analogue of
+    q_ann_index_lookup — the last edge of the lifecycle square
+    (seeded/trained × in-memory/persisted)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
+    cents2, assign2 = sim.ivf_index_retrain(
+        emb, n_centroids=IVF_BATCH_CENTROIDS, list_cap=cap, spread=False
+    )
+    root = _ivf_index_root(sf_dir, "ivf_retrain")
+    cents2.write.mode("overwrite").parquet(str(root / "centroids_v2"))
+    assign2.write.mode("overwrite").parquet(str(root / "assign_v2"))
+    cents_p = spark.read.parquet(str(root / "centroids_v2"))
+    assign_p = spark.read.parquet(str(root / "assign_v2"))
+    batch = emb.filter(
+        F.col("vec_id") % IVF_BATCH_MOD == IVF_RETRAIN_LOOKUP_RESIDUE
+    ).select((F.col("vec_id") + IVF_RETRAIN_LOOKUP_SHIFT).alias("vec_id"), "embedding")
+    return sim.ivf_index_lookup(
+        batch, emb, cents_p, assign_p, k=10, n_probe=4, spread=False
+    )
+
+
+ORACLE_ANN_INDEX_RETRAIN = _ivf_lookup_oracle(
+    residue=IVF_RETRAIN_LOOKUP_RESIDUE,
+    shift=IVF_RETRAIN_LOOKUP_SHIFT,
+    cent_chain=_ivf_trained_cents_chain(),
+)
+
+
+# ---------------------------------------------------------------------------
+# PQ index health monitor — pq_index_stats (r11: the code-utilization
+# twin of ivf_index_stats, completing the health signal across the
+# persisted index families)
+# ---------------------------------------------------------------------------
+
+PQ_HEALTH_RES = (35, 36)  # the two id-slices appended before the health read
+
+
+def q_ann_pq_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-index MAINTENANCE signal (operators/similarity.
+    pq_index_stats): build the (codebook, codes) pair over the corpus
+    MINUS two id-slices, grow it by appending each slice against the
+    FROZEN codebook with batch_id bookkeeping, then publish the
+    one-row health summary an operator reads to decide WHEN to
+    retrain the codebook (code-space collapse: codes_used_min /
+    max_code_frac — a collapsed subspace quantizes every vector to
+    the same cell and ADC loses that subspace's discrimination) or
+    compact (append-batch buildup: n_append_batches, appended_frac).
+    Pure index-table introspection — one posexplode partial-agg over
+    the (id, codes) rows into ≤ n_sub·n_cent cells plus a
+    ≤ n_batches agg; the vectors are never touched. The seeded
+    codebook lives in the base by construction (seed ids < n_cent are
+    residues 0..15, disjoint from the appended slices), so the
+    oracle encodes the full union corpus directly."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % IVF_BATCH_MOD).isin(list(PQ_HEALTH_RES)))
+    codebook, codes0 = sim.pq_index_build(base, trained=False)
+    grown = codes0.withColumn("batch_id", F.lit(0))
+    for b, r in enumerate(PQ_HEALTH_RES, start=1):
+        grown = grown.unionByName(
+            sim.pq_index_append(
+                emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), codebook
+            ).withColumn("batch_id", F.lit(b))
+        )
+    return sim.pq_index_stats(grown)
+
+
+ORACLE_ANN_PQ_INDEX_HEALTH = f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings),
+{_PQ_SEED_CB},
+sub AS (SELECT unnest(range(0, {_PQ_SUB})) AS s),
+d AS (
+  SELECT v.vec_id, s, cid, {_pq_d2_sql('ve', 'cv', 's', _PQ_SD)} AS d2
+  FROM v CROSS JOIN c CROSS JOIN sub),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, cid AS code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+    FROM d) WHERE rn = 1),
+per AS (SELECT s, code, count(*) AS n FROM assign GROUP BY s, code),
+pers AS (SELECT s, count(*) AS used, max(n) AS mx FROM per GROUP BY s),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM v),
+sm AS (SELECT CAST(count(*) AS BIGINT) AS n_sub,
+              CAST(min(used) AS BIGINT) AS codes_used_min,
+              CAST(max(used) AS BIGINT) AS codes_used_max,
+              CAST(max(mx) AS BIGINT) AS _mxn FROM pers),
+b AS (SELECT CAST(count(DISTINCT CASE WHEN vec_id % {IVF_BATCH_MOD} IN {PQ_HEALTH_RES}
+                                      THEN vec_id % {IVF_BATCH_MOD} END) AS BIGINT) AS n_append_batches,
+             CAST(sum(CASE WHEN vec_id % {IVF_BATCH_MOD} IN {PQ_HEALTH_RES} THEN 1 ELSE 0 END) AS BIGINT) AS appended_vecs
+      FROM embeddings)
+SELECT n_vecs, n_sub, codes_used_min, codes_used_max,
+       CAST(_mxn AS DOUBLE) / n_vecs AS max_code_frac,
+       n_append_batches, appended_vecs,
+       CAST(appended_vecs AS DOUBLE) / n_vecs AS appended_frac
+FROM tot CROSS JOIN sm CROSS JOIN b
+"""
+
+
 QUERIES_SELECTION = {
     "q_dsir": q_dsir,
     "q_ccnet_buckets": q_ccnet_buckets,
@@ -1372,6 +1494,8 @@ QUERIES_SELECTION = {
     "q_ann_pq_index_append": q_ann_pq_index_append,
     "q_ann_index_compact": q_ann_index_compact,
     "q_ann_index_health": q_ann_index_health,
+    "q_ann_index_retrain": q_ann_index_retrain,
+    "q_ann_pq_index_health": q_ann_pq_index_health,
 }
 
 ORACLE_SELECTION = {
@@ -1400,4 +1524,6 @@ ORACLE_SELECTION = {
     "q_ann_pq_index_append": ORACLE_ANN_PQ_INDEX_APPEND,
     "q_ann_index_compact": ORACLE_ANN_INDEX_COMPACT,
     "q_ann_index_health": ORACLE_ANN_INDEX_HEALTH,
+    "q_ann_index_retrain": ORACLE_ANN_INDEX_RETRAIN,
+    "q_ann_pq_index_health": ORACLE_ANN_PQ_INDEX_HEALTH,
 }

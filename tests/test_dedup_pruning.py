@@ -211,3 +211,113 @@ def test_minhash_index_append_equals_rebuild(spark, tmp_path):
     assert got[(118, 18)] == 1.0 and got[(127, 27)] == 1.0
     # replay added no duplicate signature rows
     assert sig_p.count() == full_sig.count()
+
+
+def _index_corpus(spark):
+    return spark.createDataFrame(
+        [(i, f"totally unique document number {i} about topic {i} with many words "
+             f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_index_compact_is_pure_relayout(spark, tmp_path):
+    """minhash_index_compact consumes batch_id and preserves the exact
+    row multisets of both grown index tables, and lookup against the
+    compacted pair is row-identical to lookup against the grown one —
+    compaction is pure re-layout (the small-file maintenance half of
+    the dedup append contract, the twin of ivf_index_compact)."""
+    corpus = _index_corpus(spark)
+    base = corpus.filter(F.col("doc_id") < 20)
+
+    def put(kind, rows, b):
+        (rows.withColumn("batch_id", F.lit(b))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(str(tmp_path / kind)))
+
+    sig0 = dd.minhash_signatures(base)
+    put("sig", sig0, 0)
+    put("bands", dd.minhash_bands(sig0), 0)
+    for b, lo, hi in ((1, 20, 25), (2, 25, 30)):
+        s, bd = dd.minhash_index_append(
+            corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+        put("sig", s, b)
+        put("bands", bd, b)
+    grown_sig = spark.read.parquet(str(tmp_path / "sig"))
+    grown_bands = spark.read.parquet(str(tmp_path / "bands"))
+    sig_c, bands_c = dd.minhash_index_compact(grown_sig, grown_bands)
+    sig_c.write.parquet(str(tmp_path / "sig_c"))
+    bands_c.write.parquet(str(tmp_path / "bands_c"))
+    sig_p = spark.read.parquet(str(tmp_path / "sig_c"))
+    bands_p = spark.read.parquet(str(tmp_path / "bands_c"))
+    assert set(sig_p.columns) == {"doc_id", "i", "mh"}
+    assert set(bands_p.columns) == {"doc_id", "band", "band_sig"}
+    assert sorted((r["doc_id"], r["i"], r["mh"]) for r in sig_p.collect()) == sorted(
+        (r["doc_id"], r["i"], r["mh"]) for r in grown_sig.collect()
+    )
+    assert sorted(
+        (r["doc_id"], r["band"], r["band_sig"]) for r in bands_p.collect()
+    ) == sorted((r["doc_id"], r["band"], r["band_sig"]) for r in grown_bands.collect())
+    batch = corpus.filter(F.col("doc_id").isin([18, 27])).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    key = lambda r: (r["new_id"], r["corpus_id"])  # noqa: E731
+    via_grown = sorted(
+        dd.minhash_lookup(
+            batch,
+            grown_sig.select("doc_id", "i", "mh"),
+            grown_bands.select("doc_id", "band", "band_sig"),
+            threshold=0.5,
+        ).collect(),
+        key=key,
+    )
+    via_comp = sorted(
+        dd.minhash_lookup(batch, sig_p, bands_p, threshold=0.5).collect(), key=key
+    )
+    assert [tuple(r) for r in via_grown] == [tuple(r) for r in via_comp]
+    assert {(118, 18), (127, 27)} <= {(r["new_id"], r["corpus_id"]) for r in via_comp}
+
+
+def test_minhash_index_stats_arithmetic(spark):
+    """minhash_index_stats recomputes exactly against a Python
+    reference over the collected bands: bucket totals, max occupancy,
+    spread, the >2x-mean hot-bucket count, and the batch_id append
+    bookkeeping; a table WITHOUT batch_id reports zero bookkeeping."""
+    import math
+    from collections import Counter
+
+    corpus = _index_corpus(spark)
+    base = corpus.filter(F.col("doc_id") < 20)
+    grown = dd.minhash_bands(dd.minhash_signatures(base)).withColumn(
+        "batch_id", F.lit(0)
+    )
+    for b, lo, hi in ((1, 20, 25), (2, 25, 30)):
+        _, bd = dd.minhash_index_append(
+            corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+        grown = grown.unionByName(bd.withColumn("batch_id", F.lit(b)))
+    row = dd.minhash_index_stats(grown).collect()[0]
+    bands = [(r["band"], r["band_sig"], r["batch_id"]) for r in grown.collect()]
+    sizes = Counter((b, s) for b, s, _ in bands)
+    n_rows = len(bands)
+    n_buckets = len(sizes)
+    max_occ = max(sizes.values())
+    mean = n_rows / n_buckets
+    assert row["n_buckets"] == n_buckets
+    assert row["n_rows"] == n_rows
+    assert row["n_docs"] == n_rows // dd.MINHASH_B == 30
+    assert row["max_occ"] == max_occ
+    assert math.isclose(row["spread"], max_occ * n_buckets / n_rows, rel_tol=1e-12)
+    assert row["n_hot_buckets"] == sum(1 for v in sizes.values() if v > 2.0 * mean)
+    assert row["n_append_batches"] == 2
+    assert row["appended_rows"] == sum(1 for _, _, bid in bands if bid != 0)
+    assert math.isclose(
+        row["appended_frac"], row["appended_rows"] / n_rows, rel_tol=1e-12
+    )
+    bare = dd.minhash_index_stats(grown.drop("batch_id")).collect()[0]
+    assert bare["n_append_batches"] == 0 and bare["appended_rows"] == 0
+    assert (bare["n_buckets"], bare["n_rows"], bare["max_occ"]) == (
+        row["n_buckets"], row["n_rows"], row["max_occ"]
+    )

@@ -135,6 +135,12 @@ _PRODUCT_OK = {
                               # table (compacted lists ride the equi-join)
     "q_ann_index_health",     # base/batch x broadcast 16-row centroid
                               # table + 1-row list-stats x 1-row batch-stats
+    "q_ann_index_retrain",    # trainer corpus x broadcast 1-row seed book
+                              # + corpus/batch x broadcast 16-row trained table
+    "q_ann_pq_index_health",  # base/batch encode x broadcast 1-row frozen
+                              # book + 1-row code-stats x 1-row batch-stats
+    "q_dedup_index_health",   # <=buckets sizes x broadcast 1-row totals
+                              # + 1-row totals x 1-row hot/batch-stats
 }
 
 
@@ -307,11 +313,16 @@ def test_no_unconditional_corpus_repartition():
             head = "\n".join(lines[max(0, i - 20) : i])
             if "def _spread" in head and "if not spread" in head:
                 continue
-            # ivf_index_compact is a COMPACTOR (the compaction.py
-            # category): its entire job is choosing the re-layout —
-            # one hash repartition of (cid, id) index rows, never
-            # vectors — so the call is the operator, not overhead
-            if "def ivf_index_compact" in "\n".join(lines[max(0, i - 40) : i]):
+            # ivf_index_compact / minhash_index_compact are COMPACTORS
+            # (the compaction.py category): their entire job is
+            # choosing the re-layout — one hash repartition of INDEX
+            # rows (cid/band/sig ids, never vectors or documents) — so
+            # the call is the operator, not overhead
+            head40 = "\n".join(lines[max(0, i - 40) : i])
+            if (
+                "def ivf_index_compact" in head40
+                or "def minhash_index_compact" in head40
+            ):
                 continue
             offenders.append(f"{rel}:{i}: {line.strip()}")
     assert not offenders, (

@@ -831,3 +831,86 @@ def test_ivf_index_stats_arithmetic(spark, sf_dir, tmp_path):
     assert (comp["n_lists"], comp["n_vecs"], comp["max_occ"], comp["min_occ"]) == (
         row["n_lists"], row["n_vecs"], row["max_occ"], row["min_occ"]
     )
+
+
+def test_ivf_index_retrain_equals_trained_rebuild(spark, sf_dir, tmp_path):
+    """ivf_index_retrain publishes exactly the pair a trained rebuild
+    over the same corpus produces (the retrain ACTION is the trained
+    build, versioned); the parquet round-trip is bit-exact; and a
+    lookup through the READ-BACK retrained pair is row-identical to
+    the rebuild-per-call trained path (ivf_batch_lookup with trained
+    centroids) — the persisted-trained edge of the lifecycle square."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cap = (2 * n) // 16
+    cents2, assign2 = sim.ivf_index_retrain(
+        emb, n_centroids=16, list_cap=cap, spread=False
+    )
+    trained = sim.ivf_centroids_trained(emb, n_centroids=16, metric="cos", spread=False)
+    cents_d, assign_d = sim.ivf_index_build(
+        emb, n_centroids=16, list_cap=cap, spread=False, centroids=trained
+    )
+    assert sorted(map(tuple, cents2.collect())) == sorted(map(tuple, cents_d.collect()))
+    assert sorted(map(tuple, assign2.collect())) == sorted(map(tuple, assign_d.collect()))
+    cents2.write.parquet(str(tmp_path / "centroids_v2"))
+    assign2.write.parquet(str(tmp_path / "assign_v2"))
+    cents_p = spark.read.parquet(str(tmp_path / "centroids_v2"))
+    assign_p = spark.read.parquet(str(tmp_path / "assign_v2"))
+    # bit-exact round-trip: plain double/bigint columns
+    assert sorted(map(tuple, cents_p.collect())) == sorted(map(tuple, cents2.collect()))
+    batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    via_persisted = sorted(
+        sim.ivf_index_lookup(batch, emb, cents_p, assign_p, k=10, spread=False).collect(),
+        key=key,
+    )
+    via_rebuild = sorted(
+        sim.ivf_batch_lookup(
+            emb, batch, k=10, n_centroids=16, n_probe=4, list_cap=cap,
+            spread=False, centroids=trained,
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in via_persisted] == [tuple(r) for r in via_rebuild]
+    assert len(via_persisted) > 0
+
+
+def test_pq_index_stats_arithmetic(spark, sf_dir):
+    """pq_index_stats recomputes exactly against a Python reference
+    over the collected codes: n_vecs, per-subspace code utilization
+    (codes_used_min/max), the worst single-code concentration
+    max_code_frac, and the batch_id append bookkeeping; a table
+    WITHOUT batch_id reports zero append bookkeeping."""
+    from collections import Counter
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % 10).isin([4, 7]))
+    codebook, codes0 = sim.pq_index_build(base, trained=False)
+    grown = codes0.withColumn("batch_id", F.lit(0))
+    for b, r in enumerate((4, 7), start=1):
+        grown = grown.unionByName(
+            sim.pq_index_append(
+                emb.filter(F.col("vec_id") % 10 == r), codebook
+            ).withColumn("batch_id", F.lit(b))
+        )
+    row = sim.pq_index_stats(grown).collect()[0]
+    codes = {r["vec_id"]: list(r["codes"]) for r in grown.collect()}
+    n = emb.count()
+    napp = emb.filter((F.col("vec_id") % 10).isin([4, 7])).count()
+    assert row["n_vecs"] == n == len(codes)
+    per = Counter((s, c) for cl in codes.values() for s, c in enumerate(cl))
+    used = Counter(s for (s, _c) in per)
+    assert row["n_sub"] == sim.PQ_SUB == len(used)
+    assert row["codes_used_min"] == min(used.values())
+    assert row["codes_used_max"] == max(used.values())
+    assert math.isclose(row["max_code_frac"], max(per.values()) / n, rel_tol=1e-12)
+    assert row["n_append_batches"] == 2
+    assert row["appended_vecs"] == napp
+    assert math.isclose(row["appended_frac"], napp / n, rel_tol=1e-12)
+    bare = sim.pq_index_stats(grown.drop("batch_id")).collect()[0]
+    assert bare["n_append_batches"] == 0 and bare["appended_vecs"] == 0
+    assert (bare["n_vecs"], bare["codes_used_min"], bare["codes_used_max"]) == (
+        row["n_vecs"], row["codes_used_min"], row["codes_used_max"]
+    )
