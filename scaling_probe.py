@@ -725,6 +725,82 @@ def main() -> None:
         }
         shutil.rmtree(tmp_cp, ignore_errors=True)
 
+    # Index RETRAIN (r11): corpus ×N — retraining is CORPUS-SCALE by
+    # contract (every vector re-assigns under the new quantizer, the
+    # FAISS retrain semantics), so the design bound is LINEAR: one
+    # Lloyd assign+update pass plus the final build assign, each a
+    # map-side broadcast product + one partial-agg shuffle. Super-
+    # linear growth would mean the trainer started shuffling vectors
+    # or the bounded dim·n_centroids driver collect grew with N.
+    if want("ivf_retrain_corpus"):
+        big_corpus_rt = inflate(emb, ["vec_id"], INFLATE)
+
+        def _retrain_count(corp: DataFrame) -> int:
+            _, assign = sim.ivf_index_retrain(corp, n_centroids=16, spread=False)
+            return assign.count()
+
+        _retrain_count(emb)  # warm
+        t0 = time.perf_counter(); _retrain_count(emb); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); _retrain_count(big_corpus_rt); tn = time.perf_counter() - t0
+        results["ivf_retrain_corpus"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+    # MinHash index COMPACT (r11): grown (sig, bands) tables ×N —
+    # compaction is one hash shuffle + within-partition sort PER INDEX
+    # TABLE (rows of 3 longs each, never documents), so the design
+    # bound is LINEAR in index rows. The inputs are persisted UNTIMED
+    # (compaction reads the stored index, not a re-signing of the
+    # corpus).
+    if want("minhash_compact_corpus"):
+        import shutil
+        import tempfile
+
+        tmp_mc = tempfile.mkdtemp(prefix="mh_cp_probe_")
+        big_docs_mc = inflate(docs, ["doc_id"], INFLATE)
+        sp_mc = docs.sparkSession
+        for tag, corp in (("s", docs), ("b", big_docs_mc)):
+            sig = dd.minhash_signatures(corp)
+            sig.withColumn("batch_id", F.lit(0)).write.mode("overwrite").partitionBy(
+                "batch_id"
+            ).parquet(f"{tmp_mc}/sig_{tag}")
+            dd.minhash_bands(sig).withColumn("batch_id", F.lit(0)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(f"{tmp_mc}/bands_{tag}")
+
+        def _compact_count(tag: str) -> int:
+            sig_c, bands_c = dd.minhash_index_compact(
+                sp_mc.read.parquet(f"{tmp_mc}/sig_{tag}"),
+                sp_mc.read.parquet(f"{tmp_mc}/bands_{tag}"),
+            )
+            return sig_c.count() + bands_c.count()
+
+        _compact_count("s")  # warm
+        t0 = time.perf_counter(); _compact_count("s"); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); _compact_count("b"); tn = time.perf_counter() - t0
+        results["minhash_compact_corpus"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+
+        # Index STATS (r11): the health read over the same grown bands
+        # tables ×N — one partial-agg count into a ≤ buckets relation
+        # plus constant-size aggregates, LINEAR bound. Growth past
+        # linear would mean the hot-bucket pass stopped being a
+        # partial agg (e.g. a global sort crept in).
+        def _stats_count(tag: str) -> int:
+            return dd.minhash_index_stats(
+                sp_mc.read.parquet(f"{tmp_mc}/bands_{tag}")
+            ).count()
+
+        _stats_count("s")  # warm
+        t0 = time.perf_counter(); _stats_count("s"); t1s = time.perf_counter() - t0
+        t0 = time.perf_counter(); _stats_count("b"); tns = time.perf_counter() - t0
+        dd.release_caches()
+        results["minhash_stats_corpus"] = {
+            "t1": round(t1s, 3), "tN": round(tns, 3), "ratio": round(tns / max(t1s, 1e-9), 2)
+        }
+        shutil.rmtree(tmp_mc, ignore_errors=True)
+
     # Winnowing pair join under degenerate duplication (r9): GROUPS
     # groups of D=30 identical docs — every fingerprint's df is 30,
     # above the df_cap of 20, so the cap drops ALL of them WHOLESALE
