@@ -165,3 +165,66 @@ def test_overlap_pairs_plan_is_partkey_equijoin(spark, sf_dir):
     # symmetric pair count sanity: every unordered pair counted once
     n_pairs = df.agg(F.sum("n_pairs")).first()[0]
     assert n_pairs > 0
+
+
+def test_index_maintenance_cycle_e2e(spark, sf_dir, tmp_path):
+    """The scheduled ANN-index maintenance loop as one job
+    (plans/index_maintenance): versioned bootstrap → daily appends →
+    health-driven decisions. noop below both thresholds; append
+    buildup → COMPACT (new epoch, identical lookups, bookkeeping
+    reset); occupancy-skew threshold → RETRAIN (new epoch, lookups
+    equal the trained rebuild-per-call path)."""
+    from airflow_crypto_etl_spark.operators import similarity as sim
+    from airflow_crypto_etl_spark.plans import index_maintenance as im
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % 10).isin([3, 4]))
+    root = str(tmp_path / "ivf")
+    assert im.current_epoch(root) == -1
+    assert im.bootstrap_index(spark, base, root, n_centroids=16, spread=False) == 0
+    for b, r in ((1, 3), (2, 4)):
+        assert (
+            im.append_batch(
+                spark, emb.filter(F.col("vec_id") % 10 == r), root, b, spread=False
+            )
+            == 0
+        )
+    # below both thresholds -> noop, stats still published
+    out = im.maintenance_cycle(
+        spark, emb, root, compact_after_batches=8, retrain_spread=1e9, spread=False
+    )
+    assert out["action"] == "noop" and out["epoch"] == 0
+    assert out["stats"]["n_append_batches"] == 2
+    batch = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    before = sorted(im.lookup(spark, batch, emb, root, spread=False).collect(), key=key)
+    # append buildup -> compact: new epoch, pure re-layout, epoch reset
+    out = im.maintenance_cycle(
+        spark, emb, root, compact_after_batches=2, retrain_spread=1e9, spread=False
+    )
+    assert out["action"] == "compact" and out["epoch"] == 1
+    after = sorted(im.lookup(spark, batch, emb, root, spread=False).collect(), key=key)
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert len(after) > 0
+    out = im.maintenance_cycle(
+        spark, emb, root, compact_after_batches=2, retrain_spread=1e9, spread=False
+    )
+    assert out["action"] == "noop"  # compaction consumed the append epoch
+    # occupancy-skew threshold -> retrain: lookups through the live
+    # version now equal the trained rebuild-per-call path
+    out = im.maintenance_cycle(
+        spark, emb, root, compact_after_batches=99, retrain_spread=0.0, spread=False
+    )
+    assert out["action"] == "retrain" and out["epoch"] == 2
+    got = sorted(im.lookup(spark, batch, emb, root, spread=False).collect(), key=key)
+    trained = sim.ivf_centroids_trained(emb, n_centroids=16, metric="cos", spread=False)
+    want = sorted(
+        sim.ivf_batch_lookup(
+            emb, batch, k=10, n_centroids=16, n_probe=4, spread=False,
+            centroids=trained,
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
