@@ -717,6 +717,93 @@ def streaming_ann_ingest(
     q.awaitTermination()
 
 
+def streaming_dedup_ingest(
+    batch_stream: DataFrame,
+    index_sig: DataFrame,
+    index_bands: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    single_file: bool = False,
+    index_append_dir: str | None = None,
+) -> None:
+    """Streaming near-dup ingest screen over a PERSISTED MinHash index
+    — the dedup twin of :func:`streaming_ann_ingest`, completing the
+    streaming symmetry across the persisted index families: every
+    micro-batch of NEW documents is shingled/signed and looked up
+    against the stored (sig, bands) tables
+    (``operators/dedup.minhash_lookup`` under ``foreachBatch``), so
+    ingest pays only the batch's signing plus the bucket equi-joins,
+    never a corpus re-signing, batch after batch. Match rows land in
+    ``batch_id=`` partitions with dynamic overwrite — a replayed batch
+    overwrites exactly its own partition (the :func:`streaming_cms`
+    idempotence pattern).
+
+    Per-document signatures and per-pair estimates are independent
+    across micro-batches, so slicing cannot change any result row: the
+    union of the per-batch outputs equals the one-shot
+    ``minhash_lookup`` on the same documents (pinned by the live
+    3-micro-batch equality test).
+
+    ``index_append_dir`` closes the ingest loop exactly as on the ANN
+    side: when set, each micro-batch's own (sig, bands) rows
+    (``operators/dedup.minhash_index_append`` — batch-only cost,
+    identical to a rebuild's rows for those ids by construction) land
+    in that directory's ``sig/`` and ``bands/`` subtrees as their own
+    ``batch_id=`` partitions, so the persisted index grows with ingest
+    and a replayed batch is a no-op on the index too. Readers union
+    the base tables with these partitions (:func:`dedup.
+    minhash_index_compact` is the maintenance half once the small
+    files build up).
+
+    Pass parquet-backed index tables (the persisted form), not
+    session-cached ones: the per-batch lookup registers its own
+    batch-signature cache, and this sink releases ALL dedup-module
+    caches after each micro-batch to keep the stream's footprint flat.
+    """
+    from ..operators import dedup as dd
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        hits = dd.minhash_lookup(
+            batch_df, index_sig, index_bands,
+            id_col=id_col, text_col=text_col, threshold=threshold,
+        )
+        if single_file:
+            hits = hits.coalesce(1)
+        (
+            hits.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+        if index_append_dir is not None:
+            sig_b, bands_b = dd.minhash_index_append(
+                batch_df, id_col=id_col, text_col=text_col
+            )
+            for name, rows in (("sig", sig_b), ("bands", bands_b)):
+                if single_file:
+                    rows = rows.coalesce(1)
+                (
+                    rows.withColumn("batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(f"{index_append_dir}/{name}")
+                )
+        dd.release_caches()
+
+    q = (
+        batch_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC join: the standard dimension-enrichment shape — the
     event stream joined to a static dimension (market segment per user,

@@ -638,3 +638,91 @@ def test_streaming_ann_ingest_grows_index(spark, sf_dir, tmp_path):
     got = sorted((r["cid"], r["vec_id"]) for r in grown.collect())
     want = sorted((r["cid"], r["vec_id"]) for r in rebuilt.collect())
     assert got == want and len(got) == union_corpus.count()
+
+
+def test_streaming_dedup_ingest_matches_batch_lookup_and_grows_index(
+    spark, sf_dir, tmp_path
+):
+    """Streaming near-dup ingest over a PERSISTED MinHash index (the
+    dedup twin of streaming_ann_ingest): the new-document stream
+    arrives as 3 micro-batches, each looked up via foreachBatch +
+    minhash_lookup against the same stored (sig, bands) pair; the
+    union of the per-batch match rows is row-identical to the one-shot
+    lookup on the same documents. With index_append_dir set, each
+    batch's own (sig, bands) rows land as batch_id= partitions and the
+    union of base + appended tables equals a rebuild over the union
+    corpus — the index the next day's ingest searches includes
+    today's batches."""
+    from airflow_crypto_etl_spark.operators import dedup as dd
+    from airflow_crypto_etl_spark.sources.tables import load_table
+    from airflow_crypto_etl_spark.streaming.windows import streaming_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dd.minhash_signatures(docs)
+    sig.write.parquet(str(tmp_path / "sig"))
+    dd.minhash_bands(sig).write.parquet(str(tmp_path / "bands"))
+    sig_p = spark.read.parquet(str(tmp_path / "sig"))
+    bands_p = spark.read.parquet(str(tmp_path / "bands"))
+
+    new_docs = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    src = str(tmp_path / "doc_stream")
+    for i in range(3):
+        new_docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "dedup_out")
+    appended_dir = str(tmp_path / "index_appended")
+    stream = (
+        spark.readStream.schema(new_docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_dedup_ingest(
+        stream, sig_p, bands_p, out, str(tmp_path / "ckpt"),
+        threshold=0.5, index_append_dir=appended_dir,
+    )
+
+    got_parts = spark.read.parquet(out)
+    assert got_parts.select("batch_id").distinct().count() >= 3
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in got_parts.select("new_id", "corpus_id", "est_jaccard").collect()
+    )
+    want = sorted(
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in dd.minhash_lookup(new_docs, sig_p, bands_p, threshold=0.5).collect()
+    )
+    assert got == want and len(got) > 0
+    # every streamed doc matched its own original at est_jaccard 1.0
+    exact = {(a, b) for a, b, e in got if e == 1.0}
+    assert {(d + 1000000, d) for (d,) in
+            new_docs.select((F.col("doc_id") - 1000000).alias("d")).collect()} <= exact
+
+    # the appended index partitions union with the base tables to a
+    # rebuild over the union corpus (signatures are per-document)
+    app_sig = spark.read.parquet(f"{appended_dir}/sig")
+    app_bands = spark.read.parquet(f"{appended_dir}/bands")
+    assert app_sig.select("batch_id").distinct().count() >= 3
+    union_corpus = docs.unionByName(new_docs)
+    full_sig = dd.minhash_signatures(union_corpus)
+    got_sig = sorted(
+        (r["doc_id"], r["i"], r["mh"])
+        for r in sig_p.unionByName(app_sig.select("doc_id", "i", "mh")).collect()
+    )
+    want_sig = sorted((r["doc_id"], r["i"], r["mh"]) for r in full_sig.collect())
+    assert got_sig == want_sig
+    got_bands = sorted(
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in bands_p.unionByName(
+            app_bands.select("doc_id", "band", "band_sig")
+        ).collect()
+    )
+    want_bands = sorted(
+        (r["doc_id"], r["band"], r["band_sig"])
+        for r in dd.minhash_bands(full_sig).collect()
+    )
+    assert got_bands == want_bands
+    dd.release_caches()
