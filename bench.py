@@ -115,6 +115,13 @@ HEADLINE = [
     # batch-only ADC lookup)
     "q_ann_index_append",
     "q_ann_pq_index_lookup",
+    # round-11 late additions: the retrain maintenance action (trained
+    # coarse quantizer + rebuild + versioned parquet publish + lookup
+    # through the read-back pair) and the dedup-index maintenance
+    # cycle (base build + 2 appends + both-table compaction + lookup
+    # through the compacted pair)
+    "q_ann_index_retrain",
+    "q_dedup_index_compact",
 ]
 
 
