@@ -1851,6 +1851,39 @@ def pq_index_lookup(
     return _pq_adc_search(codes, queries, cents, n_sub, dim // n_sub, k, id_col)
 
 
+def pq_index_compact(
+    codes: DataFrame,
+    id_col: str = "vec_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """COMPACT a grown PQ ``codes`` table back into an id-clustered
+    base layout — the PQ member of the compactor family
+    (:func:`ivf_index_compact` / ``dedup.minhash_index_compact``),
+    consuming a year of daily ``batch_id=`` append partitions. One
+    hash shuffle of the (id, codes) rows — n_sub·8-byte codes, never
+    the vectors — clustered and sorted on the id.
+
+    Honest scale note: unlike the IVF and MinHash compactors, this one
+    buys NO probe selectivity — ADC search scans the full coded corpus
+    by design (the memory-bound path), so there is no join key to
+    cluster for. What it buys at 100 TB is the small-file half alone:
+    365×shards of per-batch files become a bounded set of large
+    row-group-friendly files, so the scan that ADC necessarily does
+    stops paying per-file listing/open overhead; the id sort also
+    makes the layout deterministic for bit-exact re-publishes.
+    ``batch_id`` (and any other bookkeeping column) is dropped —
+    compaction CONSUMES the appended partitions and the append epoch
+    resets. Pure row-preserving re-layout: lookup against the
+    compacted table is row-identical to lookup against the grown one
+    (q_ann_pq_index_compact pins compact ≡ append ≡ rebuild through
+    the shared ADC oracle)."""
+    out = codes.select(id_col, "codes")
+    parts = num_partitions if num_partitions is not None else out.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    return out.repartition(int(parts), id_col).sortWithinPartitions(id_col)
+
+
 def pq_index_stats(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """One-row HEALTH summary of a (possibly grown) persisted PQ
     ``codes`` table — the PQ twin of :func:`ivf_index_stats`, the

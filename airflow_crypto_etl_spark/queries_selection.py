@@ -1195,6 +1195,74 @@ ORACLE_ANN_PQ_INDEX_APPEND = _pq_adc_oracle(
 
 
 # ---------------------------------------------------------------------------
+# Compacting the grown PQ index — pq_index_compact (r11: the PQ member
+# of the compactor family, completing compact across IVF/MinHash/PQ)
+# ---------------------------------------------------------------------------
+
+PQ_COMPACT_RES = (37, 38)  # id-slices appended, then compacted away
+PQ_COMPACT_LOOKUP_RESIDUE = 8
+PQ_COMPACT_LOOKUP_SHIFT = 9000000
+
+
+def q_ann_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-index MAINTENANCE cycle end-to-end: build the
+    (codebook, codes) pair over the corpus MINUS two id-slices, grow
+    it by appending each slice batch_id-partitioned against the FROZEN
+    codebook, then COMPACT the grown codes with
+    operators/similarity.pq_index_compact — one (id, codes)-row
+    shuffle into an id-clustered sorted base layout published to a
+    fresh location (batch_id consumed, append epoch resets) — and
+    ADC-search a new batch against the COMPACTED codes. The oracle
+    encodes the full union corpus directly (the shared _pq_adc_oracle
+    body), so a green row PROVES compact ≡ append ≡ rebuild for the
+    PQ side — the last cell of the compact row in the lifecycle
+    matrix. Unlike the IVF/MinHash compactors this buys no probe
+    selectivity (ADC scans the coded corpus by design); the win is
+    the small-file consolidation alone, stated honestly in the
+    operator docstring."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % IVF_BATCH_MOD).isin(list(PQ_COMPACT_RES)))
+    codebook, codes0 = sim.pq_index_build(base, trained=False)
+    root = _ivf_index_root(sf_dir, "pq_compact")
+    codebook.write.mode("overwrite").parquet(str(root / "codebook"))
+    cb_p = spark.read.parquet(str(root / "codebook"))
+    for b, rows in enumerate(
+        [codes0]
+        + [
+            sim.pq_index_append(
+                emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cb_p
+            )
+            for r in PQ_COMPACT_RES
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(str(root / "codes"))
+        )
+    grown = spark.read.parquet(str(root / "codes"))
+    sim.pq_index_compact(grown).write.mode("overwrite").parquet(
+        str(root / "codes_compacted")
+    )
+    compacted = spark.read.parquet(str(root / "codes_compacted"))
+    batch = emb.filter(
+        F.col("vec_id") % IVF_BATCH_MOD == PQ_COMPACT_LOOKUP_RESIDUE
+    ).select((F.col("vec_id") + PQ_COMPACT_LOOKUP_SHIFT).alias("vec_id"), "embedding")
+    return sim.pq_index_lookup(batch, cb_p, compacted, k=10)
+
+
+ORACLE_ANN_PQ_INDEX_COMPACT = _pq_adc_oracle(
+    _PQ_SEED_CB,
+    lut_body=(
+        f"SELECT vec_id + {PQ_COMPACT_LOOKUP_SHIFT} AS query_id, s, cid, d2 "
+        f"FROM d WHERE vec_id % {IVF_BATCH_MOD} = {PQ_COMPACT_LOOKUP_RESIDUE}"
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
 # Compacting the grown IVF index — ivf_index_compact (r11: the
 # maintenance half of the append contract; a year of daily appends is
 # the small-file problem at 100 TB)
@@ -1496,6 +1564,7 @@ QUERIES_SELECTION = {
     "q_ann_index_health": q_ann_index_health,
     "q_ann_index_retrain": q_ann_index_retrain,
     "q_ann_pq_index_health": q_ann_pq_index_health,
+    "q_ann_pq_index_compact": q_ann_pq_index_compact,
 }
 
 ORACLE_SELECTION = {
@@ -1526,4 +1595,5 @@ ORACLE_SELECTION = {
     "q_ann_index_health": ORACLE_ANN_INDEX_HEALTH,
     "q_ann_index_retrain": ORACLE_ANN_INDEX_RETRAIN,
     "q_ann_pq_index_health": ORACLE_ANN_PQ_INDEX_HEALTH,
+    "q_ann_pq_index_compact": ORACLE_ANN_PQ_INDEX_COMPACT,
 }

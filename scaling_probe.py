@@ -746,6 +746,31 @@ def main() -> None:
             "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
         }
 
+    # PQ index COMPACT (r11): grown codes table ×N — one hash shuffle
+    # + within-partition sort of the (id, codes) rows (n_sub·8-byte
+    # codes, never vectors), design bound LINEAR in the index rows.
+    if want("pq_compact_corpus"):
+        import shutil
+        import tempfile
+
+        tmp_pc = tempfile.mkdtemp(prefix="pq_cp_probe_")
+        big_emb_pc = inflate(emb, ["vec_id"], INFLATE)
+        sp_pc = emb.sparkSession
+        for tag, corp in (("s", emb), ("b", big_emb_pc)):
+            _, codes = sim.pq_index_build(corp, trained=False)
+            codes.withColumn("batch_id", F.lit(0)).write.mode("overwrite").partitionBy(
+                "batch_id"
+            ).parquet(f"{tmp_pc}/{tag}")
+        pc_small = sim.pq_index_compact(sp_pc.read.parquet(f"{tmp_pc}/s"))
+        pc_big = sim.pq_index_compact(sp_pc.read.parquet(f"{tmp_pc}/b"))
+        pc_small.count()  # warm
+        t0 = time.perf_counter(); pc_small.count(); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); pc_big.count(); tn = time.perf_counter() - t0
+        results["pq_compact_corpus"] = {
+            "t1": round(t1, 3), "tN": round(tn, 3), "ratio": round(tn / max(t1, 1e-9), 2)
+        }
+        shutil.rmtree(tmp_pc, ignore_errors=True)
+
     # MinHash index COMPACT (r11): grown (sig, bands) tables ×N —
     # compaction is one hash shuffle + within-partition sort PER INDEX
     # TABLE (rows of 3 longs each, never documents), so the design

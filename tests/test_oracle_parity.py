@@ -139,6 +139,8 @@ _PRODUCT_OK = {
                               # + corpus/batch x broadcast 16-row trained table
     "q_ann_pq_index_health",  # base/batch encode x broadcast 1-row frozen
                               # book + 1-row code-stats x 1-row batch-stats
+    "q_ann_pq_index_compact", # base/batch encode x broadcast 1-row frozen
+                              # book + compacted codes x broadcast batch LUTs
     "q_dedup_index_health",   # <=buckets sizes x broadcast 1-row totals
                               # + 1-row totals x 1-row hot/batch-stats
 }
@@ -322,6 +324,7 @@ def test_no_unconditional_corpus_repartition():
             if (
                 "def ivf_index_compact" in head40
                 or "def minhash_index_compact" in head40
+                or "def pq_index_compact" in head40
             ):
                 continue
             offenders.append(f"{rel}:{i}: {line.strip()}")

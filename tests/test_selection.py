@@ -914,3 +914,54 @@ def test_pq_index_stats_arithmetic(spark, sf_dir):
     assert (bare["n_vecs"], bare["codes_used_min"], bare["codes_used_max"]) == (
         row["n_vecs"], row["codes_used_min"], row["codes_used_max"]
     )
+
+
+def test_pq_index_compact_is_pure_relayout(spark, sf_dir, tmp_path):
+    """pq_index_compact consumes batch_id and preserves the exact
+    (vec_id, codes) row multiset of the grown codes table, and ADC
+    lookup against the compacted table is row-identical to lookup
+    against the grown one — compaction is pure re-layout (the
+    small-file maintenance half; no probe selectivity is claimed, per
+    the operator docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter(~(F.col("vec_id") % 10).isin([6, 8]))
+    codebook, codes0 = sim.pq_index_build(base, trained=False)
+    codebook.write.parquet(str(tmp_path / "codebook"))
+    cb_p = spark.read.parquet(str(tmp_path / "codebook"))
+    codes_dir = str(tmp_path / "codes")
+    for b, rows in enumerate(
+        [codes0]
+        + [
+            sim.pq_index_append(emb.filter(F.col("vec_id") % 10 == r), cb_p)
+            for r in (6, 8)
+        ]
+    ):
+        (
+            rows.withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(codes_dir)
+        )
+    grown = spark.read.parquet(codes_dir)
+    sim.pq_index_compact(grown).write.parquet(str(tmp_path / "compacted"))
+    compacted = spark.read.parquet(str(tmp_path / "compacted"))
+    assert set(compacted.columns) == {"vec_id", "codes"}
+    grown_rows = sorted((r["vec_id"], tuple(r["codes"])) for r in grown.collect())
+    comp_rows = sorted((r["vec_id"], tuple(r["codes"])) for r in compacted.collect())
+    assert grown_rows == comp_rows
+    batch = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    via_grown = sorted(
+        sim.pq_index_lookup(
+            batch, cb_p, grown.select("vec_id", "codes"), k=10
+        ).collect(),
+        key=key,
+    )
+    via_comp = sorted(
+        sim.pq_index_lookup(batch, cb_p, compacted, k=10).collect(), key=key
+    )
+    assert [tuple(r) for r in via_grown] == [tuple(r) for r in via_comp]
+    assert len(via_comp) > 0
