@@ -452,13 +452,26 @@ def minhash_index_stats(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
     count / appended row fraction when ``batch_id`` is present.
 
     Scale shape: ONE partial-agg count over the (band, band_sig, doc)
-    index rows — never the documents — into a ≤ buckets relation
-    (cached: it feeds both the totals and the hot-bucket count), then
-    constant-size aggregates; the batch-side agg is ≤ n_batches rows.
-    Pure introspection of the index's own tables."""
-    sizes = register_cache(
-        bands.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("n"))
-    )
+    index rows — never the documents — into a ≤ buckets·batches
+    relation (cached: it feeds the totals, the hot-bucket count AND
+    the batch bookkeeping), then constant-size aggregates. The
+    previous shape aggregated ``bands`` a second time for the
+    batch-side summary — for a lazy grown-union input that was a
+    second full shingle+sign pass over the corpus (guide §1.2: don't
+    compute things twice). Pure introspection of the index's own
+    tables."""
+    if "batch_id" in bands.columns:
+        cells = register_cache(
+            bands.groupBy("band", "band_sig", "batch_id").agg(
+                F.count(F.lit(1)).alias("cn")
+            )
+        )
+        sizes = cells.groupBy("band", "band_sig").agg(F.sum("cn").alias("n"))
+    else:
+        cells = None
+        sizes = register_cache(
+            bands.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("n"))
+        )
     tot = sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum("n").alias("n_rows"),
@@ -471,8 +484,8 @@ def minhash_index_stats(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_hot_buckets"))
     )
-    if "batch_id" in bands.columns:
-        batches = bands.groupBy("batch_id").agg(F.count(F.lit(1)).alias("bn")).agg(
+    if cells is not None:
+        batches = cells.groupBy("batch_id").agg(F.sum("cn").alias("bn")).agg(
             F.sum(F.when(F.col("batch_id") != 0, 1).otherwise(0))
             .cast("bigint")
             .alias("n_append_batches"),
@@ -535,20 +548,23 @@ def minhash_index_compact(
     lookup against the compacted pair is row-identical to lookup
     against the grown one (q_dedup_index_compact pins compact ≡
     append ≡ rebuild through the union-corpus oracle)."""
-    parts = num_partitions if num_partitions is not None else int(
-        sig.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    # Scale-adaptive partitioning (guide §2): with num_partitions=None
+    # the clustering shuffles carry no pinned count, so AQE sizes the
+    # output partitions from the data (advisoryPartitionSizeInBytes) —
+    # a 100 TB index compacts into size-bounded files, a test-scale one
+    # into a handful, with no constant tuned for either.
+    sig_c = sig.select(id_col, "i", "mh")
+    bands_c = bands.select(id_col, "band", "band_sig")
+    if num_partitions is not None:
+        sig_c = sig_c.repartition(int(num_partitions), id_col)
+        bands_c = bands_c.repartition(int(num_partitions), "band", "band_sig")
+    else:  # no pinned count — AQE-coalescible
+        sig_c = sig_c.repartition(id_col)
+        bands_c = bands_c.repartition("band", "band_sig")
+    return (
+        sig_c.sortWithinPartitions(id_col, "i"),
+        bands_c.sortWithinPartitions("band", "band_sig", id_col),
     )
-    sig_c = (
-        sig.select(id_col, "i", "mh")
-        .repartition(parts, id_col)
-        .sortWithinPartitions(id_col, "i")
-    )
-    bands_c = (
-        bands.select(id_col, "band", "band_sig")
-        .repartition(parts, "band", "band_sig")
-        .sortWithinPartitions("band", "band_sig", id_col)
-    )
-    return sig_c, bands_c
 
 
 def minhash_lsh_pairs(

@@ -48,6 +48,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm2(a) * norm2(b))
 
 
+# --- SQL-text twins of the Column helpers above ------------------------
+# The dedup.py expression-builder discipline (dedup.py:91): every
+# Column-lambda tree (F.aggregate / F.transform / F.zip_with) is built
+# through MANY py4j round-trips, and the driver pays that per plan
+# construction — profiling q_ann_pq_index_lookup showed >4,000 py4j
+# round-trips per call with the Python-side lambda construction, not
+# the Spark jobs, dominating the slot (guide §1: measure first; §4:
+# the boundary you can't see still costs). These builders emit ONE SQL
+# string that parses to the node-identical expression tree, so values
+# (and the generated code) are unchanged while plan construction stops
+# crossing the socket per node. Same-value parity with the Column forms
+# is pinned by every ANN oracle hash.
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` (same fold order, same seed)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def d2_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_d2` (sequential squared-L2 fold)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def norm2_sql(a: str) -> str:
+    """SQL text of :func:`norm2`."""
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def to_double_sql(arr: str) -> str:
+    """SQL text of :func:`_to_double`."""
+    return f"transform({arr}, x -> cast(x as double))"
+
+
 def _spread(df: DataFrame, spread: bool = True) -> DataFrame:
     """Caller-gated widening repartition (the dedup._spread discipline).
 
@@ -76,9 +116,12 @@ def _normed_base(
     as unit-normalization with `transform(v, x -> x/norm(v))`: the norm
     subtree lands inside the per-element lambda and is re-evaluated
     dim× per row — higher-order lambdas are interpreted with no
-    common-subexpression elimination.)"""
-    v = _to_double(F.col(vec_col))
-    base = emb.select(F.col(id_col), v.alias("v"), norm2(v).alias("nrm"))
+    common-subexpression elimination.)
+
+    Built as ONE selectExpr string (see the SQL-twin builders above):
+    node-identical plan, ~100× fewer py4j round-trips to construct."""
+    v = to_double_sql(vec_col)
+    base = emb.selectExpr(id_col, f"{v} AS v", f"{norm2_sql(v)} AS nrm")
     return _spread(base, spread)
 
 
@@ -91,7 +134,7 @@ def cosine_pairs(
     a = base.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = base.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).withColumn(
-        "cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        "cos", F.expr(f"{dot_sql('va', 'vb')} / (na * nb)")
     )
     return pairs.filter(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
 
@@ -113,7 +156,7 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     scored = base.join(F.broadcast(queries), F.col(id_col) != F.col("query_id")).withColumn(
-        "cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        "cos", F.expr(f"{dot_sql('qv', 'v')} / (qn * nrm)")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -157,13 +200,12 @@ def hard_negatives(
     negatives for EVERY training example — millions of anchors — use
     :func:`hard_negatives_lsh`, which replaces the broadcast product
     with an LSH-bucket equi-join."""
-    v = _to_double(F.col(vec_col))
     base = _spread(
-        emb.select(
-            F.col(id_col),
-            F.col(label_col).alias("_lbl"),
-            v.alias("v"),
-            norm2(v).alias("nrm"),
+        emb.selectExpr(
+            id_col,
+            f"{label_col} AS _lbl",
+            f"{to_double_sql(vec_col)} AS v",
+            f"{norm2_sql(to_double_sql(vec_col))} AS nrm",
         ),
         spread,
     )
@@ -176,7 +218,7 @@ def hard_negatives(
     scored = base.join(
         F.broadcast(queries),
         (F.col(id_col) != F.col("query_id")) & (F.col("_lbl") != F.col("q_lbl")),
-    ).withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+    ).withColumn("cos", F.expr(f"{dot_sql('qv', 'v')} / (qn * nrm)"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -200,6 +242,20 @@ def hyperplane(j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: integer-derived weights in
     {-3..3} (no transcendental functions → engine-portable)."""
     return [float((i * 31 + j * 17) % 7 - 3) for i in range(dim)]
+
+
+def lsh_bucket_sql(vec: str, dim: int, planes: int = 4, offset: int = 0) -> str:
+    """SQL text of :func:`lsh_bucket` — one parsed string instead of
+    planes × dim py4j literal calls (the expression-builder
+    discipline; same values, same left-fold add order)."""
+    terms = ["cast(0 as bigint)"]
+    for j in range(planes):
+        h = _dbl_array_sql(hyperplane(offset + j, dim))
+        terms.append(
+            f"(case when {dot_sql(vec, h)} > 0 "
+            f"then cast({1 << j} as bigint) else cast(0 as bigint) end)"
+        )
+    return " + ".join(terms)
 
 
 def lsh_bucket(vec: Column, dim: int, planes: int = 4, offset: int = 0) -> Column:
@@ -234,10 +290,9 @@ def lsh_topk(
     back for scoring — so shuffle volume is O(candidates), not
     O(candidates·dim)."""
     base = _normed_base(emb, id_col, vec_col)
-    raw = F.col("v")
     wide = base.select(
         F.col(id_col),
-        *[lsh_bucket(raw, dim, planes, t * planes).alias(f"b{t}") for t in range(tables)],
+        *[F.expr(lsh_bucket_sql("v", dim, planes, t * planes)).alias(f"b{t}") for t in range(tables)],
     )
     stack = ", ".join(f"{t}, b{t}" for t in range(tables))
     long = wide.selectExpr(id_col, f"stack({tables}, {stack}) as (t, bucket)")
@@ -257,7 +312,7 @@ def lsh_topk(
     scored = (
         cand.join(nb, "neighbor_id")
         .join(F.broadcast(queries), "query_id")
-        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+        .withColumn("cos", F.expr(f"{dot_sql('qv', 'v')} / (qn * nrm)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -315,20 +370,19 @@ def hard_negatives_lsh(
 
     ``anchor_pred`` selects the anchor rows (default: every row — the
     all-anchor mining case)."""
-    v = _to_double(F.col(vec_col))
     base = _spread(
-        emb.select(
-            F.col(id_col),
-            F.col(label_col).alias("_lbl"),
-            v.alias("v"),
-            norm2(v).alias("nrm"),
+        emb.selectExpr(
+            id_col,
+            f"{label_col} AS _lbl",
+            f"{to_double_sql(vec_col)} AS v",
+            f"{norm2_sql(to_double_sql(vec_col))} AS nrm",
         ),
         spread,
     )
     wide = base.select(
         F.col(id_col),
         F.col("_lbl"),
-        *[lsh_bucket(F.col("v"), dim, planes, t * planes).alias(f"b{t}") for t in range(tables)],
+        *[F.expr(lsh_bucket_sql("v", dim, planes, t * planes)).alias(f"b{t}") for t in range(tables)],
     )
     stack = ", ".join(f"{t}, b{t}" for t in range(tables))
     long = wide.selectExpr(id_col, "_lbl", f"stack({tables}, {stack}) as (t, bucket)")
@@ -350,7 +404,7 @@ def hard_negatives_lsh(
     scored = (
         cand.join(nb, "neighbor_id")
         .join(qv, "query_id")
-        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+        .withColumn("cos", F.expr(f"{dot_sql('qv', 'v')} / (qn * nrm)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -485,7 +539,7 @@ def lsh_near_pairs(
     base = _normed_base(emb, id_col, vec_col)
     wide = base.select(
         F.col(id_col),
-        *[lsh_bucket(F.col("v"), dim, planes, t * planes).alias(f"b{t}") for t in range(tables)],
+        *[F.expr(lsh_bucket_sql("v", dim, planes, t * planes)).alias(f"b{t}") for t in range(tables)],
     )
     stack = ", ".join(f"{t}, b{t}" for t in range(tables))
     long = wide.selectExpr(id_col, f"stack({tables}, {stack}) as (t, bucket)")
@@ -505,7 +559,7 @@ def lsh_near_pairs(
     scored = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos", F.expr(f"{dot_sql('va', 'vb')} / (na * nb)"))
     )
     return scored.filter(F.col("cos") >= threshold).select("vec_a", "vec_b", "cos")
 
@@ -533,15 +587,18 @@ def ivf_topk(
     needs no training pass."""
     base = _normed_base(emb, id_col, vec_col)
     if centroids is not None:
-        cv = _to_double(F.col("cv"))
-        cents = centroids.select(F.col("cid"), cv.alias("cv"), norm2(cv).alias("cn"))
+        cents = centroids.selectExpr(
+            "cid",
+            f"{to_double_sql('cv')} AS cv",
+            f"{norm2_sql(to_double_sql('cv'))} AS cn",
+        )
     else:
         cents = base.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
         )
     sim_c = F.col("__cos_c")
     assign_scored = base.join(F.broadcast(cents), F.lit(True)).withColumn(
-        "__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+        "__cos_c", F.expr(f"{dot_sql('v', 'cv')} / (nrm * cn)")
     )
     # Nearest-centroid assignment is an argmax, not a ranking: max_by
     # under a hash aggregate gets map-side partial aggregation and never
@@ -576,7 +633,7 @@ def ivf_topk(
     scored = (
         cand.join(nb, "neighbor_id")
         .join(F.broadcast(queries), "query_id")
-        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+        .withColumn("cos", F.expr(f"{dot_sql('qv', 'v')} / (qn * nrm)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -636,9 +693,10 @@ def ivf_index_build(
     """
     base = _normed_base(emb, id_col, vec_col, spread)
     if centroids is not None:
-        cv = _to_double(F.col("cv"))
-        cents = centroids.select(
-            F.col("cid"), cv.alias("cv"), norm2(cv).alias("cn")
+        cents = centroids.selectExpr(
+            "cid",
+            f"{to_double_sql('cv')} AS cv",
+            f"{norm2_sql(to_double_sql('cv'))} AS cn",
         )
     else:
         if n_centroids is None:
@@ -684,7 +742,7 @@ def ivf_index_append(
     sim_c = F.col("__cos_c")
     assign = (
         b.join(F.broadcast(centroids), F.lit(True))
-        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+        .withColumn("__cos_c", F.expr(f"{dot_sql('v', 'cv')} / (nrm * cn)"))
         .select(F.col(id_col), "cid", sim_c)
         .groupBy(id_col)
         .agg(F.max_by("cid", F.struct(sim_c, (-F.col("cid")).cast("long"))).alias("cid"))
@@ -733,10 +791,16 @@ def ivf_index_compact(
     against the grown one (live-tested, and q_ann_index_compact pins
     compact ≡ append ≡ rebuild through the shared lookup oracle)."""
     out = assign.select("cid", id_col)
-    parts = num_partitions if num_partitions is not None else out.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
-    )
-    return out.repartition(int(parts), "cid").sortWithinPartitions("cid", id_col)
+    # Scale-adaptive partitioning (guide §2): with num_partitions=None
+    # the clustering shuffle carries no pinned count, so AQE sizes the
+    # output partitions from the data (advisoryPartitionSizeInBytes) —
+    # a 100 TB index compacts into size-bounded files, a test-scale one
+    # into a handful, with no constant tuned for either.
+    if num_partitions is not None:
+        out = out.repartition(int(num_partitions), "cid")
+    else:
+        out = out.repartition("cid")  # no pinned count — AQE-coalescible
+    return out.sortWithinPartitions("cid", id_col)
 
 
 def ivf_index_stats(
@@ -755,16 +819,39 @@ def ivf_index_stats(
     vectors that arrived by append.
 
     Scale shape: ONE partial-agg count over the (cid, id) index rows
-    (never the vectors) into a ≤ n_lists relation, then constant-size
-    aggregates; the batch-side agg is ≤ n_batches rows. Pure
-    introspection — reading the index's own tables is exactly why the
-    (centroids, assign) pair persists as plain parquet."""
-    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    (never the vectors) into a ≤ n_lists·n_batches relation — a grown
+    table is read ONCE; the bounded cell table is locally checkpointed
+    and both the list-level and batch-level summaries re-aggregate it
+    (guide §1.2/§2.3: the previous shape aggregated the index rows
+    twice, once per summary — 2× the index I/O at 100 TB for the same
+    answer). Pure introspection — reading the index's own tables is
+    exactly why the (centroids, assign) pair persists as plain
+    parquet."""
     over_cap = (
         F.sum(F.when(F.col("n") > list_cap, 1).otherwise(0)).alias("n_lists_over_cap")
         if list_cap is not None
         else F.lit(0).cast("bigint").alias("n_lists_over_cap")
     )
+    if "batch_id" in assign.columns:
+        # one pass over the index rows; cells ≤ n_lists·n_batches
+        cells = (
+            assign.groupBy("cid", "batch_id")
+            .agg(F.count(F.lit(1)).alias("cn"))
+            .localCheckpoint(eager=False)
+        )
+        sizes = cells.groupBy("cid").agg(F.sum("cn").alias("n"))
+        batches = cells.groupBy("batch_id").agg(F.sum("cn").alias("bn")).agg(
+            (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_append_batches"),
+            F.sum(F.when(F.col("batch_id") != 0, F.col("bn")).otherwise(0)).alias(
+                "appended_vecs"
+            ),
+        )
+    else:
+        sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        batches = assign.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n_append_batches"),
+            F.lit(0).cast("bigint").alias("appended_vecs"),
+        )
     lists = sizes.agg(
         F.count(F.lit(1)).alias("n_lists"),
         F.sum("n").alias("n_vecs"),
@@ -772,18 +859,6 @@ def ivf_index_stats(
         F.min("n").alias("min_occ"),
         over_cap,
     )
-    if "batch_id" in assign.columns:
-        batches = assign.groupBy("batch_id").agg(F.count(F.lit(1)).alias("bn")).agg(
-            (F.count(F.lit(1)) - F.lit(1)).cast("bigint").alias("n_append_batches"),
-            F.sum(F.when(F.col("batch_id") != 0, F.col("bn")).otherwise(0)).alias(
-                "appended_vecs"
-            ),
-        )
-    else:
-        batches = assign.sparkSession.range(1).select(
-            F.lit(0).cast("bigint").alias("n_append_batches"),
-            F.lit(0).cast("bigint").alias("appended_vecs"),
-        )
     return lists.join(batches, F.lit(True)).select(
         "n_lists",
         "n_vecs",
@@ -887,33 +962,35 @@ def ivf_centroids_trained(
     k-means-seed pattern)."""
     spark = emb.sparkSession
     base = _normed_base(emb, id_col, vec_col, spread)
-    seed = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    # ONE bounded collect of the n_centroids seed vectors serves both
+    # the broadcast seed book (as a local 1-row relation) and the
+    # empty-cluster fallback values below — the previous shape
+    # aggregated the seed slice for the broadcast AND re-collected it
+    # in a second job (guide §1.2: don't compute things twice).
+    seed_rows = sorted(
+        (r["cid"], list(r["cv"]), r["cn"])
+        for r in base.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+        .collect()
     )
-    seed_cb = seed.agg(
-        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv"), F.col("cn")))).alias("scb")
+    seed_cb = spark.createDataFrame(
+        [(seed_rows,)],
+        "scb array<struct<cid: bigint, cv: array<double>, cn: double>>",
     )
     enc = base.crossJoin(F.broadcast(seed_cb))
     if metric == "cos":
         # lexicographic max of (cos, -cid): highest cosine, ties to the
         # smaller cid — the ivf_index_build argmax convention.
-        best = F.array_max(
-            F.transform(
-                F.col("scb"),
-                lambda e: F.struct(
-                    (dot(F.col("v"), e["cv"]) / (F.col("nrm") * e["cn"])).alias("s"),
-                    (-e["cid"]).alias("ncid"),
-                ),
-            )
+        best = F.expr(
+            f"array_max(transform(scb, e -> struct("
+            f"{dot_sql('v', 'e.cv')} / (nrm * e.cn) AS s, -e.cid AS ncid)))"
         )
         assigned = enc.select((-best["ncid"]).alias("cid"), "v")
     elif metric == "l2":
         # lexicographic min of (d2, cid) — the _coarse_best convention.
-        best = F.array_min(
-            F.transform(
-                F.col("scb"),
-                lambda e: F.struct(_d2(F.col("v"), e["cv"]).alias("d"), e["cid"].alias("cid")),
-            )
+        best = F.expr(
+            f"array_min(transform(scb, e -> struct("
+            f"{d2_sql('v', 'e.cv')} AS d, e.cid AS cid)))"
         )
         assigned = enc.select(best["cid"].alias("cid"), "v")
     else:  # pragma: no cover - caller contract
@@ -928,10 +1005,9 @@ def ivf_centroids_trained(
         .withColumn("m", F.col("sm").cast("double") / F.lit(_POW2_60) / F.col("n"))
     )
     got = {(r["cid"], r["i"]): r["m"] for r in means.select("cid", "i", "m").collect()}
-    seeds = {r["cid"]: list(r["cv"]) for r in seed.select("cid", "cv").collect()}
     rows = [
         (cid, [got.get((cid, j), sv[j]) for j in range(dim)])
-        for cid, sv in sorted(seeds.items())
+        for cid, sv, _cn in seed_rows
     ]
     return spark.createDataFrame(rows, "cid bigint, cv array<double>")
 
@@ -973,7 +1049,7 @@ def ivf_index_lookup(
     w_probe = Window.partitionBy("query_id").orderBy(sim_c.desc(), F.col("cid").asc())
     probes = (
         b.join(F.broadcast(centroids), F.lit(True))
-        .withColumn("__cos_c", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))
+        .withColumn("__cos_c", F.expr(f"{dot_sql('v', 'cv')} / (nrm * cn)"))
         .select(F.col(id_col).alias("query_id"), "cid", sim_c)
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= n_probe)
@@ -989,7 +1065,7 @@ def ivf_index_lookup(
     scored = (
         cand.join(nb, "neighbor_id")
         .join(qv, "query_id")
-        .withColumn("cos", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")))
+        .withColumn("cos", F.expr(f"{dot_sql('qv', 'v')} / (qn * nrm)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -1094,31 +1170,40 @@ def brute_force_topk_arrow(
 _POW2_60 = 1152921504606846976.0  # 2^60: exact power-of-two scale factor
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    """Squared-L2 distance to a literal centroid as a sequential fold —
-    the same op order as :func:`dot`, so it is bit-exact cross-engine."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
+def _dbl_array_sql(values: list[float]) -> str:
+    """SQL text of a double-array literal. ``repr`` is the shortest
+    round-trip form, and Spark's double literal parse is exact for it,
+    so the planned literal is bit-identical to ``F.lit(float(x))``."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")"
+
+
+def _sq_dist_sql(vec: str, centroid: list[float]) -> str:
+    """SQL text of squared-L2 distance to a literal centroid — the same
+    sequential fold (and op order) as :func:`dot`, bit-exact
+    cross-engine; ONE parsed string instead of a per-element py4j
+    literal tree (the dedup.py expression-builder discipline)."""
+    return d2_sql(vec, _dbl_array_sql(centroid))
+
+
+def _scored_sql(centroids: list[list[float]], vec: str = "v") -> str:
+    """SQL text of the (distance, index) struct array over ``centroids``
+    — lexicographic struct ordering breaks distance ties toward the
+    lower cluster index, which the SQL oracle mirrors with
+    ORDER BY (d, cluster)."""
+    return "array(" + ", ".join(
+        f"struct({_sq_dist_sql(vec, c)} AS d, {j} AS j)"
+        for j, c in enumerate(centroids)
+    ) + ")"
 
 
 def _assign(base: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Add the argmin-centroid ``cluster`` column: an array of
-    (distance, index) structs reduced with array_min — lexicographic
-    struct ordering breaks distance ties toward the lower cluster index,
-    which the SQL oracle mirrors with ORDER BY (d, cluster). Broadcast
-    semantics: the k×dim centroid literals ride the plan; the corpus
-    never shuffles for assignment."""
-    scored = F.array(
-        *[
-            F.struct(_sq_dist(F.col("v"), c).alias("d"), F.lit(j).alias("j"))
-            for j, c in enumerate(centroids)
-        ]
+    """Add the argmin-centroid ``cluster`` column (array_min over the
+    (distance, index) struct array). Broadcast semantics: the k×dim
+    centroid literals ride the plan; the corpus never shuffles for
+    assignment."""
+    return base.withColumn(
+        "cluster", F.expr(f"(array_min({_scored_sql(centroids)})).j")
     )
-    return base.withColumn("cluster", F.array_min(scored)["j"])
 
 
 def kmeans_assign(
@@ -1173,10 +1258,9 @@ def kmeans_assign(
             [got.get((j, i), centroids[j][i]) for i in range(dim)] for j in range(k)
         ]  # empty cluster keeps its previous centroid
     return _assign(base, centroids).select(
-        id_col, "cluster", F.array_min(
-            F.array(*[F.struct(_sq_dist(F.col("v"), c).alias("d"), F.lit(j).alias("j"))
-                      for j, c in enumerate(centroids)])
-        )["d"].alias("dist")
+        id_col,
+        "cluster",
+        F.expr(f"(array_min({_scored_sql(centroids)})).d").alias("dist"),
     )
 
 
@@ -1218,7 +1302,7 @@ def semantic_dedup(
     pairs = (
         a.join(b, ["cluster"])
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos", F.expr(f"{dot_sql('va', 'vb')} / (na * nb)"))
         .where(F.col("cos") >= F.lit(threshold))
     )
     dup_of = pairs.groupBy(F.col("b_id").alias(id_col)).agg(F.min("a_id").alias("dup_of"))
@@ -1363,19 +1447,11 @@ def pca_project(
     # as dot(x, u) minus the scalar dot(mu, u) so the per-row work is
     # one fold per component
     mu = _exact_means(emb, vec_col)
-    v = _to_double(F.col(vec_col))
+    v_sql = to_double_sql(vec_col)
     proj_cols = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(float(w)) for w in comps[c]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            - F.lit(float(np.dot(mu, comps[c])))
+        F.expr(
+            f"{dot_sql(v_sql, _dbl_array_sql(list(comps[c])))}"
+            f" - {float(np.dot(mu, comps[c]))!r}D"
         ).alias(f"pc{c}")
         for c in range(len(comps))
     ]
@@ -1427,20 +1503,28 @@ def mahalanobis_scores(
     vals, vecs = np.linalg.eigh(C)
     vals = vals + ridge
     mu = _exact_means(emb, vec_col)
-    v = _to_double(F.col(vec_col))
-    score = F.lit(0.0)
-    for i in range(d):
-        u = vecs[:, i]
-        proj = (
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(float(w)) for w in u]), lambda a, b: a * b),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            - F.lit(float(np.dot(mu, u)))
+    # SQL-text folds (the expression-builder discipline): d dot folds of
+    # d literals each were ~d² py4j literal calls; the projections land
+    # in named intermediate columns so the squared term references the
+    # fold once (the optimizer collapses the two projections — same
+    # arithmetic, same order).
+    v_sql = to_double_sql(vec_col)
+    proj_cols = [
+        F.expr(
+            f"{dot_sql(v_sql, _dbl_array_sql(list(vecs[:, i])))}"
+            f" - {float(np.dot(mu, vecs[:, i]))!r}D"
+        ).alias(f"_p{i}")
+        for i in range(d)
+    ]
+    score = F.expr(
+        " + ".join(
+            ["cast(0.0 as double)"]
+            + [f"(_p{i} * _p{i}) / {float(vals[i])!r}D" for i in range(d)]
         )
-        score = score + (proj * proj) / F.lit(float(vals[i]))
-    return emb.select(F.col(id_col), score.alias("maha_sq"))
+    )
+    return emb.select(F.col(id_col), *proj_cols).select(
+        F.col(id_col), score.alias("maha_sq")
+    )
 
 
 def ann_recall(
@@ -1480,6 +1564,24 @@ def _d2(a: Column, b: Column) -> Column:
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
+
+
+def _pq_code_sql(s: int, sd: int, v: str = "v", cb: str = "cb") -> str:
+    """SQL text of one subspace's nearest-centroid code (the
+    ``code_for`` expression of :func:`pq_encode`): squared-L2 over the
+    subspace-``s`` slices, lexicographic (d, cid) min — one parsed
+    string instead of a per-centroid py4j lambda tree."""
+    sub_v = f"slice({v}, {s * sd + 1}, {sd})"
+    sub_c = f"slice(e.cv, {s * sd + 1}, {sd})"
+    return (
+        f"(array_min(transform({cb}, e -> "
+        f"struct({d2_sql(sub_v, sub_c)} AS d, e.cid AS cid)))).cid"
+    )
+
+
+def _pq_codes_sql(n_sub: int, sd: int, v: str = "v", cb: str = "cb") -> str:
+    """SQL text of the full ``codes`` array (all ``n_sub`` subspaces)."""
+    return "array(" + ", ".join(_pq_code_sql(s, sd, v, cb) for s in range(n_sub)) + ")"
 
 
 def pq_codebook(emb: DataFrame, n_cent: int = PQ_CENT,
@@ -1537,24 +1639,23 @@ def pq_codebook_trained(
     """
     sd = dim // n_sub
     spark = emb.sparkSession
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    seed_cb = pq_codebook(emb, n_cent, id_col, vec_col)
-    enc = base.crossJoin(F.broadcast(seed_cb))
-
-    def code_for(s: int) -> Column:
-        sub_v = F.slice(F.col("v"), s * sd + 1, sd)
-        scored = F.transform(
-            F.col("cb"),
-            lambda e: F.struct(
-                _d2(sub_v, F.slice(e["cv"], s * sd + 1, sd)).alias("d"),
-                e["cid"].alias("cid"),
-            ),
-        )
-        return F.array_min(scored)["cid"]
-
-    codes = enc.select(
-        "v", F.array(*[code_for(s) for s in range(n_sub)]).alias("codes")
+    base = emb.select(F.col(id_col), F.expr(to_double_sql(vec_col)).alias("v"))
+    # ONE bounded collect of the n_cent seed vectors serves both the
+    # broadcast seed book (as a local 1-row relation) and the
+    # empty-cell fallback values below — the previous shape aggregated
+    # the seed slice for the broadcast AND re-collected it in a second
+    # job for the fallbacks (guide §1.2: don't compute things twice).
+    seed_rows = sorted(
+        (r["cid"], list(r["cv"]))
+        for r in base.filter(F.col(id_col) < n_cent)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+        .collect()
     )
+    seed_cb = spark.createDataFrame(
+        [(seed_rows,)], "cb array<struct<cid: bigint, cv: array<double>>>"
+    )
+    enc = base.crossJoin(F.broadcast(seed_cb))
+    codes = enc.select("v", F.expr(_pq_codes_sql(n_sub, sd)).alias("codes"))
     flat = codes.select(
         "v", F.posexplode("codes").alias("s", "cid")
     ).select(
@@ -1569,12 +1670,9 @@ def pq_codebook_trained(
     )
     got = {(r["s"], r["cid"], r["i"]): r["m"]
            for r in means.select("s", "cid", "i", "m").collect()}
-    seeds = {r["cid"]: list(r["cv"])
-             for r in seed_cb.select(F.explode("cb").alias("e"))
-                             .select("e.cid", "e.cv").collect()}
     rows = [
         (cid, [got.get(((j // sd), cid, j % sd), sv[j]) for j in range(dim)])
-        for cid, sv in sorted(seeds.items())
+        for cid, sv in seed_rows
     ]
     cb_df = spark.createDataFrame(rows, "cid bigint, cv array<double>")
     return cb_df.agg(
@@ -1609,23 +1707,11 @@ def pq_encode(
     default seeded book — pass :func:`pq_codebook_trained` for the
     k-means-trained encoding."""
     sd = dim // n_sub
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    base = emb.select(F.col(id_col), F.expr(to_double_sql(vec_col)).alias("v"))
     cb = codebook if codebook is not None else pq_codebook(emb, n_cent, id_col, vec_col)
     enc = base.crossJoin(F.broadcast(cb))
-
-    def code_for(s: int) -> Column:
-        sub_v = F.slice(F.col("v"), s * sd + 1, sd)
-        scored = F.transform(
-            F.col("cb"),
-            lambda e: F.struct(
-                _d2(sub_v, F.slice(e["cv"], s * sd + 1, sd)).alias("d"),
-                e["cid"].alias("cid"),
-            ),
-        )
-        return F.array_min(scored)["cid"]
-
     return enc.select(
-        F.col(id_col), F.array(*[code_for(s) for s in range(n_sub)]).alias("codes")
+        F.col(id_col), F.expr(_pq_codes_sql(n_sub, sd)).alias("codes")
     )
 
 
@@ -1689,12 +1775,11 @@ def _pq_adc_search(
     lut = (
         queries.crossJoin(F.broadcast(cents))
         .select("query_id", "qv", "cid", "cv")
-        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
+        .withColumn("s", F.expr(f"explode(sequence(0, {n_sub - 1}))"))
         .withColumn(
             "d",
-            _d2(
-                F.slice(F.col("qv"), F.col("s") * sd + 1, sd),
-                F.slice(F.col("cv"), F.col("s") * sd + 1, sd),
+            F.expr(
+                d2_sql(f"slice(qv, s * {sd} + 1, {sd})", f"slice(cv, s * {sd} + 1, {sd})")
             ),
         )
         .select("query_id", "s", "cid", "d")
@@ -1706,12 +1791,12 @@ def _pq_adc_search(
     # wrong cell (or throw) the moment a seed id is absent.
     drows = (
         lut.groupBy("query_id", "s")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("d")))).alias("_cd"))
+        .agg(F.expr("array_sort(collect_list(struct(cid, d)))").alias("_cd"))
         .select(
             "query_id",
             "s",
-            F.map_from_entries(
-                F.transform(F.col("_cd"), lambda e: F.struct(e["cid"], e["d"]))
+            F.expr(
+                "map_from_entries(transform(_cd, e -> struct(e.cid, e.d)))"
             ).alias("drow"),
         )
     )
@@ -1720,21 +1805,17 @@ def _pq_adc_search(
         .agg(
             # comparator form: structs holding a MAP are not orderable,
             # so sort on the subspace index alone
-            F.array_sort(
-                F.collect_list(F.struct(F.col("s"), F.col("drow"))),
-                lambda a, b: (a["s"] - b["s"]).cast("int"),
+            F.expr(
+                "array_sort(collect_list(struct(s, drow)), "
+                "(a, b) -> cast(a.s - b.s as int))"
             ).alias("_sd")
         )
-        .select("query_id", F.transform(F.col("_sd"), lambda e: e["drow"]).alias("tbl"))
+        .select("query_id", F.expr("transform(_sd, e -> e.drow)").alias("tbl"))
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0).cast("double"),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("tbl"), s + 1),
-            F.element_at(F.col("codes"), s + 1),
-        ),
+    adc = F.expr(
+        f"aggregate(sequence(0, {n_sub - 1}), cast(0.0 as double), "
+        f"(acc, s) -> acc + element_at(element_at(tbl, s + 1), "
+        f"element_at(codes, s + 1)))"
     )
     scored = (
         codes.crossJoin(F.broadcast(tbl))
@@ -1878,10 +1959,13 @@ def pq_index_compact(
     (q_ann_pq_index_compact pins compact ≡ append ≡ rebuild through
     the shared ADC oracle)."""
     out = codes.select(id_col, "codes")
-    parts = num_partitions if num_partitions is not None else out.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
-    )
-    return out.repartition(int(parts), id_col).sortWithinPartitions(id_col)
+    # Scale-adaptive partitioning (guide §2): no pinned count when
+    # num_partitions=None — AQE sizes output partitions from the data.
+    if num_partitions is not None:
+        out = out.repartition(int(num_partitions), id_col)
+    else:
+        out = out.repartition(id_col)  # no pinned count — AQE-coalescible
+    return out.sortWithinPartitions(id_col)
 
 
 def pq_index_stats(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -1902,18 +1986,32 @@ def pq_index_stats(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
     Scale shape: ONE posexplode projection of the (id, codes) rows
     (n_sub · 8-byte codes, never the vectors) into a partial-agg
-    count with ≤ n_sub·n_cent post-shuffle rows, then constant-size
-    aggregates; the batch-side agg is ≤ n_batches rows. Pure
+    count with ≤ n_batches·n_sub·n_cent post-shuffle rows — the coded
+    corpus is read/computed ONCE; the bounded cell table is locally
+    checkpointed and the code-utilization, vector-count and
+    batch-bookkeeping summaries all re-aggregate it (guide §1.2/§2.3:
+    the previous shape aggregated the codes THREE times — posexplode
+    counts, a separate n_vecs count, a separate batch_id count — which
+    for a lazy grown-union input meant three full encode passes). Pure
     introspection of the index's own parquet tables."""
-    per = (
-        codes.select(F.posexplode("codes").alias("s", "code"))
-        .groupBy("s", "code")
-        .agg(F.count(F.lit(1)).alias("n"))
+    has_batch = "batch_id" in codes.columns
+    keys = (["batch_id"] if has_batch else []) + ["s", "code"]
+    cells = (
+        codes.select(*(["batch_id"] if has_batch else []), F.posexplode("codes").alias("s", "code"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .localCheckpoint(eager=False)
     )
+    per = cells.groupBy("s", "code").agg(F.sum("cn").alias("n"))
     pers = per.groupBy("s").agg(
         F.count(F.lit(1)).alias("used"), F.max("n").alias("mx")
     )
-    summary = codes.agg(F.count(F.lit(1)).alias("n_vecs")).join(
+    # every vector contributes exactly one (s=0, code) row, so the
+    # vector count is recovered from the cells — no second corpus pass
+    n_vecs = cells.filter(F.col("s") == 0).agg(
+        F.coalesce(F.sum("cn"), F.lit(0)).cast("bigint").alias("n_vecs")
+    )
+    summary = n_vecs.join(
         pers.agg(
             F.count(F.lit(1)).alias("n_sub"),
             F.min("used").alias("codes_used_min"),
@@ -1922,14 +2020,19 @@ def pq_index_stats(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
         ),
         F.lit(True),
     )
-    if "batch_id" in codes.columns:
-        batches = codes.groupBy("batch_id").agg(F.count(F.lit(1)).alias("bn")).agg(
-            F.sum(F.when(F.col("batch_id") != 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_append_batches"),
-            F.sum(F.when(F.col("batch_id") != 0, F.col("bn")).otherwise(0))
-            .cast("bigint")
-            .alias("appended_vecs"),
+    if has_batch:
+        batches = (
+            cells.filter(F.col("s") == 0)
+            .groupBy("batch_id")
+            .agg(F.sum("cn").alias("bn"))
+            .agg(
+                F.sum(F.when(F.col("batch_id") != 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_append_batches"),
+                F.sum(F.when(F.col("batch_id") != 0, F.col("bn")).otherwise(0))
+                .cast("bigint")
+                .alias("appended_vecs"),
+            )
         )
     else:
         batches = codes.sparkSession.range(1).select(
@@ -1964,7 +2067,7 @@ def l2_topk(
     )
     scored = base.join(
         F.broadcast(queries), F.col(id_col) != F.col("query_id")
-    ).withColumn("d2", _d2(F.col("qv"), F.col("v")))
+    ).withColumn("d2", F.expr(d2_sql("qv", "v")))
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -2064,6 +2167,22 @@ def _coarse_best(v: Column, cb: Column) -> Column:
     )
 
 
+def _rcodes_sql(n_sub: int, sd: int, r: str = "r", rcb: str = "rcb") -> str:
+    """SQL text of the residual codes array — the IVFPQ twin of
+    :func:`_pq_codes_sql`, over the (rid, rv) residual book (one
+    parsed string instead of a per-centroid py4j lambda tree)."""
+
+    def one(s: int) -> str:
+        sub_r = f"slice({r}, {s * sd + 1}, {sd})"
+        sub_c = f"slice(e.rv, {s * sd + 1}, {sd})"
+        return (
+            f"(array_min(transform({rcb}, e -> "
+            f"struct({d2_sql(sub_r, sub_c)} AS d, e.rid AS rid)))).rid"
+        )
+
+    return "array(" + ", ".join(one(s) for s in range(n_sub)) + ")"
+
+
 def _ivfpq_resid(
     emb: DataFrame, n_coarse: int, id_col: str, vec_col: str,
     coarse_rows: DataFrame | None = None,
@@ -2075,25 +2194,30 @@ def _ivfpq_resid(
     ((cid, cv) rows — :func:`ivf_centroids_trained` with
     ``metric="l2"``, this stage's assignment metric) overrides the
     id-seeded coarse quantizer (r10 verdict item 1)."""
-    base = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    base = emb.select(F.col(id_col), F.expr(to_double_sql(vec_col)).alias("v"))
     if coarse_rows is not None:
         coarse = coarse_rows.select(
-            F.col("cid"), _to_double(F.col("cv")).alias("cv")
+            F.col("cid"), F.expr(to_double_sql("cv")).alias("cv")
         )
     else:
         coarse = base.filter(F.col(id_col) < n_coarse).select(
             F.col(id_col).alias("cid"), F.col("v").alias("cv")
         )
-    coarse_cb = coarse.agg(
-        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("cv")))).alias("ccb")
-    )
+    coarse_cb = coarse.agg(F.expr("array_sort(collect_list(struct(cid, cv)))").alias("ccb"))
     resid = (
         base.crossJoin(F.broadcast(coarse_cb))
-        .select(F.col(id_col), "v", _coarse_best(F.col("v"), F.col("ccb")).alias("_best"))
+        .select(
+            F.col(id_col),
+            "v",
+            F.expr(
+                f"array_min(transform(ccb, e -> struct("
+                f"{d2_sql('v', 'e.cv')} AS d, e.cid AS cid, e.cv AS cv)))"
+            ).alias("_best"),
+        )
         .select(
             F.col(id_col),
             F.col("_best")["cid"].alias("list_id"),
-            F.zip_with(F.col("v"), F.col("_best")["cv"], lambda x, y: x - y).alias("r"),
+            F.expr("zip_with(v, _best.cv, (x, y) -> x - y)").alias("r"),
         )
     )
     return base, coarse, resid
@@ -2128,27 +2252,23 @@ def ivfpq_residual_codebook_trained(
     sd = dim // n_sub
     spark = emb.sparkSession
     _base, _coarse, resid = _ivfpq_resid(emb, n_coarse, id_col, vec_col, coarse_rows)
-    seed_rows = resid.filter(
-        (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
-    ).select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
-    rcb = seed_rows.agg(
-        F.array_sort(F.collect_list(F.struct(F.col("rid"), F.col("rv")))).alias("rcb")
+    # ONE bounded collect of the seed residuals serves both the
+    # broadcast residual book (local 1-row relation) and the empty-cell
+    # fallbacks below — the previous shape re-aggregated the seed slice
+    # for the broadcast AND re-collected it in a second job.
+    seed_list = sorted(
+        (r["rid"], list(r["rv"]))
+        for r in resid.filter(
+            (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
+        )
+        .select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
+        .collect()
+    )
+    rcb = spark.createDataFrame(
+        [(seed_list,)], "rcb array<struct<rid: bigint, rv: array<double>>>"
     )
     enc = resid.crossJoin(F.broadcast(rcb))
-
-    def code_for(s: int) -> Column:
-        sub_r = F.slice(F.col("r"), s * sd + 1, sd)
-        return F.array_min(
-            F.transform(
-                F.col("rcb"),
-                lambda e: F.struct(
-                    _d2(sub_r, F.slice(e["rv"], s * sd + 1, sd)).alias("d"),
-                    e["rid"].alias("rid"),
-                ),
-            )
-        )["rid"]
-
-    codes = enc.select("r", F.array(*[code_for(s) for s in range(n_sub)]).alias("codes"))
+    codes = enc.select("r", F.expr(_rcodes_sql(n_sub, sd)).alias("codes"))
     flat = codes.select(
         "r", F.posexplode("codes").alias("s", "rid")
     ).select(
@@ -2163,10 +2283,9 @@ def ivfpq_residual_codebook_trained(
     )
     got = {(r["s"], r["rid"], r["i"]): r["m"]
            for r in means.select("s", "rid", "i", "m").collect()}
-    seeds = {r["rid"]: list(r["rv"]) for r in seed_rows.collect()}
     rows = [
         (rid, [got.get(((j // sd), rid, j % sd), sv[j]) for j in range(dim)])
-        for rid, sv in sorted(seeds.items())
+        for rid, sv in seed_list
     ]
     return spark.createDataFrame(rows, "rid bigint, rv array<double>")
 
@@ -2219,28 +2338,13 @@ def ivfpq_topk(
         rcb_rows = resid.filter(
             (F.col(id_col) >= n_coarse) & (F.col(id_col) < n_coarse + n_rcent)
         ).select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
-    rcb = rcb_rows.agg(
-        F.array_sort(F.collect_list(F.struct(F.col("rid"), F.col("rv")))).alias("rcb")
-    )
-
-    def code_for(s: int) -> Column:
-        sub_r = F.slice(F.col("r"), s * sd + 1, sd)
-        return F.array_min(
-            F.transform(
-                F.col("rcb"),
-                lambda e: F.struct(
-                    _d2(sub_r, F.slice(e["rv"], s * sd + 1, sd)).alias("d"),
-                    e["rid"].alias("rid"),
-                ),
-            )
-        )["rid"]
-
+    rcb = rcb_rows.agg(F.expr("array_sort(collect_list(struct(rid, rv)))").alias("rcb"))
     enc = (
         resid.crossJoin(F.broadcast(rcb))
         .select(
             F.col(id_col),
             "list_id",
-            F.array(*[code_for(s) for s in range(n_sub)]).alias("codes"),
+            F.expr(_rcodes_sql(n_sub, sd)).alias("codes"),
         )
     )
     # queries: probe the n_probe nearest coarse lists (tiny window)
@@ -2248,7 +2352,7 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")
     )
     probe_scored = queries.crossJoin(F.broadcast(coarse)).withColumn(
-        "_dc", _d2(F.col("qv"), F.col("cv"))
+        "_dc", F.expr(d2_sql("qv", "cv"))
     )
     wp = Window.partitionBy("query_id").orderBy(F.col("_dc").asc(), F.col("cid").asc())
     probed = (
@@ -2257,44 +2361,39 @@ def ivfpq_topk(
         .select(
             "query_id",
             "cid",
-            F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x - y).alias("qr"),
+            F.expr("zip_with(qv, cv, (x, y) -> x - y)").alias("qr"),
         )
     )
     # per-(query, probed list) ADC lookup table over the residual codebook
     lut = (
         probed.crossJoin(F.broadcast(rcb_rows))
-        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))))
+        .withColumn("s", F.expr(f"explode(sequence(0, {n_sub - 1}))"))
         .withColumn(
             "d",
-            _d2(
-                F.slice(F.col("qr"), F.col("s") * sd + 1, sd),
-                F.slice(F.col("rv"), F.col("s") * sd + 1, sd),
+            F.expr(
+                d2_sql(f"slice(qr, s * {sd} + 1, {sd})", f"slice(rv, s * {sd} + 1, {sd})")
             ),
         )
         .select("query_id", "cid", "s", "rid", "d")
     )
     drows = (
         lut.groupBy("query_id", "cid", "s")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("rid"), F.col("d")))).alias("_rd"))
+        .agg(F.expr("array_sort(collect_list(struct(rid, d)))").alias("_rd"))
         .select(
-            "query_id", "cid", "s", F.transform(F.col("_rd"), lambda e: e["d"]).alias("drow")
+            "query_id", "cid", "s", F.expr("transform(_rd, e -> e.d)").alias("drow")
         )
     )
     tblq = (
         drows.groupBy("query_id", "cid")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("drow")))).alias("_sd"))
+        .agg(F.expr("array_sort(collect_list(struct(s, drow)))").alias("_sd"))
         .select(
-            "query_id", "cid", F.transform(F.col("_sd"), lambda e: e["drow"]).alias("tbl")
+            "query_id", "cid", F.expr("transform(_sd, e -> e.drow)").alias("tbl")
         )
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0).cast("double"),
-        lambda acc, s: acc
-        + F.element_at(
-            F.element_at(F.col("tbl"), s + 1),
-            F.element_at(F.col("codes"), s + 1).cast("int") + 1,
-        ),
+    adc = F.expr(
+        f"aggregate(sequence(0, {n_sub - 1}), cast(0.0 as double), "
+        f"(acc, s) -> acc + element_at(element_at(tbl, s + 1), "
+        f"cast(element_at(codes, s + 1) as int) + 1))"
     )
     scored = (
         enc.join(

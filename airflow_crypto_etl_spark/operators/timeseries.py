@@ -407,16 +407,25 @@ def ema_fir(closes: DataFrame, periods: int = 10, taps: int = 30) -> DataFrame:
         .withColumn("_lags", lags)
         .filter(F.col("rn") >= taps)
     )
-    weights = F.array(*[F.lit(w) for w in ws])
     # left-to-right fold: the oracle mirrors it with list_reduce, so the
-    # double accumulation order is pinned on both engines
-    num = F.aggregate(
-        F.zip_with("_lags", weights, lambda x, w: x * w),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # double accumulation order is pinned on both engines; built as ONE
+    # SQL string (the dedup.py expression-builder discipline — a
+    # taps-literal py4j array per call otherwise)
     return out.select(
-        "symbol", "bucket", "close", F.round(num / F.lit(den), ROUND_DP).alias("ema")
+        "symbol", "bucket", "close",
+        F.round(F.expr(_fir_sql("_lags", ws, den)), ROUND_DP).alias("ema"),
+    )
+
+
+def _fir_sql(lags: str, weights: list[float], den: float) -> str:
+    """SQL text of the FIR fold ``fold(zip_with(lags, weights, x*w),
+    0.0, acc+v) / den`` — same op order as the Column form it replaces
+    (repr round-trips the double weights exactly), ONE parsed string
+    instead of a taps-element py4j literal array per call."""
+    arr = "array(" + ", ".join(f"{float(w)!r}D" for w in weights) + ")"
+    return (
+        f"aggregate(zip_with({lags}, {arr}, (x, w) -> x * w), "
+        f"cast(0.0 as double), (acc, v) -> acc + v) / {float(den)!r}D"
     )
 
 
@@ -756,29 +765,22 @@ def macd(
         .filter(F.col("rn") >= taps)
     )
 
-    def _fir(weights: list[float], den: float):
-        arr = F.array(*[F.lit(w) for w in weights])
-        num = F.aggregate(
-            F.zip_with("_lags", arr, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v
-        )
-        return num / F.lit(den)
-
     step1 = step1.withColumn(
-        "macd", F.round(_fir(wf, den_f) - _fir(ws, den_s), ROUND_DP)
+        "macd",
+        F.round(
+            F.expr(f"({_fir_sql('_lags', wf, den_f)}) - ({_fir_sql('_lags', ws, den_s)})"),
+            ROUND_DP,
+        ),
     ).select("symbol", "bucket", "close", "macd")
     # second pass: signal = FIR-EMA of the rounded macd series
     base2 = _series_window()
     frame2 = base2.rowsBetween(-(signal_taps - 1), 0)
     rn2 = F.row_number().over(base2)
     mlags = F.reverse(F.collect_list("macd").over(frame2))
-    arr_g = F.array(*[F.lit(w) for w in wg])
-    sig = (
-        F.aggregate(F.zip_with(mlags, arr_g, lambda x, w: x * w), F.lit(0.0), lambda a, v: a + v)
-        / F.lit(den_g)
-    )
     out = (
         step1.withColumn("rn2", rn2)
-        .withColumn("signal", F.round(sig, ROUND_DP))
+        .withColumn("_mlags", mlags)
+        .withColumn("signal", F.round(F.expr(_fir_sql("_mlags", wg, den_g)), ROUND_DP))
         .filter(F.col("rn2") >= signal_taps)
     )
     return out.select(
@@ -861,14 +863,9 @@ def holt_fir(
         .withColumn("_lags", lags)
         .filter(F.col("rn") >= taps)
     )
-    weights = F.array(*[F.lit(w) for w in ws])
-    num = F.aggregate(
-        F.zip_with("_lags", weights, lambda x, w: x * w),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     return out.select(
-        "symbol", "bucket", "close", F.round(num / F.lit(den), ROUND_DP).alias("holt")
+        "symbol", "bucket", "close",
+        F.round(F.expr(_fir_sql("_lags", ws, den)), ROUND_DP).alias("holt"),
     )
 
 

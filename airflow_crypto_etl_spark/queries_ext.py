@@ -520,14 +520,21 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 10 != 7)
-    sig0 = dd.minhash_signatures(base)
-    pairs = [(sig0, dd.minhash_bands(sig0))] + [
-        dd.minhash_index_append(docs.filter(F.col("doc_id") % 20 == r))
+    # Each batch's signatures are CACHED before the two writes (the
+    # q_dedup_index_append convention): previously the sig write and
+    # the bands write each executed the whole shingle+sign pass — two
+    # corpus-scale passes per batch (guide §1.2, don't compute things
+    # twice; at 100 TB signing dominates this maintenance cycle). The
+    # cache materializes during the sig write; bands derive from it.
+    sigs = [dd.register_cache(dd.minhash_signatures(base))] + [
+        dd.register_cache(
+            dd.minhash_index_append(docs.filter(F.col("doc_id") % 20 == r))[0]
+        )
         for r in DEDUP_COMPACT_RES
     ]
     root = _ivf_index_root(sf_dir, "minhash_compact")
-    for b, (s, bb) in enumerate(pairs):
-        for name, rows in (("sig", s), ("bands", bb)):
+    for b, s in enumerate(sigs):
+        for name, rows in (("sig", s), ("bands", dd.minhash_bands(s))):
             (
                 rows.withColumn("batch_id", F.lit(b))
                 .write.mode("overwrite")

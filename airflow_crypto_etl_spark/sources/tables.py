@@ -112,9 +112,31 @@ def _restore_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) ->
     return df.withColumns(fixes) if fixes else df
 
 
+# Inferred-SCHEMA cache (metadata only — never rows): every query calls
+# load_table inside its timed region, and schema inference re-reads the
+# parquet footer per call (~0.1 s of driver time per slot, guide §1.5's
+# "know what you are timing"). Keyed on (path, mtime, size) so a
+# rewritten file re-infers; a schema-supplied read plans the identical
+# scan (parquet is self-describing per file — the footer is still the
+# row-group source of truth at execution).
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One star-schema table from a scale-factor directory."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    sch = _SCHEMA_CACHE.get(key) if key is not None else None
+    if sch is not None:
+        df = spark.read.schema(sch).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         df = _restore_nanos_timestamps(df)
     return df

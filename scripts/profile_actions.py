@@ -30,8 +30,10 @@ def main() -> int:
     else:
         sf_dir, names = "/root/testdata/sf0.1", args
 
-    from pyspark.sql import DataFrame
-    from pyspark.sql.readwriter import DataFrameWriter
+    # Spark 4: pyspark.sql.DataFrame is the abstract parent; the
+    # concrete methods live on the classic class — patch THAT.
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
 
     events: list[tuple[str, str, float]] = []
 
@@ -53,8 +55,10 @@ def main() -> int:
         return wrapper
 
     DataFrameWriter.parquet = timed("write.parquet", DataFrameWriter.parquet)
+    DataFrameReader.parquet = timed("read.parquet", DataFrameReader.parquet)
     DataFrame.collect = timed("collect", DataFrame.collect)
     DataFrame.count = timed("count", DataFrame.count)
+    DataFrame.localCheckpoint = timed("localCheckpoint", DataFrame.localCheckpoint)
 
     from airflow_crypto_etl_spark.session import get_spark
 
