@@ -549,18 +549,12 @@ def minhash_index_compact(
     against the grown one (q_dedup_index_compact pins compact ≡
     append ≡ rebuild through the union-corpus oracle)."""
     # Scale-adaptive partitioning (guide §2): with num_partitions=None
-    # the clustering shuffles carry no pinned count, so AQE sizes the
-    # output partitions from the data (advisoryPartitionSizeInBytes) —
-    # a 100 TB index compacts into size-bounded files, a test-scale one
-    # into a handful, with no constant tuned for either.
-    sig_c = sig.select(id_col, "i", "mh")
-    bands_c = bands.select(id_col, "band", "band_sig")
-    if num_partitions is not None:
-        sig_c = sig_c.repartition(int(num_partitions), id_col)
-        bands_c = bands_c.repartition(int(num_partitions), "band", "band_sig")
-    else:  # no pinned count — AQE-coalescible
-        sig_c = sig_c.repartition(id_col)
-        bands_c = bands_c.repartition("band", "band_sig")
+    # the clustering shuffles carry NO pinned count, so AQE sizes the
+    # output partitions from the data (advisoryPartitionSizeInBytes);
+    # an explicit num_partitions still pins the layout.
+    sp = [int(num_partitions)] if num_partitions is not None else []
+    sig_c = sig.select(id_col, "i", "mh").repartition(*sp, id_col)
+    bands_c = bands.select(id_col, "band", "band_sig").repartition(*sp, "band", "band_sig")
     return (
         sig_c.sortWithinPartitions(id_col, "i"),
         bands_c.sortWithinPartitions("band", "band_sig", id_col),

@@ -84,29 +84,38 @@ def pagerank(
             F.floor(F.col("pr") * F.col("w") / F.col("outw") * F.lit(QUANT)).alias("cq"),
         )
         sums = contrib.groupBy("dst").agg(F.sum("cq").alias("sq"))
+        # dangling mass as an IN-PLAN broadcast scalar, not a driver
+        # collect: the per-iteration collect was a separate Spark job
+        # per round (guide §1.2 — the checkpoint job below computes the
+        # same aggregate as a 1-row cross join for free); the integer
+        # sum is identical, so the blend arithmetic is bit-unchanged
         dang = (
             pr.join(outw.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.sum(F.floor(F.col("pr") * F.lit(QUANT) / F.lit(n))))
-            .collect()[0][0]
-        ) or 0
+            .agg(
+                F.coalesce(
+                    F.sum(F.floor(F.col("pr") * F.lit(QUANT) / F.lit(n))), F.lit(0)
+                ).alias("__dang")
+            )
+        )
         pr = (
             pr.select("node")
             .join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .join(F.broadcast(dang), F.lit(True))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
                     * (
-                        (F.coalesce(F.col("sq"), F.lit(0)) + F.lit(int(dang))).cast("double")
+                        (F.coalesce(F.col("sq"), F.lit(0)) + F.col("__dang")).cast("double")
                         / F.lit(QUANT)
                     )
                 ).alias("pr"),
             )
         )
         # rank table is O(nodes): truncate the per-iteration lineage so
-        # the dangling probe and the next round don't recompute the
-        # whole chain (the duplicate_clusters checkpoint discipline)
+        # the next round doesn't recompute the whole chain (the
+        # duplicate_clusters checkpoint discipline)
         pr = pr.localCheckpoint(eager=True)
     return pr
 

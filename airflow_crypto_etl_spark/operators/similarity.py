@@ -790,16 +790,12 @@ def ivf_index_compact(
     lookup against the compacted table is row-identical to lookup
     against the grown one (live-tested, and q_ann_index_compact pins
     compact ≡ append ≡ rebuild through the shared lookup oracle)."""
-    out = assign.select("cid", id_col)
     # Scale-adaptive partitioning (guide §2): with num_partitions=None
-    # the clustering shuffle carries no pinned count, so AQE sizes the
-    # output partitions from the data (advisoryPartitionSizeInBytes) —
-    # a 100 TB index compacts into size-bounded files, a test-scale one
-    # into a handful, with no constant tuned for either.
-    if num_partitions is not None:
-        out = out.repartition(int(num_partitions), "cid")
-    else:
-        out = out.repartition("cid")  # no pinned count — AQE-coalescible
+    # the clustering shuffle carries NO pinned count, so AQE sizes the
+    # output partitions from the data (advisoryPartitionSizeInBytes);
+    # an explicit num_partitions still pins the layout.
+    sp = [int(num_partitions)] if num_partitions is not None else []
+    out = assign.select("cid", id_col).repartition(*sp, "cid")
     return out.sortWithinPartitions("cid", id_col)
 
 
@@ -1958,13 +1954,10 @@ def pq_index_compact(
     compacted table is row-identical to lookup against the grown one
     (q_ann_pq_index_compact pins compact ≡ append ≡ rebuild through
     the shared ADC oracle)."""
-    out = codes.select(id_col, "codes")
     # Scale-adaptive partitioning (guide §2): no pinned count when
     # num_partitions=None — AQE sizes output partitions from the data.
-    if num_partitions is not None:
-        out = out.repartition(int(num_partitions), id_col)
-    else:
-        out = out.repartition(id_col)  # no pinned count — AQE-coalescible
+    sp = [int(num_partitions)] if num_partitions is not None else []
+    out = codes.select(id_col, "codes").repartition(*sp, id_col)
     return out.sortWithinPartitions(id_col)
 
 

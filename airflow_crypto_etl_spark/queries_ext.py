@@ -533,15 +533,24 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in DEDUP_COMPACT_RES
     ]
     root = _ivf_index_root(sf_dir, "minhash_compact")
-    for b, s in enumerate(sigs):
-        for name, rows in (("sig", s), ("bands", dd.minhash_bands(s))):
-            (
-                rows.withColumn("batch_id", F.lit(b))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .option("partitionOverwriteMode", "dynamic")
-                .parquet(str(root / name))
-            )
+
+    # Per-batch persistence runs as overlapped driver-thread jobs
+    # (guide §2.6): batches are independent, and each job writes its
+    # own batch_id= directory — layout-identical to partitionBy +
+    # dynamic overwrite, same replay idempotence, no shared commit
+    # state. Within a batch, bands derive from the sig cache the sig
+    # write just materialized.
+    def persist(item) -> None:
+        b, s = item
+        s.write.mode("overwrite").parquet(str(root / "sig" / f"batch_id={b}"))
+        dd.minhash_bands(s).write.mode("overwrite").parquet(
+            str(root / "bands" / f"batch_id={b}")
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(persist, enumerate(sigs)))
     sig_c, bands_c = dd.minhash_index_compact(
         spark.read.parquet(str(root / "sig")), spark.read.parquet(str(root / "bands"))
     )

@@ -758,6 +758,27 @@ def _ivf_index_root(sf_dir: str, kind: str = "ivf_index") -> "pathlib.Path":
     return root
 
 
+def _write_batches(root: "pathlib.Path", name: str, batches: list) -> None:
+    """Persist each batch's index rows to its own ``batch_id=`` partition
+    DIRECTORY, overlapping the independent write jobs from a small
+    thread pool (guide §2.6 — Spark runs concurrent driver-submitted
+    jobs and back-fills executors freed by another job's tail; the
+    batches are independent by construction). Writing the partition
+    directory directly is layout-identical to
+    ``partitionBy('batch_id')`` + dynamic overwrite and keeps the same
+    replay idempotence — re-writing batch b overwrites exactly
+    ``root/name/batch_id=b`` — while giving each concurrent job its own
+    commit scope (no shared staging state between jobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item) -> None:
+        b, rows = item
+        rows.write.mode("overwrite").parquet(str(root / name / f"batch_id={b}"))
+
+    with ThreadPoolExecutor(max_workers=min(3, len(batches))) as pool:
+        list(pool.map(one, enumerate(batches)))
+
+
 def q_ann_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL ingest path end-to-end (r9 verdict item 1):
     build the IVF index ONCE (operators/similarity.ivf_index_build,
@@ -824,22 +845,17 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ivf_index_root(sf_dir, "ivf_append")
     cents.write.mode("overwrite").parquet(str(root / "centroids"))
     cents_p = spark.read.parquet(str(root / "centroids"))
-    for b, rows in enumerate(
+    _write_batches(
+        root,
+        "assign",
         [assign0]
         + [
             sim.ivf_index_append(
                 emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cents_p, spread=False
             )
             for r in IVF_APPEND_RES
-        ]
-    ):
-        (
-            rows.withColumn("batch_id", F.lit(b))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(str(root / "assign"))
-        )
+        ],
+    )
     grown = spark.read.parquet(str(root / "assign")).select("cid", "vec_id")
     cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
     capped = sim.ivf_index_cap(grown, cap)
@@ -1162,22 +1178,17 @@ def q_ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ivf_index_root(sf_dir, "pq_append")
     codebook.write.mode("overwrite").parquet(str(root / "codebook"))
     cb_p = spark.read.parquet(str(root / "codebook"))
-    for b, rows in enumerate(
+    _write_batches(
+        root,
+        "codes",
         [codes0]
         + [
             sim.pq_index_append(
                 emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cb_p
             )
             for r in PQ_APPEND_RES
-        ]
-    ):
-        (
-            rows.withColumn("batch_id", F.lit(b))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(str(root / "codes"))
-        )
+        ],
+    )
     grown = spark.read.parquet(str(root / "codes")).select("vec_id", "codes")
     batch = emb.filter(
         F.col("vec_id") % IVF_BATCH_MOD == PQ_APPEND_LOOKUP_RESIDUE
@@ -1226,22 +1237,17 @@ def q_ann_pq_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ivf_index_root(sf_dir, "pq_compact")
     codebook.write.mode("overwrite").parquet(str(root / "codebook"))
     cb_p = spark.read.parquet(str(root / "codebook"))
-    for b, rows in enumerate(
+    _write_batches(
+        root,
+        "codes",
         [codes0]
         + [
             sim.pq_index_append(
                 emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cb_p
             )
             for r in PQ_COMPACT_RES
-        ]
-    ):
-        (
-            rows.withColumn("batch_id", F.lit(b))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(str(root / "codes"))
-        )
+        ],
+    )
     grown = spark.read.parquet(str(root / "codes"))
     sim.pq_index_compact(grown).write.mode("overwrite").parquet(
         str(root / "codes_compacted")
@@ -1296,22 +1302,17 @@ def q_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ivf_index_root(sf_dir, "ivf_compact")
     cents.write.mode("overwrite").parquet(str(root / "centroids"))
     cents_p = spark.read.parquet(str(root / "centroids"))
-    for b, rows in enumerate(
+    _write_batches(
+        root,
+        "assign",
         [assign0]
         + [
             sim.ivf_index_append(
                 emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cents_p, spread=False
             )
             for r in IVF_COMPACT_RES
-        ]
-    ):
-        (
-            rows.withColumn("batch_id", F.lit(b))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(str(root / "assign"))
-        )
+        ],
+    )
     grown = spark.read.parquet(str(root / "assign"))
     sim.ivf_index_compact(grown).write.mode("overwrite").parquet(
         str(root / "assign_compacted")
@@ -1358,22 +1359,17 @@ def q_ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ivf_index_root(sf_dir, "ivf_health")
     cents.write.mode("overwrite").parquet(str(root / "centroids"))
     cents_p = spark.read.parquet(str(root / "centroids"))
-    for b, rows in enumerate(
+    _write_batches(
+        root,
+        "assign",
         [assign0]
         + [
             sim.ivf_index_append(
                 emb.filter(F.col("vec_id") % IVF_BATCH_MOD == r), cents_p, spread=False
             )
             for r in IVF_HEALTH_RES
-        ]
-    ):
-        (
-            rows.withColumn("batch_id", F.lit(b))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(str(root / "assign"))
-        )
+        ],
+    )
     grown = spark.read.parquet(str(root / "assign"))
     cap = (2 * emb.count()) // IVF_BATCH_CENTROIDS
     return sim.ivf_index_stats(grown, list_cap=cap)

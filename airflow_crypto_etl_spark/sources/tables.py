@@ -122,6 +122,22 @@ def _restore_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) ->
 _SCHEMA_CACHE: dict = {}
 
 
+def parquet_schema(spark: SparkSession, path: str):
+    """Inferred physical schema of a parquet path, cached on
+    (path, mtime, size) — for callers that only need the schema (the
+    streaming file sources re-inferred the footer per query)."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path).schema
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One star-schema table from a scale-factor directory."""
     path = os.path.join(sf_dir, f"{name}.parquet")

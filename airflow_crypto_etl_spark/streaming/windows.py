@@ -42,8 +42,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     import os
 
+    from ..sources.tables import parquet_schema
+
     path = os.path.join(sf_dir, "events.parquet")
-    batch_schema = spark.read.parquet(path).schema
+    batch_schema = parquet_schema(spark, path)
     if os.path.isdir(path):
         # multi-file layout (e.g. the derived sf1 bench set): the
         # file source streams the part files of the directory itself
@@ -66,8 +68,10 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     import os
 
+    from ..sources.tables import parquet_schema
+
     path = os.path.join(sf_dir, "documents.parquet")
-    batch_schema = spark.read.parquet(path).schema
+    batch_schema = parquet_schema(spark, path)
     if os.path.isdir(path):
         return spark.readStream.schema(batch_schema).parquet(path)
     return (
