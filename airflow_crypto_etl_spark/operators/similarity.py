@@ -88,6 +88,31 @@ def to_double_sql(arr: str) -> str:
     return f"transform({arr}, x -> cast(x as double))"
 
 
+# A codebook at or under this many cells (rows × dim) is inlined into
+# the plan as a LITERAL array-of-structs instead of broadcast-joined:
+# measured at sf0.1, the BroadcastExchange+BNLJ machinery costs ~0.45 s
+# of fixed overhead per use even for a 1-row local relation, while the
+# folded literal rides the serialized plan for free. Beyond the bound
+# (√N-sized coarse books at 100 TB) plan size would flip the tradeoff,
+# so large books keep the broadcast join.
+_LIT_BOOK_MAX_CELLS = 4096
+
+
+def _book_literal_sql(rows: list, fields: tuple = ("cid", "cv")) -> str:
+    """SQL text of a literal codebook: array of struct(id bigint,
+    vector array<double>[, norm double]) — constant-folded once at
+    planning, bit-identical values to the broadcast relation it
+    replaces (repr round-trips every double exactly)."""
+    id_f, vec_f = fields[0], fields[1]
+    parts = []
+    for row in rows:
+        s = f"cast({int(row[0])} as bigint) AS {id_f}, {_dbl_array_sql(list(row[1]))} AS {vec_f}"
+        if len(fields) > 2:
+            s += f", {float(row[2])!r}D AS {fields[2]}"
+        parts.append(f"struct({s})")
+    return "array(" + ", ".join(parts) + ")"
+
+
 def _spread(df: DataFrame, spread: bool = True) -> DataFrame:
     """Caller-gated widening repartition (the dedup._spread discipline).
 
@@ -969,11 +994,17 @@ def ivf_centroids_trained(
         .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
         .collect()
     )
-    seed_cb = spark.createDataFrame(
-        [(seed_rows,)],
-        "scb array<struct<cid: bigint, cv: array<double>, cn: double>>",
-    )
-    enc = base.crossJoin(F.broadcast(seed_cb))
+    if n_centroids * dim <= _LIT_BOOK_MAX_CELLS:
+        # bounded book: folded plan literal, no BroadcastExchange job
+        enc = base.withColumn(
+            "scb", F.expr(_book_literal_sql(seed_rows, ("cid", "cv", "cn")))
+        )
+    else:
+        seed_cb = spark.createDataFrame(
+            [(seed_rows,)],
+            "scb array<struct<cid: bigint, cv: array<double>, cn: double>>",
+        )
+        enc = base.crossJoin(F.broadcast(seed_cb))
     if metric == "cos":
         # lexicographic max of (cos, -cid): highest cosine, ties to the
         # smaller cid — the ivf_index_build argmax convention.
@@ -1647,10 +1678,15 @@ def pq_codebook_trained(
         .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
         .collect()
     )
-    seed_cb = spark.createDataFrame(
-        [(seed_rows,)], "cb array<struct<cid: bigint, cv: array<double>>>"
-    )
-    enc = base.crossJoin(F.broadcast(seed_cb))
+    if n_cent * dim <= _LIT_BOOK_MAX_CELLS:
+        # bounded book: ride the plan as a folded literal (no
+        # BroadcastExchange job — see _LIT_BOOK_MAX_CELLS)
+        enc = base.withColumn("cb", F.expr(_book_literal_sql(seed_rows)))
+    else:
+        seed_cb = spark.createDataFrame(
+            [(seed_rows,)], "cb array<struct<cid: bigint, cv: array<double>>>"
+        )
+        enc = base.crossJoin(F.broadcast(seed_cb))
     codes = enc.select("v", F.expr(_pq_codes_sql(n_sub, sd)).alias("codes"))
     flat = codes.select(
         "v", F.posexplode("codes").alias("s", "cid")
@@ -2257,10 +2293,16 @@ def ivfpq_residual_codebook_trained(
         .select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
         .collect()
     )
-    rcb = spark.createDataFrame(
-        [(seed_list,)], "rcb array<struct<rid: bigint, rv: array<double>>>"
-    )
-    enc = resid.crossJoin(F.broadcast(rcb))
+    if n_rcent * dim <= _LIT_BOOK_MAX_CELLS:
+        # bounded book: folded plan literal, no BroadcastExchange job
+        enc = resid.withColumn(
+            "rcb", F.expr(_book_literal_sql(seed_list, ("rid", "rv")))
+        )
+    else:
+        rcb = spark.createDataFrame(
+            [(seed_list,)], "rcb array<struct<rid: bigint, rv: array<double>>>"
+        )
+        enc = resid.crossJoin(F.broadcast(rcb))
     codes = enc.select("r", F.expr(_rcodes_sql(n_sub, sd)).alias("codes"))
     flat = codes.select(
         "r", F.posexplode("codes").alias("s", "rid")

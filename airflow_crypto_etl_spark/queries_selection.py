@@ -758,6 +758,22 @@ def _ivf_index_root(sf_dir: str, kind: str = "ivf_index") -> "pathlib.Path":
     return root
 
 
+def _write_pair(root: "pathlib.Path", named_dfs: list) -> None:
+    """Persist the two tables of an index pair CONCURRENTLY (guide
+    §2.6): they derive from independent plans (the big table is built
+    from the in-memory book, not the persisted one), each write owns
+    its own directory, and Spark back-fills the small write's idle
+    executors with the big write's tasks."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item) -> None:
+        name, df = item
+        df.write.mode("overwrite").parquet(str(root / name))
+
+    with ThreadPoolExecutor(max_workers=len(named_dfs)) as pool:
+        list(pool.map(one, named_dfs))
+
+
 def _write_batches(root: "pathlib.Path", name: str, batches: list) -> None:
     """Persist each batch's index rows to its own ``batch_id=`` partition
     DIRECTORY, overlapping the independent write jobs from a small
@@ -798,8 +814,7 @@ def q_ann_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_centroids=IVF_BATCH_CENTROIDS, list_cap=cap, spread=False
     )
     root = _ivf_index_root(sf_dir)
-    cents.write.mode("overwrite").parquet(str(root / "centroids"))
-    assign.write.mode("overwrite").parquet(str(root / "assign"))
+    _write_pair(root, [("centroids", cents), ("assign", assign)])
     cents_p = spark.read.parquet(str(root / "centroids"))
     assign_p = spark.read.parquet(str(root / "assign"))
     batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == IVF_INDEX_RESIDUE).select(
@@ -1129,8 +1144,7 @@ def q_ann_pq_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codebook, codes = sim.pq_index_build(emb, trained=True)
     root = _ivf_index_root(sf_dir, "pq_index")
-    codebook.write.mode("overwrite").parquet(str(root / "codebook"))
-    codes.write.mode("overwrite").parquet(str(root / "codes"))
+    _write_pair(root, [("codebook", codebook), ("codes", codes)])
     cb_p = spark.read.parquet(str(root / "codebook"))
     codes_p = spark.read.parquet(str(root / "codes"))
     batch = emb.filter(F.col("vec_id") % IVF_BATCH_MOD == PQ_INDEX_RESIDUE).select(
@@ -1444,8 +1458,7 @@ def q_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, n_centroids=IVF_BATCH_CENTROIDS, list_cap=cap, spread=False
     )
     root = _ivf_index_root(sf_dir, "ivf_retrain")
-    cents2.write.mode("overwrite").parquet(str(root / "centroids_v2"))
-    assign2.write.mode("overwrite").parquet(str(root / "assign_v2"))
+    _write_pair(root, [("centroids_v2", cents2), ("assign_v2", assign2)])
     cents_p = spark.read.parquet(str(root / "centroids_v2"))
     assign_p = spark.read.parquet(str(root / "assign_v2"))
     batch = emb.filter(
