@@ -155,19 +155,20 @@ def minhash_sig_array(text_col: str = "text"):
     explode+groupBy(min) would be an unbounded stateful aggregation).
     Docs with fewer than n tokens yield NULL elements — filter
     ``size(tokens) >= n`` upstream, as the batch path does."""
-    from ..functions.hashing import affine_hash
+    from ..functions.hashing import affine_hash_sql
 
-    sh = shingle_hashes_col(text_col)
-
-    def _hash_i(idx: int):
-        # single-arg closure per family member: a `lambda th, i=i:`
-        # two-param lambda would be interpreted by F.transform as its
-        # (element, index) form, silently shadowing the family index
-        # with the ARRAY position (caught by the batch-parity test)
-        return lambda th: affine_hash(th, F.lit(idx))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, _hash_i(i))) for i in range(MINHASH_K)]
+    # ONE parsed SQL string (the expression-builder discipline above):
+    # the Column form built K transform-lambda trees through py4j per
+    # call; the family constants are Catalyst-folded to the identical
+    # integers the Python-folded form produced.
+    sh = shingle_hashes_sql(text_col)
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"array_min(transform({sh}, th -> {affine_hash_sql('th', str(i))}))"
+            for i in range(MINHASH_K)
+        )
+        + ")"
     )
 
 
@@ -175,16 +176,26 @@ def minhash_band_array(sig_col):
     """Band signatures from a per-row signature array: band b =
     Σ_j sig[b·R+j] · 31^j — same integer weighting as
     :func:`minhash_bands`, as a projection over the array."""
-    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
-    return F.array(
-        *[
-            sum(
-                (c[b * MINHASH_R + j] * F.lit(BAND_WEIGHTS[j]) for j in range(1, MINHASH_R)),
-                c[b * MINHASH_R] * F.lit(BAND_WEIGHTS[0]),
-            )
-            for b in range(MINHASH_K // MINHASH_R)
-        ]
+    if not isinstance(sig_col, str):
+        c = sig_col
+        return F.array(
+            *[
+                sum(
+                    (c[b * MINHASH_R + j] * F.lit(BAND_WEIGHTS[j]) for j in range(1, MINHASH_R)),
+                    c[b * MINHASH_R] * F.lit(BAND_WEIGHTS[0]),
+                )
+                for b in range(MINHASH_K // MINHASH_R)
+            ]
+        )
+    # string column name: ONE parsed SQL string, same left-fold order
+    bands = ", ".join(
+        " + ".join(
+            f"{sig_col}[{b * MINHASH_R + j}] * {BAND_WEIGHTS[j]}"
+            for j in range(MINHASH_R)
+        )
+        for b in range(MINHASH_K // MINHASH_R)
     )
+    return F.expr(f"array({bands})")
 
 
 def _spread(df: DataFrame, spread: bool = True) -> DataFrame:
