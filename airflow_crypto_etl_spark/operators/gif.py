@@ -268,10 +268,12 @@ def attach_gif_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    from .multimodal import fan_out  # lazy: avoids an import cycle
+
     schema = T.StructType(
         [docs.schema[id_col], T.StructField("payload", T.BinaryType())]
     )
-    return docs.select(id_col).mapInPandas(batches, schema)
+    return fan_out(docs.select(id_col)).mapInPandas(batches, schema)
 
 
 def decode_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -156,6 +156,8 @@ def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
     return {(ln, code): sym for sym, (code, ln) in canonical_codes(bits, vals).items()}
 
 
+_ZIG_ARR = np.array(ZIGZAG)
+
 # 8x8 orthonormal DCT basis: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16).
 _x = np.arange(8)
 _DCT_M = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) / 2.0
@@ -179,14 +181,20 @@ class _BitWriter:
         self._n = 0
 
     def put(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((code >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                self.out.append(self._acc)
-                if self._acc == 0xFF:  # byte stuffing
-                    self.out.append(0x00)
-                self._acc, self._n = 0, 0
+        # whole-symbol accumulate (MSB-first), flushing bytes in bulk —
+        # identical output to the bit-at-a-time form, ~10x fewer loop
+        # iterations (guide §1.2: per-task work)
+        acc = (self._acc << length) | (code & ((1 << length) - 1))
+        n = self._n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            byte = (acc >> n) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                out.append(0x00)
+        self._acc = acc & ((1 << n) - 1)
+        self._n = n
 
     def flush(self) -> None:
         """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
@@ -254,6 +262,40 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+# 16-bit-peek Huffman LUTs, cached on the raw DHT payload: every frame
+# of an MJPEG stream (and every fixture image) carries byte-identical
+# table segments, so the canonical reconstruction happens once per
+# process instead of once per frame (it was ~20% of the decode profile;
+# guide §4.5). Values are plain Python lists — list indexing inside the
+# entropy loop is ~3x faster than numpy scalar indexing.
+_SCAN_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _scan_luts(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
+    """(symbol, code-length) lists of 2^16 entries, indexed by the next
+    16 bits of the stream; length 0 marks an invalid prefix (no
+    canonical code of any length matches)."""
+    key = bytes(bits) + b"\x00" + bytes(vals)
+    hit = _SCAN_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(1 << 16, np.int16)
+    ln = np.zeros(1 << 16, np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[start : start + span] = vals[k]
+            ln[start : start + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    out = (sym.tolist(), ln.tolist())
+    _SCAN_LUT_CACHE[key] = out
+    return out
+
+
 def _mag(v: int) -> tuple[int, int]:
     """Inverse of EXTEND for the encoder: signed value -> (size, code)."""
     size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
@@ -270,7 +312,7 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
-def _tables_segments(color: bool) -> bytes:
+def _tables_segments_uncached(color: bool) -> bytes:
     """DQT + DHT segments (Annex K tables; chroma tables only for color)."""
     dqt = _seg(0xFFDB, bytes([0]) + bytes(QUANT_LUM[ZIGZAG[i]] for i in range(64)))
     dht = _seg(0xFFC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)) + _seg(
@@ -281,6 +323,23 @@ def _tables_segments(color: bool) -> bytes:
         dht += _seg(0xFFC4, bytes([0x01]) + bytes(DC_CHR_BITS) + bytes(DC_CHR_VALS))
         dht += _seg(0xFFC4, bytes([0x11]) + bytes(AC_CHR_BITS) + bytes(AC_CHR_VALS))
     return dqt + dht
+
+
+# The Annex-K tables are module constants, so their encoded segments and
+# canonical code assignments are too — built once per process instead of
+# per image (they dominated the per-image encode profile; guide §4.5
+# "initialise heavyweight state once").
+_TABLES_SEG = {False: _tables_segments_uncached(False), True: _tables_segments_uncached(True)}
+
+
+def _tables_segments(color: bool) -> bytes:
+    return _TABLES_SEG[color]
+
+
+_DC_LUM_CODES = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+_AC_LUM_CODES = canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+_DC_CHR_CODES = canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+_AC_CHR_CODES = canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
 
 
 def _encode_scan(
@@ -313,7 +372,11 @@ def _encode_scan(
             if size:
                 w.put(code, size)
             run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            last_nz = 0
+            for i in range(63, 0, -1):  # reverse scan, early exit
+                if zz[i]:
+                    last_nz = i
+                    break
             for i in range(1, last_nz + 1):
                 if zz[i] == 0:
                     run += 1
@@ -345,8 +408,8 @@ def encode_gray_coeff_blocks(
     truth independent of any pixel-space FDCT."""
     if width % 8 or height % 8 or len(qblocks) != (width // 8) * (height // 8):
         raise ValueError("geometry must be 8-aligned and match the block count")
-    dc = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac = canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc = _DC_LUM_CODES
+    ac = _AC_LUM_CODES
     sof = _seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
     sos = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
@@ -397,10 +460,10 @@ def make_jpeg_color(y: int, cb: int, cr: int, width: int, height: int) -> bytes:
         return [list(zz) for _ in range(n_mcu)]
 
     comp_blocks = [plane(y, 16), plane(cb, 17), plane(cr, 17)]
-    dc_l = canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_l = canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
-    dc_c = canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
-    ac_c = canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+    dc_l = _DC_LUM_CODES
+    ac_l = _AC_LUM_CODES
+    dc_c = _DC_CHR_CODES
+    ac_c = _AC_CHR_CODES
     sof = _seg(
         0xFFC0,
         struct.pack(">BHHB", 8, height, width, 3)
@@ -432,7 +495,7 @@ def decode_jpeg_bytes(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtabs: dict[int, list[int]] = {}
-    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htabs: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     frame = None  # (w, h, [(comp_id, tq)])
     restart_interval = 0
     scan = None
@@ -461,10 +524,10 @@ def decode_jpeg_bytes(b: bytes) -> tuple[int, int, int, bytes]:
             p = 0
             while p < len(body):
                 tc, th = body[p] >> 4, body[p] & 0x0F
-                bits = list(body[p + 1 : p + 17])
+                bits = body[p + 1 : p + 17]
                 nvals = sum(bits)
-                vals = list(body[p + 17 : p + 17 + nvals])
-                htabs[(tc, th)] = _decode_table(bits, vals)
+                vals = body[p + 17 : p + 17 + nvals]
+                htabs[(tc, th)] = _scan_luts(bits, vals)
                 p += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -504,44 +567,132 @@ def decode_jpeg_bytes(b: bytes) -> tuple[int, int, int, bytes]:
 
     bw, bh = (w + 7) // 8, (h + 7) // 8
     n_mcu = bw * bh
-    reader = _BitReader(b, data_pos)
-    preds = [0] * len(comps)
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    n_comp = len(comps)
+
+    comp_tabs = []
+    for (_cid, tq), (_sid, tsel) in zip(comps, sel):
+        dc_tab = htabs.get((0, tsel >> 4))
+        ac_tab = htabs.get((1, tsel & 0x0F))
+        quant = qtabs.get(tq)
+        if dc_tab is None or ac_tab is None or quant is None:
+            raise ValueError("scan references an undefined Huffman/quant table")
+        comp_tabs.append((dc_tab, ac_tab, quant))
+
+    # Split the scan into restart segments up front: inside entropy data
+    # every true FF byte is stuffed as FF 00, so any FF followed by a
+    # non-zero byte is a real marker. Per segment the stuffing is undone
+    # in one C-level pass and the bit stream becomes a list of
+    # 24-bit byte-window ints, so each Huffman symbol is ONE table peek
+    # instead of up to 16 per-bit method calls (guide §4.2).
+    segments: list[tuple[bytes, int | None, int]] = []
+    seg_start = i = data_pos
+    while True:
+        j = b.find(0xFF, i)
+        if j < 0 or j + 1 >= len(b):
+            segments.append((b[seg_start:], None, len(b)))
+            break
+        nxt = b[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        segments.append((b[seg_start:j], nxt, j))
+        if 0xD0 <= nxt <= 0xD7:
+            seg_start = i = j + 2
+            continue
+        break
+
+    zz_cols: list[list[int]] = [[] for _ in comps]
+    mcu_done = 0
     rst = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.sync_restart(rst)
+    for seg_bytes, after, after_off in segments:
+        if mcu_done >= n_mcu:
+            break
+        want = n_mcu - mcu_done
+        if restart_interval:
+            want = min(want, restart_interval)
+        data = seg_bytes.replace(b"\xff\x00", b"\xff")
+        total_bits = 8 * len(data)
+        arr = np.frombuffer(data + b"\x00\x00", dtype=np.uint8).astype(np.uint32)
+        v24 = ((arr[:-2] << 16) | (arr[1:-1] << 8) | arr[2:]).tolist()
+        pos = 0
+        preds = [0] * n_comp
+        for _m in range(want):
+            for c in range(n_comp):
+                dc_tab, ac_tab, _q = comp_tabs[c]
+                zz = [0] * 64
+                peek = (v24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                size = dc_tab[0][peek]
+                ln = dc_tab[1][peek]
+                if not ln:
+                    raise ValueError("invalid Huffman code (corrupt stream or wrong table)")
+                pos += ln
+                if size:
+                    v = ((v24[pos >> 3] >> (8 - (pos & 7))) >> (16 - size)) & (
+                        (1 << size) - 1
+                    )
+                    pos += size
+                    preds[c] += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                zz[0] = preds[c]
+                k = 1
+                while k < 64:
+                    peek = (v24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                    sym = ac_tab[0][peek]
+                    ln = ac_tab[1][peek]
+                    if not ln:
+                        raise ValueError(
+                            "invalid Huffman code (corrupt stream or wrong table)"
+                        )
+                    pos += ln
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0x0F
+                    if k > 63:
+                        raise ValueError("AC run overflows the block")
+                    if size:
+                        v = ((v24[pos >> 3] >> (8 - (pos & 7))) >> (16 - size)) & (
+                            (1 << size) - 1
+                        )
+                        pos += size
+                        zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    k += 1
+                zz_cols[c].extend(zz)
+            if pos > total_bits:
+                raise ValueError(
+                    f"marker FF{after:02X} inside entropy segment (truncated scan?)"
+                    if after is not None
+                    else "truncated scan (entropy data exhausted)"
+                )
+        mcu_done += want
+        if mcu_done < n_mcu:
+            if not restart_interval or after is None or not (0xD0 <= after <= 0xD7):
+                raise ValueError("truncated scan (missing restart marker)")
+            if after != 0xD0 + (rst % 8):
+                raise ValueError(
+                    f"expected RST{rst % 8} at offset {after_off}, "
+                    f"found {bytes([0xFF, after]).hex()}"
+                )
             rst += 1
-            preds = [0] * len(comps)
-        my, mx = divmod(m, bw)
-        for c, ((_cid, tq), (_sid, tsel)) in enumerate(zip(comps, sel)):
-            dc_tab = htabs.get((0, tsel >> 4))
-            ac_tab = htabs.get((1, tsel & 0x0F))
-            quant = qtabs.get(tq)
-            if dc_tab is None or ac_tab is None or quant is None:
-                raise ValueError("scan references an undefined Huffman/quant table")
-            zz = [0] * 64
-            size = reader.huff(dc_tab)
-            preds[c] += _extend(reader.bits(size), size)
-            zz[0] = preds[c]
-            k = 1
-            while k < 64:
-                sym = reader.huff(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC run overflows the block")
-                zz[k] = _extend(reader.bits(sym & 0x0F), sym & 0x0F)
-                k += 1
-            coef = np.zeros((8, 8))
-            for i in range(64):
-                coef[divmod(ZIGZAG[i], 8)] = zz[i] * quant[ZIGZAG[i]]
-            block = np.clip(np.rint(idct2(coef) + 128.0), 0, 255)
-            planes[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = block
+    if mcu_done < n_mcu:
+        raise ValueError("truncated scan (entropy data exhausted)")
+
+    # dequantize + un-zigzag + IDCT, batched across all blocks of each
+    # component (one matmul pair instead of per-block numpy calls)
+    zig = _ZIG_ARR
+    planes = []
+    for c in range(n_comp):
+        quant = comp_tabs[c][2]
+        zzmat = np.array(zz_cols[c], dtype=np.float64).reshape(n_mcu, 64)
+        nat = np.zeros((n_mcu, 64))
+        nat[:, zig] = zzmat * np.asarray(quant, dtype=np.float64)[zig]
+        px = _DCT_M.T @ nat.reshape(n_mcu, 8, 8) @ _DCT_M
+        blocks = np.clip(np.rint(px + 128.0), 0, 255)
+        planes.append(
+            blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
 
     planes = [p[:h, :w] for p in planes]
     if len(comps) == 1:
@@ -587,8 +738,10 @@ def attach_jpeg_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
+    from .multimodal import fan_out  # lazy: multimodal imports this module
+
     schema = T.StructType([docs.schema[id_col], T.StructField("payload", T.BinaryType())])
-    return docs.select(id_col).mapInPandas(batches, schema)
+    return fan_out(docs.select(id_col)).mapInPandas(batches, schema)
 
 
 def _decode_jpeg_rows(doc_ids, payloads):
@@ -671,5 +824,7 @@ def attach_jpeg_color_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFr
                 payloads.append(make_jpeg_color(y, cb, cr, 8 * (1 + i % 2), 8))
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
+    from .multimodal import fan_out  # lazy: multimodal imports this module
+
     schema = T.StructType([docs.schema[id_col], T.StructField("payload", T.BinaryType())])
-    return docs.select(id_col).mapInPandas(batches, schema)
+    return fan_out(docs.select(id_col)).mapInPandas(batches, schema)

@@ -33,6 +33,33 @@ from pyspark.sql import types as T
 
 from .jpeg import decode_jpeg_bytes
 
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a small metadata-only frame across the session's cores
+    before a CPU-heavy Python kernel chain. A single small parquet file
+    scans as ONE split, which would serialize the whole mapInPandas /
+    mapInArrow pipeline built on it onto one core while the rest of the
+    cluster idles (guide §2.5 input skew: "one huge unsplittable file
+    ... repartition immediately after the read"). The exchange moves
+    only the id column — a few bytes per row, the §8 lightweight-proxy
+    shape — and the heavy payload bytes are *generated and consumed*
+    inside the downstream tasks without ever crossing a shuffle.
+
+    Scale-adaptive, not a local-mode constant: the target is the
+    session's ``defaultParallelism`` (follows ``local[N]`` / the
+    cluster's core count) and the repartition only fires when the scan
+    arrives with FEWER splits than that — at production scale a media
+    table scans as thousands of splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 META_SCHEMA = T.StructType(
     [
         T.StructField("mime", T.StringType()),
@@ -836,7 +863,9 @@ def attach_avi_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(batches, f"{id_col} long, payload binary")
+    return fan_out(docs.select(id_col)).mapInPandas(
+        batches, f"{id_col} long, payload binary"
+    )
 
 
 def _decode_avi_one(b: bytes, every: int) -> tuple:
