@@ -45,19 +45,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     shape — and the heavy payload bytes are *generated and consumed*
     inside the downstream tasks without ever crossing a shuffle.
 
-    Scale-adaptive, not a local-mode constant: the target is the
-    session's ``defaultParallelism`` (follows ``local[N]`` / the
-    cluster's core count) and the repartition only fires when the scan
-    arrives with FEWER splits than that — at production scale a media
-    table scans as thousands of splits and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        if df.rdd.getNumPartitions() >= target:
-            return df
-    except Exception:
-        return df
-    return df.repartition(target)
+    Scale notes: the target is the session's ``defaultParallelism``
+    (follows ``local[N]`` / the cluster's core count), not a local-mode
+    constant. The repartition is unconditional — same stance as
+    ``similarity._spread``: probing ``df.rdd.getNumPartitions()`` first
+    would force an RDD-conversion analyzer pass per call (r4 verdict),
+    and the attach verbs are the synthetic-payload boundary whose input
+    is an id list (production media arrives pre-split through
+    ``sources.media.read_media_dir``), so the id-only exchange is
+    always trivially small next to the kernel work it unblocks."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 META_SCHEMA = T.StructType(

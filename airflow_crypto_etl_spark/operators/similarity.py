@@ -926,6 +926,19 @@ def ivf_index_retrain(
     vectors never shuffle and driver state stays the bounded
     dim·n_centroids cell collect. Run it when the health monitor says
     so, not per batch."""
+    # ONE normalized pass over the corpus feeds BOTH retrain passes
+    # (r11 verdict item 2 / guide §1.2): the Lloyd round assigns under
+    # the OLD seed book and the rebuild under the NEW trained book —
+    # both passes are inherent to retrain, but each was re-reading and
+    # re-normalizing the same corpus. The session-scoped cache (the
+    # round-3 register_cache convention) materializes (id, double
+    # vector) once; the downstream double cast is an identity
+    # projection over the cached rows.
+    from .dedup import register_cache
+
+    emb = register_cache(
+        emb.selectExpr(id_col, f"{to_double_sql(vec_col)} AS {vec_col}")
+    )
     trained = ivf_centroids_trained(
         emb,
         n_centroids=n_centroids,
@@ -1821,28 +1834,25 @@ def _pq_adc_search(
     # (pq_index_append's frozen-book contract) need not have dense
     # 0..n_cent-1 cids — positional indexing would silently read the
     # wrong cell (or throw) the moment a seed id is absent.
-    drows = (
-        lut.groupBy("query_id", "s")
-        .agg(F.expr("array_sort(collect_list(struct(cid, d)))").alias("_cd"))
+    #
+    # ONE groupBy pass builds the whole per-query table (r11 verdict
+    # item 3 / guide §1.2): collect every (s, cid, d) cell of a query
+    # at once and split it into per-subspace maps locally. The
+    # lexicographic array_sort on struct(s, cid, d) orders by s then
+    # cid, and filter() preserves that order, so each subspace's
+    # map_from_entries sees the same cid-ascending entries the previous
+    # two-pass shape produced — identical maps, one exchange less.
+    tbl = (
+        lut.groupBy("query_id")
+        .agg(F.expr("array_sort(collect_list(struct(s, cid, d)))").alias("_scd"))
         .select(
             "query_id",
-            "s",
             F.expr(
-                "map_from_entries(transform(_cd, e -> struct(e.cid, e.d)))"
-            ).alias("drow"),
+                f"transform(sequence(0, {n_sub - 1}), s -> "
+                "map_from_entries(transform(filter(_scd, e -> e.s = s), "
+                "e -> struct(e.cid, e.d))))"
+            ).alias("tbl"),
         )
-    )
-    tbl = (
-        drows.groupBy("query_id")
-        .agg(
-            # comparator form: structs holding a MAP are not orderable,
-            # so sort on the subspace index alone
-            F.expr(
-                "array_sort(collect_list(struct(s, drow)), "
-                "(a, b) -> cast(a.s - b.s as int))"
-            ).alias("_sd")
-        )
-        .select("query_id", F.expr("transform(_sd, e -> e.drow)").alias("tbl"))
     )
     adc = F.expr(
         f"aggregate(sequence(0, {n_sub - 1}), cast(0.0 as double), "
@@ -1885,15 +1895,36 @@ def pq_index_build(
     the map-only :func:`pq_encode` pass), write both to parquet, and
     run :func:`pq_index_lookup` per ingest batch — the corpus is
     never re-encoded per call."""
-    cb = (
-        pq_codebook_trained(emb, n_sub, n_cent, dim, id_col, vec_col)
-        if trained
-        else pq_codebook(emb, n_cent, id_col, vec_col)
-    )
+    if trained:
+        # ONE normalized pass over the corpus feeds BOTH encode passes
+        # (r11 verdict item 2 / guide §1.2): training assigns under the
+        # SEED book, the final encode under the TRAINED book — two
+        # passes inherent to one-round Lloyd + encode, but both were
+        # re-reading and re-normalizing the same corpus. The
+        # session-scoped cache (the round-3 register_cache convention)
+        # materializes (id, double vector) once; the double cast the
+        # downstream builders re-apply is an identity projection over
+        # the cached rows, so values are untouched.
+        from .dedup import register_cache
+
+        emb = register_cache(
+            emb.selectExpr(id_col, f"{to_double_sql(vec_col)} AS {vec_col}")
+        )
+        cb = pq_codebook_trained(emb, n_sub, n_cent, dim, id_col, vec_col)
+    else:
+        cb = pq_codebook(emb, n_cent, id_col, vec_col)
     codebook = cb.select(F.explode("cb").alias("e")).select(
         F.col("e.cid").alias("cid"), F.col("e.cv").alias("cv")
     )
-    codes = pq_index_append(emb, codebook, n_sub, dim, id_col, vec_col)
+    # Encode under the SAME 1-row book the exploded rows above came
+    # from: routing the corpus encode through pq_index_append would
+    # re-aggregate `codebook` straight back into that 1-row relation
+    # (explode → array_sort(collect_list) — two extra plan subtrees per
+    # codes action) for a value-identical book. The build-IS-append
+    # invariant is pinned by tests/test_selection.py::
+    # test_pq_index_build_codes_equal_append (r11 verdict item 6: a
+    # test, not a routing constraint).
+    codes = pq_encode(emb, n_sub, 0, dim, id_col, vec_col, codebook=cb)
     return codebook, codes
 
 
@@ -2411,18 +2442,23 @@ def ivfpq_topk(
         )
         .select("query_id", "cid", "s", "rid", "d")
     )
-    drows = (
-        lut.groupBy("query_id", "cid", "s")
-        .agg(F.expr("array_sort(collect_list(struct(rid, d)))").alias("_rd"))
-        .select(
-            "query_id", "cid", "s", F.expr("transform(_rd, e -> e.d)").alias("drow")
-        )
-    )
+    # ONE groupBy pass per (query, probed list) instead of two (r11
+    # verdict item 3 / guide §1.2): collect all (s, rid, d) cells at
+    # once; the lexicographic sort orders by s then rid, filter()
+    # preserves that order, so each subspace's positional drow (rid
+    # ascending — rids are dense 0..n_rcent-1 by construction) is
+    # identical to the previous two-pass shape. One exchange less per
+    # search.
     tblq = (
-        drows.groupBy("query_id", "cid")
-        .agg(F.expr("array_sort(collect_list(struct(s, drow)))").alias("_sd"))
+        lut.groupBy("query_id", "cid")
+        .agg(F.expr("array_sort(collect_list(struct(s, rid, d)))").alias("_srd"))
         .select(
-            "query_id", "cid", F.expr("transform(_sd, e -> e.drow)").alias("tbl")
+            "query_id",
+            "cid",
+            F.expr(
+                f"transform(sequence(0, {n_sub - 1}), s -> "
+                "transform(filter(_srd, e -> e.s = s), e -> e.d))"
+            ).alias("tbl"),
         )
     )
     adc = F.expr(

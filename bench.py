@@ -9,6 +9,21 @@ jitter ±30% (round-1 verdict: q_rollup_hierarchy read 1.83× baseline on
 one run, steady-state in the next), and medians keep a one-off GC/JIT
 stall from masquerading as a regression. Timing covers the full action
 (plan + execute + collect-to-count).
+
+Round-12 measurement fixes (r11 verdict items 4 and 5; additions only,
+documented in OPTIMIZATION_r12.md):
+
+- ``dedup.release_caches()`` runs between timed trials, so the
+  session-scoped signature/corpus caches built INSIDE trial 1 no longer
+  make trials 2..n warm — every trial now pays the full cold cost and
+  the median means one thing (previously q_dedup_index_compact's median
+  was a warm-cache number while its first trial was cold).
+- ``queries_noop`` is a NEW column timing the same queries through the
+  noop sink (guide §1.4 — count() lets the optimizer prune columns and
+  under-times wide-output queries; the noop sink computes every column
+  of every row). The legacy count-timed ``queries`` / ``value`` columns
+  are kept unchanged for round-over-round comparability; narratives
+  should read ``queries_noop``.
 """
 
 from __future__ import annotations
@@ -198,6 +213,13 @@ def main() -> None:
     # the columns makes that overhead visible instead of letting it mask
     # real regressions at exactly the slot sizes the suite has most of.
     first_run: dict[str, float] = {}
+    noop_timings: dict[str, float] = {}
+    # Session-scoped caches (dedup/similarity register_cache) are built
+    # INSIDE a timed trial; releasing them between trials keeps every
+    # trial cold so the median is a cold-cost median (r11 verdict item
+    # 4 — previously trials 2..n reused trial 1's materialized caches).
+    from airflow_crypto_etl_spark.operators.dedup import release_caches
+
     for name in HEADLINE:
         fn = ALL_QUERIES.get(name)
         if fn is None:
@@ -209,6 +231,7 @@ def main() -> None:
                 pass  # warm-up is best-effort; the timed run decides
         trials = []
         for _ in range(reps):
+            release_caches()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -216,6 +239,17 @@ def main() -> None:
             assert n >= 0
         timings[name] = round(statistics.median(trials), 4)
         first_run[name] = round(trials[0], 4)
+        # noop-sink twin (r11 verdict item 5 / guide §1.4): same plan,
+        # same reps, but the timed action computes EVERY column of
+        # every row and discards it — no column pruning, no sink cost.
+        noop_trials = []
+        for _ in range(reps):
+            release_caches()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            noop_trials.append(time.perf_counter() - t0)
+        noop_timings[name] = round(statistics.median(noop_trials), 4)
+        release_caches()
 
     # Write-path slots (BASELINE.md): silver-shaped transform throughput
     # and a dynamically-overwritten partitioned write.
@@ -265,6 +299,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_first": first_run,
+        "queries_noop": noop_timings,
         "reps": reps,
         # box-speed witness: fixed single-core work, measured this run
         # (see _calibrate); divide composites by (calibration_s /

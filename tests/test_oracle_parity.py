@@ -290,8 +290,13 @@ def test_no_unconditional_corpus_repartition():
     of the corpus through the exchange for zero benefit (the scan
     already yields thousands of partitions). Sanctioned sites: the two
     `_spread` helpers (dedup.py, similarity.py — both behind an
-    `if not spread: return df` guard) and compaction.py's small-file
-    compactor, whose entire JOB is choosing the output file count."""
+    `if not spread: return df` guard), compaction.py's small-file
+    compactor, whose entire JOB is choosing the output file count, and
+    multimodal.py's `fan_out`, which exchanges ONLY the id column of
+    the synthetic-payload attach verbs (payloads are generated and
+    consumed downstream of it and never cross a shuffle; production
+    media arrives pre-split via sources.media.read_media_dir, not
+    through attach_*)."""
     import pathlib
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / "airflow_crypto_etl_spark"
@@ -326,6 +331,10 @@ def test_no_unconditional_corpus_repartition():
                 or "def minhash_index_compact" in head40
                 or "def pq_index_compact" in head40
             ):
+                continue
+            # multimodal.fan_out exchanges only the id column of the
+            # synthetic-payload attach verbs (see docstring above)
+            if rel == "operators/multimodal.py" and "def fan_out" in head40:
                 continue
             offenders.append(f"{rel}:{i}: {line.strip()}")
     assert not offenders, (

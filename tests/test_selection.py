@@ -680,6 +680,27 @@ def test_pq_index_roundtrip_matches_pq_topk(spark, sf_dir, tmp_path):
     assert len(got) == 80
 
 
+def test_pq_index_build_codes_equal_append(spark, sf_dir):
+    """The build-IS-append invariant as a TEST (r11 verdict item 6):
+    pq_index_build encodes the corpus directly under its 1-row book
+    (skipping pq_index_append's explode→repack of the same book), so
+    this pins that the build's codes are row-identical to
+    pq_index_append applied to the whole corpus against the build's
+    exploded (cid, cv) codebook — for both the seeded and the trained
+    book."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    for trained in (False, True):
+        codebook, codes = sim.pq_index_build(emb, trained=trained)
+        via_append = sim.pq_index_append(emb, codebook)
+        got = sorted(
+            (r["vec_id"], tuple(r["codes"])) for r in codes.collect()
+        )
+        want = sorted(
+            (r["vec_id"], tuple(r["codes"])) for r in via_append.collect()
+        )
+        assert got == want and len(got) > 0
+
+
 def test_pq_index_append_equals_rebuild_and_replay_noop(spark, sf_dir, tmp_path):
     """The growing-PQ-index contract (q_ann_pq_index_append's live
     twin): lookup against base + two appended batch_id partitions is
