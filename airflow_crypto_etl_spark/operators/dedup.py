@@ -187,10 +187,14 @@ def minhash_band_array(sig_col):
                 for b in range(MINHASH_K // MINHASH_R)
             ]
         )
-    # string column name: ONE parsed SQL string, same left-fold order
+    # string column name: ONE parsed SQL string, same left-fold order.
+    # The name is backtick-quoted before splicing (r11 ADVICE item 4):
+    # names needing quoting parsed fine through the Column form above
+    # but would fail — or parse as expressions — spliced raw.
+    sc = "`" + sig_col.replace("`", "``") + "`"
     bands = ", ".join(
         " + ".join(
-            f"{sig_col}[{b * MINHASH_R + j}] * {BAND_WEIGHTS[j]}"
+            f"{sc}[{b * MINHASH_R + j}] * {BAND_WEIGHTS[j]}"
             for j in range(MINHASH_R)
         )
         for b in range(MINHASH_K // MINHASH_R)

@@ -62,6 +62,15 @@ def cosine(a: Column, b: Column) -> Column:
 # is pinned by every ANN oracle hash.
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote a caller-supplied column NAME before it is
+    interpolated into SQL text (r11 ADVICE item 4): names that need
+    quoting (spaces, hyphens, reserved words) parsed fine through the
+    old F.col forms but fail — or silently parse as expressions —
+    when spliced raw into a builder string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def dot_sql(a: str, b: str) -> str:
     """SQL text of :func:`dot` (same fold order, same seed)."""
     return (
@@ -96,6 +105,31 @@ def to_double_sql(arr: str) -> str:
 # (√N-sized coarse books at 100 TB) plan size would flip the tradeoff,
 # so large books keep the broadcast join.
 _LIT_BOOK_MAX_CELLS = 4096
+
+
+def _book_literal_ok(rows: list, max_cells: int = None) -> bool:
+    """Gate for the literal-book plan form (r11 ADVICE item 1): an
+    EMPTY seed set must fall back to the typed broadcast relation —
+    a bare ``array()`` literal types as array<string> and breaks the
+    downstream struct-field access at analysis time — and non-finite
+    doubles (nan/inf) repr to SQL text the parser rejects. Both cases
+    degrade gracefully on the createDataFrame/broadcast branch, which
+    carries an explicit schema and binary doubles."""
+    import math
+
+    if not rows:
+        return False
+    cells = 0
+    for row in rows:
+        vec = row[1]
+        cells += len(vec)
+        for x in vec:
+            if not math.isfinite(x):
+                return False
+        for extra in row[2:]:
+            if not math.isfinite(extra):
+                return False
+    return cells <= (max_cells if max_cells is not None else _LIT_BOOK_MAX_CELLS)
 
 
 def _book_literal_sql(rows: list, fields: tuple = ("cid", "cv")) -> str:
@@ -145,8 +179,8 @@ def _normed_base(
 
     Built as ONE selectExpr string (see the SQL-twin builders above):
     node-identical plan, ~100× fewer py4j round-trips to construct."""
-    v = to_double_sql(vec_col)
-    base = emb.selectExpr(id_col, f"{v} AS v", f"{norm2_sql(v)} AS nrm")
+    v = to_double_sql(_bt(vec_col))
+    base = emb.selectExpr(_bt(id_col), f"{v} AS v", f"{norm2_sql(v)} AS nrm")
     return _spread(base, spread)
 
 
@@ -227,10 +261,10 @@ def hard_negatives(
     with an LSH-bucket equi-join."""
     base = _spread(
         emb.selectExpr(
-            id_col,
-            f"{label_col} AS _lbl",
-            f"{to_double_sql(vec_col)} AS v",
-            f"{norm2_sql(to_double_sql(vec_col))} AS nrm",
+            _bt(id_col),
+            f"{_bt(label_col)} AS _lbl",
+            f"{to_double_sql(_bt(vec_col))} AS v",
+            f"{norm2_sql(to_double_sql(_bt(vec_col)))} AS nrm",
         ),
         spread,
     )
@@ -397,10 +431,10 @@ def hard_negatives_lsh(
     all-anchor mining case)."""
     base = _spread(
         emb.selectExpr(
-            id_col,
-            f"{label_col} AS _lbl",
-            f"{to_double_sql(vec_col)} AS v",
-            f"{norm2_sql(to_double_sql(vec_col))} AS nrm",
+            _bt(id_col),
+            f"{_bt(label_col)} AS _lbl",
+            f"{to_double_sql(_bt(vec_col))} AS v",
+            f"{norm2_sql(to_double_sql(_bt(vec_col)))} AS nrm",
         ),
         spread,
     )
@@ -1007,7 +1041,7 @@ def ivf_centroids_trained(
         .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
         .collect()
     )
-    if n_centroids * dim <= _LIT_BOOK_MAX_CELLS:
+    if _book_literal_ok(seed_rows):
         # bounded book: folded plan literal, no BroadcastExchange job
         enc = base.withColumn(
             "scb", F.expr(_book_literal_sql(seed_rows, ("cid", "cv", "cn")))
@@ -1691,7 +1725,7 @@ def pq_codebook_trained(
         .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
         .collect()
     )
-    if n_cent * dim <= _LIT_BOOK_MAX_CELLS:
+    if _book_literal_ok(seed_rows):
         # bounded book: ride the plan as a folded literal (no
         # BroadcastExchange job — see _LIT_BOOK_MAX_CELLS)
         enc = base.withColumn("cb", F.expr(_book_literal_sql(seed_rows)))
@@ -2056,19 +2090,34 @@ def pq_index_stats(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
     introspection of the index's own parquet tables."""
     has_batch = "batch_id" in codes.columns
     keys = (["batch_id"] if has_batch else []) + ["s", "code"]
+    # posexplode_OUTER (r11 ADVICE item 3): a degenerate persisted row
+    # whose codes array is NULL or empty still contributes one
+    # (s=NULL) cell, so the vector count below matches the previous
+    # codes-table count() semantics instead of silently dropping
+    # corrupt rows; healthy rows produce no NULL cells and every
+    # summary is unchanged.
     cells = (
-        codes.select(*(["batch_id"] if has_batch else []), F.posexplode("codes").alias("s", "code"))
+        codes.select(
+            *(["batch_id"] if has_batch else []),
+            F.posexplode_outer("codes").alias("s", "code"),
+        )
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("cn"))
         .localCheckpoint(eager=False)
     )
-    per = cells.groupBy("s", "code").agg(F.sum("cn").alias("n"))
+    per = (
+        cells.filter(F.col("s").isNotNull())
+        .groupBy("s", "code")
+        .agg(F.sum("cn").alias("n"))
+    )
     pers = per.groupBy("s").agg(
         F.count(F.lit(1)).alias("used"), F.max("n").alias("mx")
     )
-    # every vector contributes exactly one (s=0, code) row, so the
-    # vector count is recovered from the cells — no second corpus pass
-    n_vecs = cells.filter(F.col("s") == 0).agg(
+    # every vector contributes exactly one (s=0, code) row — or one
+    # (s=NULL) row when its codes are null/empty — so the vector count
+    # is recovered from the cells with no second corpus pass
+    _counts0 = F.col("s").isNull() | (F.col("s") == 0)
+    n_vecs = cells.filter(_counts0).agg(
         F.coalesce(F.sum("cn"), F.lit(0)).cast("bigint").alias("n_vecs")
     )
     summary = n_vecs.join(
@@ -2082,7 +2131,7 @@ def pq_index_stats(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
     if has_batch:
         batches = (
-            cells.filter(F.col("s") == 0)
+            cells.filter(_counts0)
             .groupBy("batch_id")
             .agg(F.sum("cn").alias("bn"))
             .agg(
@@ -2324,7 +2373,7 @@ def ivfpq_residual_codebook_trained(
         .select((F.col(id_col) - n_coarse).alias("rid"), F.col("r").alias("rv"))
         .collect()
     )
-    if n_rcent * dim <= _LIT_BOOK_MAX_CELLS:
+    if _book_literal_ok(seed_list):
         # bounded book: folded plan literal, no BroadcastExchange job
         enc = resid.withColumn(
             "rcb", F.expr(_book_literal_sql(seed_list, ("rid", "rv")))

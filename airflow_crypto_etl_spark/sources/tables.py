@@ -116,25 +116,49 @@ def _restore_nanos_timestamps(df: DataFrame, cols: tuple[str, ...] = ("ts",)) ->
 # load_table inside its timed region, and schema inference re-reads the
 # parquet footer per call (~0.1 s of driver time per slot, guide §1.5's
 # "know what you are timing"). Keyed on (path, mtime, size) so a
-# rewritten file re-infers; a schema-supplied read plans the identical
-# scan (parquet is self-describing per file — the footer is still the
+# rewritten file re-infers; for DIRECTORY paths the key also folds in
+# the direct children's (name, mtime, size) — a part file rewritten in
+# place does not bump the directory mtime (r11 ADVICE item 2). Bounded
+# FIFO so a long-lived session scanning many paths cannot grow it
+# without limit; a schema-supplied read plans the identical scan
+# (parquet is self-describing per file — the footer is still the
 # row-group source of truth at execution).
 _SCHEMA_CACHE: dict = {}
+_SCHEMA_CACHE_MAX = 256
+
+
+def _schema_key(path: str):
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        children = []
+        with os.scandir(path) as it:
+            for e in it:
+                cst = e.stat()
+                children.append((e.name, cst.st_mtime_ns, cst.st_size))
+        key = key + (tuple(sorted(children)),)
+    return key
+
+
+def _schema_cache_put(key, sch) -> None:
+    if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
+    _SCHEMA_CACHE[key] = sch
 
 
 def parquet_schema(spark: SparkSession, path: str):
     """Inferred physical schema of a parquet path, cached on
-    (path, mtime, size) — for callers that only need the schema (the
-    streaming file sources re-inferred the footer per query)."""
+    (path, mtime, size[, children]) — for callers that only need the
+    schema (the streaming file sources re-inferred the footer per
+    query)."""
     try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        key = _schema_key(path)
     except OSError:
         return spark.read.parquet(path).schema
     sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         sch = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = sch
+        _schema_cache_put(key, sch)
     return sch
 
 
@@ -142,8 +166,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One star-schema table from a scale-factor directory."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        key = _schema_key(path)
     except OSError:
         key = None
     sch = _SCHEMA_CACHE.get(key) if key is not None else None
@@ -152,7 +175,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
         if key is not None:
-            _SCHEMA_CACHE[key] = df.schema
+            _schema_cache_put(key, df.schema)
     if name == "events":
         df = _restore_nanos_timestamps(df)
     return df

@@ -680,6 +680,33 @@ def test_pq_index_roundtrip_matches_pq_topk(spark, sf_dir, tmp_path):
     assert len(got) == 80
 
 
+def test_pq_index_stats_counts_degenerate_rows(spark, sf_dir):
+    """r11 ADVICE item 3: rows whose codes array is NULL or empty must
+    still count in n_vecs (the pre-single-pass codes-table count
+    semantics) instead of being dropped by posexplode."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _cb, codes = sim.pq_index_build(emb.filter(F.col("vec_id") < 50), trained=False)
+    degenerate = codes.sparkSession.createDataFrame(
+        [(100001, None), (100002, [])], "vec_id bigint, codes array<bigint>"
+    )
+    healthy = codes.count()
+    row = sim.pq_index_stats(codes.unionByName(degenerate)).collect()[0]
+    assert row["n_vecs"] == healthy + 2
+
+
+def test_book_literal_gate_rejects_empty_and_nonfinite():
+    """r11 ADVICE item 1: the literal-book plan form must fall back to
+    the typed broadcast relation for empty seed sets (array() types as
+    array<string>) and for non-finite doubles (repr text the SQL
+    parser rejects)."""
+    assert sim._book_literal_ok([(0, [1.0, 2.0]), (1, [3.0, 4.0])])
+    assert not sim._book_literal_ok([])
+    assert not sim._book_literal_ok([(0, [float("nan"), 1.0])])
+    assert not sim._book_literal_ok([(0, [1.0]), (1, [float("inf")])])
+    assert not sim._book_literal_ok([(0, [1.0, 2.0], float("nan"))])
+    assert not sim._book_literal_ok([(0, [0.0] * 5000)])
+
+
 def test_pq_index_build_codes_equal_append(spark, sf_dir):
     """The build-IS-append invariant as a TEST (r11 verdict item 6):
     pq_index_build encodes the corpus directly under its 1-row book
